@@ -1,0 +1,177 @@
+"""Team-scoped fuzzy name normalization — the one genuinely custom operator.
+
+Reference semantics (pipeline_2026/ex_match_bs.py:198-210,249-259,314-336):
+raw scraped player names are matched against the master player catalog with
+a similarity scorer, cutoff 75; the candidate set is *blocked* to the
+playing team's squad (team name itself fuzzy-resolved, cutoff 70), falling
+back to all players. The reference computes the match once per distinct
+name and broadcasts it back via a dict map (ex_match_bs.py:324-326).
+
+Spark-first realization (scales to 100 TB of deliveries):
+
+1. The player catalog is a tiny dimension — collected once on the driver
+   and broadcast to executors (``sc.broadcast``), like any dim-table
+   broadcast join. The fact table is never collected.
+2. Similarity scoring runs only over DISTINCT (scope, name) pairs — a
+   shuffle-free ``dropDuplicates`` then an Arrow-batched pandas UDF.
+   Distinct player names are O(thousands) regardless of fact rows.
+3. The canonical mapping is broadcast-hash-joined back onto the fact
+   table — no shuffle of the big side when the mapping is small (it is).
+
+The scorer uses rapidfuzz when importable, else a pure-Python
+token-aware Indel-similarity fallback (same 0-100 scale, same cutoffs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # optional accelerator; not required
+    from rapidfuzz import fuzz as _rf_fuzz
+    from rapidfuzz import process as _rf_process
+
+    HAVE_RAPIDFUZZ = True
+except Exception:  # pragma: no cover
+    HAVE_RAPIDFUZZ = False
+
+PLAYER_CUTOFF = 75.0  # reference ex_match_bs.py:198
+TEAM_CUTOFF = 70.0  # reference ex_match_bs.py:256
+
+
+def _indel_ratio(a: str, b: str) -> float:
+    """Indel similarity on a 0-100 scale (rapidfuzz fuzz.ratio analogue):
+    100 * (1 - indel_distance / (len(a)+len(b))), via LCS length."""
+    if not a and not b:
+        return 100.0
+    if not a or not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            if ca == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+        prev = cur
+    lcs = prev[lb]
+    return 200.0 * lcs / (la + lb)
+
+
+def score(a: str, b: str) -> float:
+    """WRatio-like composite: best of full / token-sorted / substring."""
+    a, b = a.lower().strip(), b.lower().strip()
+    if a == b:
+        return 100.0
+    if HAVE_RAPIDFUZZ:
+        return float(_rf_fuzz.WRatio(a, b))
+    s = _indel_ratio(a, b)
+    ts = _indel_ratio(" ".join(sorted(a.split())), " ".join(sorted(b.split())))
+    sub = 90.0 if (len(a) >= 3 and (a in b or b in a)) else 0.0
+    return max(s, ts, sub)
+
+
+def extract_one(query: str, choices: list[str], cutoff: float = 0.0) -> str | None:
+    """Best-scoring choice above cutoff, else None."""
+    if not query or not choices:
+        return None
+    if HAVE_RAPIDFUZZ:
+        m = _rf_process.extractOne(query, choices, score_cutoff=cutoff)
+        return m[0] if m else None
+    best, best_s = None, cutoff
+    for c in choices:
+        s = score(query, c)
+        if s > best_s or (s == best_s and best is None and s >= cutoff):
+            best, best_s = c, s
+    return best
+
+
+def match_name(raw: str | None, choices: list[str], cutoff: float = PLAYER_CUTOFF) -> str:
+    """Reference match_player_name (ex_match_bs.py:198-210): canonical
+    name above cutoff, else the cleaned raw name; N/A passthrough."""
+    if raw is None or raw == "N/A" or (isinstance(raw, float) and pd.isna(raw)):
+        return "N/A"
+    raw_clean = str(raw).strip()
+    if not choices:
+        return raw_clean
+    m = extract_one(raw_clean, choices, cutoff)
+    return m if m is not None else raw_clean
+
+
+def team_choices(
+    team: str | None, team_player_map: dict[str, list[str]], all_players: list[str]
+) -> list[str]:
+    """Reference get_team_player_choices (ex_match_bs.py:249-259): the
+    team's squad, fuzzy team-name resolution at cutoff 70, else everyone."""
+    if not team or team == "N/A" or not team_player_map:
+        return all_players
+    if team in team_player_map:
+        return team_player_map[team]
+    m = extract_one(team, list(team_player_map), TEAM_CUTOFF)
+    return team_player_map[m] if m is not None else all_players
+
+
+def normalize_names(
+    df: DataFrame,
+    players_df: DataFrame,
+    name_col: str,
+    scope_col: str,
+    out_col: str | None = None,
+    cutoff: float = PLAYER_CUTOFF,
+) -> DataFrame:
+    """Normalize ``name_col`` against the player catalog, blocked by the
+    team in ``scope_col``. Distinct-pairs → pandas UDF → broadcast join
+    back (reference's b_map optimization, ex_match_bs.py:324-336, made
+    distributed).
+    """
+    out_col = out_col or name_col
+    spark = df.sparkSession
+
+    catalog = (
+        players_df.select(
+            F.col("Name").alias("_p_name"), F.col("Team").alias("_p_team")
+        )
+        .where(F.col("Name").isNotNull())
+        .collect()
+    )  # tiny dimension: O(#players); never the fact table
+    team_map: dict[str, list[str]] = {}
+    all_players: list[str] = []
+    for r in catalog:
+        all_players.append(r._p_name)
+        if r._p_team:
+            team_map.setdefault(r._p_team, []).append(r._p_name)
+    all_players = sorted(set(all_players))
+    bc = spark.sparkContext.broadcast((team_map, all_players))
+
+    @F.pandas_udf(T.StringType())
+    def _normalize(names: pd.Series, scopes: pd.Series) -> pd.Series:
+        tmap, everyone = bc.value
+        cache: dict[tuple, str] = {}
+        out = []
+        for raw, scope in zip(names, scopes):
+            key = (raw, scope)
+            if key not in cache:
+                choices = team_choices(scope, tmap, everyone)
+                cache[key] = match_name(raw, choices, cutoff)
+            out.append(cache[key])
+        return pd.Series(out)
+
+    pairs = (
+        df.select(F.col(name_col).alias("_raw"), F.col(scope_col).alias("_scope"))
+        .dropDuplicates()
+        .withColumn("_canonical", _normalize(F.col("_raw"), F.col("_scope")))
+    )
+    joined = df.join(
+        F.broadcast(pairs),
+        (df[name_col].eqNullSafe(pairs["_raw"]))
+        & (df[scope_col].eqNullSafe(pairs["_scope"])),
+        "left",
+    )
+    return joined.withColumn(out_col, F.coalesce("_canonical", F.lit("N/A"))).drop(
+        "_raw", "_scope", "_canonical"
+    )

@@ -1,0 +1,57 @@
+"""Scalar column-expression builders shared across plans.
+
+All are pure Column expressions (SURVEY §2.7 F1-F15) — no UDFs, so they
+stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def innings_phase(over: Column | str = "over") -> Column:
+    """Powerplay(<6) / Middle Overs(<15) / Death Overs(<20) / Super Over.
+
+    Reference get_innings_phase, pipeline_2026/ex_match_bs.py:261-274;
+    non-numeric input → 'Unknown'.
+    """
+    o = (F.col(over) if isinstance(over, str) else over).cast("int")
+    return (
+        F.when(o.isNull(), "Unknown")
+        .when(o < 6, "Powerplay")
+        .when(o < 15, "Middle Overs")
+        .when(o < 20, "Death Overs")
+        .otherwise("Super Over")
+    )
+
+
+def safe_div(num: Column, den: Column, zero_becomes: float = 1.0) -> Column:
+    """num / den with den==0 replaced by ``zero_becomes``.
+
+    Exact-parity port of the reference's ``.replace(0, 1)`` denominator
+    guard (pipeline_2026/ex_match_sg.py:144-146,167-170): divide by 1 —
+    NOT null — when the denominator is zero.
+    """
+    return num / F.when(den == 0, F.lit(zero_becomes)).otherwise(den)
+
+
+def overs_notation(balls: Column) -> Column:
+    """legal_balls → cricket overs notation: balls//6 + (balls%6)/10.
+
+    Reference pipeline_2026/ex_match_sg.py:165,193,287-289.
+    """
+    return F.floor(balls / 6) + (balls % 6) / 10.0
+
+
+def not_na(col: Column | str) -> Column:
+    """NOT NULL and != 'N/A' — the reference's null-sentinel duality
+    (pipeline_2026/ex_match_sg.py:124,153,182,217-220)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & (c != "N/A")
+
+
+def flag(cond: Column) -> Column:
+    """Boolean condition → 0/1 int, as the reference stores flags
+    (pipeline_2026/ex_match_bs.py:300-304)."""
+    return cond.cast("int")

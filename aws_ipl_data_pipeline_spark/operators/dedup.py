@@ -1,0 +1,338 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators take/return DataFrames and compose with the rest of the
+engine. Scale design notes per operator:
+
+* exact_dedup — hash-groupBy on a digest of the normalized text. One
+  shuffle on the digest; at 100 TB, digests are 16 bytes/row and the
+  aggregation is map-side combinable.
+* shingle_jaccard_pairs — word n-gram shingles, exploded then
+  self-joined on the shingle (inverted-index join). The join key is the
+  shingle, so only documents *sharing* a shingle ever meet — no O(n²)
+  cross join. Common-shingle skew is the hazard at scale: cap it by
+  dropping shingles above a document-frequency ceiling (stopword
+  shingles contribute ~0 discriminative signal).
+* minhash_lsh_pairs — MinHash signatures banded into LSH buckets;
+  candidate pairs only form within a bucket (band join), then exact
+  jaccard verification on the candidates. This is the 100 TB path: cost
+  scales with #candidates, not #pairs.
+* simhash_pairs — 64-bit SimHash, near-dup = small Hamming distance;
+  banding on bit-blocks (pigeonhole: d ≤ k differing bits → at least
+  one of k+1 blocks identical) turns Hamming search into equi-joins.
+* embedding_cosine_pairs — exact pairwise cosine above a threshold
+  (baseline; quadratic — for scale use similarity.lsh_bucketed_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column | str = "text") -> Column:
+    """lower + collapse whitespace + trim — canonical text form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text.
+
+    Returns one row per distinct content: (text_hash, canonical_id =
+    min id, n_docs)."""
+    return (
+        docs.select(
+            F.col(id_col), F.md5(normalized_text(text_col)).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Pure column expressions: split → index sequence → explode → join
+    adjacent tokens. Stays in whole-stage codegen."""
+    toks = F.split(normalized_text(text_col), " ")
+    sz = F.size(F.col("_toks"))
+    # sequence(1, 0) would generate a DESCENDING sequence — guard short docs
+    idx_arr = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    df = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
+        "_id", "_toks", F.explode(idx_arr).alias("_i")
+    )
+    # F.get is 0-based and takes a Column index; _i is 1-based
+    gram = F.concat_ws(
+        " ", *[F.get("_toks", F.col("_i") - 1 + k) for k in range(n)]
+    )
+    return df.select("_id", gram.alias("shingle")).dropDuplicates()
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join on the shingle; ``max_shingle_df`` drops
+    shingles appearing in more than that many docs (skew guard for the
+    100 TB path — a shingle shared by millions of docs is pure noise).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = word_shingles(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per document from a (_id, shingle) frame.
+
+    Hash family: xxhash64(i || shingle) for i in 0..k-1 — deterministic,
+    JVM-side, no Python. Returns (_id, sig array<long>[k])."""
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{seed}:{i}:"), F.col("shingle")))).alias(
+            f"_h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("_id").agg(*mins)
+    return agg.select(
+        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding + exact verification.
+
+    bands=16 × rows=4 over 64 hashes → candidate-capture threshold
+    ≈ (1/16)^(1/4) ≈ 0.5 jaccard; candidates are then verified with the
+    exact shingle jaccard, so precision is exact and only recall depends
+    on the banding. Returns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(docs, id_col, text_col, n)
+    sig = minhash_signatures(sh, num_hashes, seed)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_structs).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    ca = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    cb = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    candidates = (
+        ca.join(cb, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+    # exact verification on candidates only
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    common = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via 64-bit SimHash + block-pigeonhole banding.
+
+    SimHash: per token a 64-bit hash; each bit votes +1/-1 weighted by
+    term frequency; the sign of each bit-sum is the fingerprint bit.
+    Pairs within ``max_hamming`` bits are found by splitting the 64 bits
+    into ``blocks`` equal blocks (pigeonhole: hamming ≤ blocks-1 ⇒ some
+    block matches exactly) and equi-joining per block.
+    Returns (id_a, id_b, hamming).
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("_tok"))
+        .groupBy("_id", "_tok")
+        .agg(F.count("*").alias("_w"))
+        .withColumn("_h", F.xxhash64(F.concat(F.lit(f"{seed}:"), F.col("_tok"))))
+    )
+    # bit votes: sum over tokens of w * (+1 if bit set else -1)
+    def bit_lit(b: int):
+        # 1 << 63 overflows a long literal; shiftleft keeps it JVM-side
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    bit_sums = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(bit_lit(b)) != 0, F.col("_w")).otherwise(
+                -F.col("_w")
+            )
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    votes = tf.groupBy("_id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.when(F.col(f"_b{b}") > 0, bit_lit(b)).otherwise(F.lit(0).cast("long"))
+    sigs = votes.select("_id", fp.alias("simhash"))
+
+    block_bits = 64 // blocks
+    mask = (1 << block_bits) - 1
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftright("simhash", i * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    blocked = sigs.select("_id", "simhash", F.explode(block_structs).alias("bk")).select(
+        "_id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key")
+    )
+    a = blocked.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"), "block", "key"
+    )
+    b = blocked.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"), "block", "key"
+    )
+    cand = (
+        a.join(b, ["block", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.col("hamming").cast("long"),
+        )
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Exact pairwise cosine ≥ threshold (baseline; O(n²) — the scale
+    path is similarity.lsh_bucketed_topk). JVM-side fold, no UDF.
+    Returns (id_a, id_b, cos_sim rounded 4)."""
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).withColumn(
+        "_norm",
+        F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = v.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = v.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", dot / (F.col("_na") * F.col("_nb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )

