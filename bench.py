@@ -1,0 +1,68 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries run against the noop sink (full execution, no driver-side
+materialization cost), after a small JIT warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from aws_ipl_data_pipeline_spark.queries import REGISTRY
+from aws_ipl_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "top_customers_by_revenue",
+    "broadcast_dim_revenue",
+    "standings_points",
+    "scalar_battery",
+    "running_totals",
+    "keyed_dedupe_first",
+    "session_window",
+    "asof_join_events",
+    "range_join_events",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_lsh_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    # warmup: JIT + parquet footer caches on a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
