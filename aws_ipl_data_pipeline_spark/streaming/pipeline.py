@@ -1,0 +1,132 @@
+"""Structured-Streaming incremental pipeline (SURVEY §2.9 ST1-ST4).
+
+The reference's event chain — S3 ObjectCreated → Lambda (bronze JSONL
+append+dedupe) → Glue silver (per-match partition overwrite) → Glue gold
+(full recompute) (reference ex_match_rb.py:156-236,
+ex_match_bs.py:459-492) — becomes ONE Spark app:
+
+  file-source readStream over the raw CSV drop directory
+    → foreachBatch:
+        parse to bronze (same plan as batch, plans/bronze.py)
+        → silver for ONLY the affected matches (dynamic partition
+          overwrite ≈ Delta replaceWhere per match — the reference's
+          late-data policy is overwrite-the-partition, not watermarks)
+        → gold full recompute over silver (the reference always fully
+          recomputes gold)
+
+The per-batch transform is the BATCH plan applied to the micro-batch's
+matches, which is what makes stream ≡ batch-backfill provable
+(tests/test_streaming.py). `Trigger.AvailableNow` drains a backlog and
+stops — the Lambda-less backfill story.
+
+Scale notes: the file source tracks processed files in the checkpoint
+(exactly-once per file, like the reference's per-object Lambda invoke);
+each micro-batch shuffles only the matches it saw; gold recompute reads
+silver back from storage, pruned to nothing extra because gold is
+aggregated over the whole table by definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.plans.bronze import to_bronze
+from aws_ipl_data_pipeline_spark.plans.gold import (
+    batsman_stats,
+    bowler_stats,
+    team_stats,
+    tournament_standings,
+)
+from aws_ipl_data_pipeline_spark.plans.silver import to_silver
+from aws_ipl_data_pipeline_spark.schemas import RAW_DELIVERIES
+from aws_ipl_data_pipeline_spark.sources.writers import write_partitioned
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    raw_dir: str,
+    silver_path: str,
+    gold_dir: str,
+    meta_df: DataFrame,
+    players_df: DataFrame | None,
+    checkpoint_dir: str,
+    bronze_path: str | None = None,
+    available_now: bool = True,
+):
+    """Start the raw→bronze→silver→gold incremental stream.
+
+    Returns the StreamingQuery; with ``available_now`` it processes the
+    current backlog and finishes (use ``query.awaitTermination()``).
+    """
+    bronze_path = bronze_path or f"{silver_path.rstrip('/')}_bronze_acc"
+    raw_stream = (
+        spark.readStream.schema(RAW_DELIVERIES)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 8)
+        .csv(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # ST2: accumulate raw deliveries per match (scrape files overlap;
+        # the reference appends + dedupes bronze JSONL before rebuilding,
+        # ex_match_rb.py:201-213). Stored partitioned by match so only
+        # the touched partitions rewrite.
+        affected = [r[0] for r in batch_df.select("match").distinct().collect()]
+        acc = batch_df
+        try:
+            existing = spark.read.schema(RAW_DELIVERIES).parquet(bronze_path)
+            acc = acc.unionByName(
+                existing.where(F.col("match").isin(affected))
+            ).dropDuplicates()
+        except Exception:
+            pass  # first batch: nothing accumulated yet
+        acc = acc.localCheckpoint()  # cut lineage before self-overwrite
+        write_partitioned(acc, bronze_path, partition_by=["match"], mode="overwrite")
+
+        # ST3: rebuild the affected matches end-to-end from accumulated raw
+        bronze = to_bronze(acc)
+        silver = to_silver(bronze, meta_df, players_df)
+        # idempotent per-match partition rewrite (ST3): latest scrape
+        # wins for the whole match, like replaceWhere("match = ...")
+        write_partitioned(
+            silver, silver_path, partition_by=["match", "innings"], mode="overwrite"
+        )
+        # gold: always a full recompute over silver (ST4, reference
+        # ex_match_sg.py:323-347)
+        full_silver = spark.read.parquet(silver_path)
+        for name, builder in (
+            ("gold_batsman_stats", batsman_stats),
+            ("gold_bowler_stats", bowler_stats),
+            ("gold_team_stats", team_stats),
+            ("gold_tournament_standings", tournament_standings),
+        ):
+            builder(full_silver).write.mode("overwrite").parquet(f"{gold_dir}/{name}")
+
+    writer = (
+        raw_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST6 extension: event-time windowed aggregation with a watermark —
+    works identically over a batch or streaming events frame."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select("w.start", "w.end", "event_type", "n", "total_value")
+    )

@@ -1,0 +1,114 @@
+"""ST1-ST4 equivalence: file-by-file streaming ingest ≡ batch backfill
+(SURVEY §5 streaming tests)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from aws_ipl_data_pipeline_spark.plans import to_bronze, to_silver
+from aws_ipl_data_pipeline_spark.schemas import RAW_DELIVERIES
+from aws_ipl_data_pipeline_spark.streaming import run_incremental_pipeline
+from tests.fixtures_ipl import RAW_ROWS, match_meta, players, raw_deliveries
+
+HEADER = [f.name for f in RAW_DELIVERIES.fields]
+
+
+def _write_csv(path: str, rows) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(HEADER)
+        w.writerows(rows)
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.mark.slow
+def test_stream_equals_batch_backfill(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    raw_dir = f"{base}/raw"
+    meta, plyr = match_meta(spark), players(spark)
+
+    # one file per match — then a partial re-scrape of match 1 (overlap)
+    by_match: dict[str, list] = {}
+    for row in RAW_ROWS:
+        by_match.setdefault(row[0], []).append(row)
+    for m, rows in by_match.items():
+        _write_csv(f"{raw_dir}/{m}/{m}-1.csv", rows)
+    # re-scrape: first 5 balls of match 1 again (dup content, new file)
+    _write_csv(f"{raw_dir}/01_AAvsBB/01_AAvsBB-2.csv", by_match["01_AAvsBB"][:5])
+
+    q = run_incremental_pipeline(
+        spark,
+        raw_dir=f"{raw_dir}/*/",
+        silver_path=f"{base}/silver",
+        gold_dir=f"{base}/gold",
+        meta_df=meta,
+        players_df=plyr,
+        checkpoint_dir=f"{base}/ckpt",
+        bronze_path=f"{base}/bronze",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    streamed_silver = spark.read.parquet(f"{base}/silver")
+    batch_silver = to_silver(to_bronze(raw_deliveries(spark)), meta, plyr)
+    # partition columns come back as strings; align
+    batch_cols = [c for c in batch_silver.columns]
+    streamed = streamed_silver.selectExpr(
+        *[
+            f"cast({c} as {dict(batch_silver.dtypes)[c]}) as {c}"
+            for c in batch_cols
+        ]
+    )
+    assert _canon(streamed) == _canon(batch_silver)
+
+    standings = spark.read.parquet(f"{base}/gold/gold_tournament_standings")
+    st = {r["team"]: r.asDict() for r in standings.collect()}
+    assert st["Alpha XI"]["points"] == 2 and st["Bravo XI"]["points"] == 0
+
+
+@pytest.mark.slow
+def test_late_rescape_overwrites_match_partition(spark, tmp_path_factory):
+    """A later fuller re-scrape of a match replaces that match's silver
+    rows (latest-scrape-wins, reference replaceWhere policy) without
+    touching other matches."""
+    base = str(tmp_path_factory.mktemp("stream2"))
+    raw_dir = f"{base}/raw"
+    meta, plyr = match_meta(spark), players(spark)
+    by_match: dict[str, list] = {}
+    for row in RAW_ROWS:
+        by_match.setdefault(row[0], []).append(row)
+
+    # phase 1: only the first 5 balls of match 1, full match 2
+    _write_csv(f"{raw_dir}/01_AAvsBB/01_AAvsBB-1.csv", by_match["01_AAvsBB"][:5])
+    _write_csv(f"{raw_dir}/02_AAvsCC/02_AAvsCC-1.csv", by_match["02_AAvsCC"])
+    kwargs = dict(
+        raw_dir=f"{raw_dir}/*/",
+        silver_path=f"{base}/silver",
+        gold_dir=f"{base}/gold",
+        meta_df=meta,
+        players_df=plyr,
+        checkpoint_dir=f"{base}/ckpt",
+        bronze_path=f"{base}/bronze",
+        available_now=True,
+    )
+    run_incremental_pipeline(spark, **kwargs).awaitTermination(300)
+    silver1 = spark.read.parquet(f"{base}/silver")
+    n_m1_before = silver1.where("match = '01_AAvsBB'").count()
+    m2_before = _canon(silver1.where("match = '02_AAvsCC'"))
+
+    # phase 2: full match-1 scrape arrives (superset of phase 1)
+    _write_csv(f"{raw_dir}/01_AAvsBB/01_AAvsBB-2.csv", by_match["01_AAvsBB"])
+    run_incremental_pipeline(spark, **kwargs).awaitTermination(300)
+    silver2 = spark.read.parquet(f"{base}/silver")
+    n_m1_after = silver2.where("match = '01_AAvsBB'").count()
+    assert n_m1_before < n_m1_after == 15
+    # untouched match byte-identical rows
+    assert _canon(silver2.where("match = '02_AAvsCC'")) == m2_before
