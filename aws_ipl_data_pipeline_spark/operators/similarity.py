@@ -110,6 +110,10 @@ def lsh_bucketed_topk(
     if probe_hamming >= 1:
         for i in range(bits):
             probes.add(q_bucket ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(bits):
+            for j in range(i + 1, bits):
+                probes.add(q_bucket ^ (1 << i) ^ (1 << j))
 
     bucketed = add_lsh_bucket(emb, planes, vec_col)
     candidates = bucketed.where(F.col("bucket").isin(list(probes)))

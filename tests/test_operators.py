@@ -1,0 +1,156 @@
+"""Targeted unit tests for the training-data operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.functions import fuzzy
+from aws_ipl_data_pipeline_spark.operators.asof import asof_join, range_join_bucketed
+from aws_ipl_data_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+)
+from aws_ipl_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+)
+from aws_ipl_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, tag string"
+    )
+
+
+def test_asof_join_strict_and_nonstrict(spark):
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = _events(
+        spark,
+        [
+            (1, ts("2024-01-01 10:00:00"), 1.0, "L1"),
+            (1, ts("2024-01-01 12:00:00"), 2.0, "L2"),
+            (2, ts("2024-01-01 10:30:00"), 3.0, "L3"),
+        ],
+    )
+    right = _events(
+        spark,
+        [
+            (1, ts("2024-01-01 09:00:00"), 10.0, "R1"),
+            (1, ts("2024-01-01 10:00:00"), 20.0, "R2"),  # equal-ts vs L1
+            (1, ts("2024-01-01 11:00:00"), 30.0, "R3"),
+            (2, ts("2024-01-01 11:00:00"), 40.0, "R4"),  # after L3
+        ],
+    )
+    strict = {
+        r["tag"]: r["asof_value"]
+        for r in asof_join(left, right, "user_id", value_cols=["value"]).collect()
+    }
+    # L1 at 10:00 must NOT see R2 at 10:00 (strict <)
+    assert strict == {"L1": 10.0, "L2": 30.0, "L3": None}
+    nonstrict = {
+        r["tag"]: r["asof_value"]
+        for r in asof_join(
+            left, right, "user_id", value_cols=["value"], strict=False
+        ).collect()
+    }
+    assert nonstrict == {"L1": 20.0, "L2": 30.0, "L3": None}
+
+
+def test_range_join_bucket_boundary(spark):
+    """Pairs straddling a bucket boundary are still found (the +1
+    neighbor bucket join)."""
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = _events(spark, [(1, ts("2024-01-01 10:04:59"), 0.0, "L")])
+    right = _events(
+        spark,
+        [
+            (1, ts("2024-01-01 10:05:01"), 1.0, "in-next-bucket"),
+            (1, ts("2024-01-01 10:09:58"), 2.0, "in-window-edge"),
+            (1, ts("2024-01-01 10:10:00"), 3.0, "outside"),
+            (1, ts("2024-01-01 10:04:00"), 4.0, "before"),
+        ],
+    )
+    out = range_join_bucketed(left, right, "user_id", window_seconds=300)
+    tags = sorted(r["r_tag"] for r in out.collect())
+    assert tags == ["in-next-bucket", "in-window-edge"]
+
+
+def test_minhash_recall_equals_exact(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in shingle_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact  # precision exact by construction; recall on this corpus
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10, exclude_id=0).collect()]
+    approx = [
+        r["vec_id"]
+        for r in lsh_bucketed_topk(emb, q, k=10, bits=6, probe_hamming=2)
+        .where(F.col("vec_id") != 0)
+        .collect()
+    ]
+    # approximate by design: this corpus has no tight clusters (max
+    # pairwise cosine ≈ 0.5), so sign-LSH recall is modest — require
+    # meaningful overlap, not equality
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", b"0123456789" * 300, {"w": "10"}),
+            (2, "video", "video/mp4", b"abcdef" * 1000, {}),
+            (3, "audio", "audio/wav", None, {}),
+        ],
+        "media_id long, kind string, mime string, payload binary, meta map<string,string>",
+    )
+    feats = {r["media_id"]: r.asDict() for r in extract_features(media, dim=4).collect()}
+    assert feats[1]["n_bytes"] == 3000 and len(feats[1]["feature"]) == 4
+    assert feats[3]["n_bytes"] == 0  # null payload tolerated
+    # deterministic: same payload → same sha/features
+    feats2 = {r["media_id"]: r.asDict() for r in extract_features(media, dim=4).collect()}
+    assert feats[2]["content_sha"] == feats2[2]["content_sha"]
+    assert feats[1]["feature"] == feats2[1]["feature"]
+
+    frames = frame_sample(media, every_n_bytes=1024).collect()
+    # only the video row explodes: 6000 bytes / 1024 → 6 frames
+    assert {r["media_id"] for r in frames} == {2}
+    assert len(frames) == 6
+
+
+def test_fuzzy_scorer_cutoffs():
+    assert fuzzy.match_name("Arjun Sharm", ["Arjun Sharma", "Bharat Rao"]) == "Arjun Sharma"
+    # below cutoff → cleaned raw name passthrough
+    assert fuzzy.match_name("  Zzz Qqq ", ["Arjun Sharma"]) == "Zzz Qqq"
+    assert fuzzy.match_name("N/A", ["Arjun Sharma"]) == "N/A"
+    assert fuzzy.match_name(None, ["Arjun Sharma"]) == "N/A"
+    tm = {"Alpha XI": ["A"], "Bravo XI": ["B"]}
+    assert fuzzy.team_choices("Alpha XI", tm, ["X"]) == ["A"]
+    assert fuzzy.team_choices("Alpha X1", tm, ["X"]) == ["A"]  # fuzzy team key
+    assert fuzzy.team_choices("Zeta FC", tm, ["X"]) == ["X"]  # no match → all
+    assert fuzzy.team_choices("N/A", tm, ["X"]) == ["X"]
+
+
+@pytest.mark.parametrize(
+    "a,b,hi",
+    [("alpha xi", "alpha xi", True), ("arjun sharma", "arjun sharm", True), ("abc", "xyz", False)],
+)
+def test_fuzzy_score_scale(a, b, hi):
+    s = fuzzy.score(a, b)
+    assert (s >= 75) == hi

@@ -1,0 +1,121 @@
+"""Property-based tests (SURVEY §5): invariants of the medallion plans
+over randomized ball sequences."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.plans import to_bronze, to_silver
+from aws_ipl_data_pipeline_spark.schemas import RAW_DELIVERIES
+from tests.fixtures_ipl import match_meta, players
+
+EVENTS = [
+    "no run", "1 run", "2 runs", "four", "six", "wide", "no ball",
+    "byes", "leg byes", "5 wides", "out Bowled !", "out Caught !",
+]
+
+_spark = None
+
+
+def _get_spark():
+    # hypothesis drives many examples; reuse one session (pytest fixture
+    # injection doesn't compose with @given)
+    global _spark
+    if _spark is None:
+        from aws_ipl_data_pipeline_spark.session import get_spark
+
+        _spark = get_spark(app_name="props", master="local[2]", shuffle_partitions=2)
+    return _spark
+
+
+@st.composite
+def ball_sequences(draw):
+    n_innings = draw(st.integers(1, 3))
+    seq = []
+    t = 0
+    for _ in range(n_innings):
+        n_balls = draw(st.integers(1, 8))
+        for b in range(n_balls):
+            t += 1
+            ev = draw(st.sampled_from(EVENTS))
+            # over 0, balls numbered 1..n (rebowls repeat the number
+            # naturally via the event type; keep the raw ball counter
+            # simple — innings boundaries need over=0 ball=1 fresh)
+            seq.append((0, b + 1, ev, t))
+    return seq
+
+
+def _raw_df(spark, seq):
+    rows = [
+        ("M1", "Apr 01", "7:30", "V", over, ball, "Bowler A", "Batter B", ev, "",
+         f"2026-04-01 19:{t // 60:02d}:{t % 60:02d}.000000")
+        for (over, ball, ev, t) in seq
+    ]
+    return spark.createDataFrame(rows, schema=RAW_DELIVERIES)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ball_sequences())
+def test_bronze_invariants(seq):
+    spark = _get_spark()
+    bronze = to_bronze(_raw_df(spark, seq)).orderBy("extract_time").collect()
+    assert len(bronze) > 0
+    # invariant 1: score is the prefix-sum of total_runs within innings
+    # invariant 2: fallen_wickets is the prefix-sum of wicket
+    # invariant 3: innings is non-decreasing in scrape order
+    run_sum: dict[int, int] = {}
+    wkt_sum: dict[int, int] = {}
+    prev_inn = 1
+    for r in bronze:
+        inn = r["innings"]
+        assert inn >= prev_inn
+        prev_inn = inn
+        run_sum[inn] = run_sum.get(inn, 0) + r["total_runs"]
+        wkt_sum[inn] = wkt_sum.get(inn, 0) + r["wicket"]
+        assert r["score"] == run_sum[inn], (r, run_sum)
+        assert r["fallen_wickets"] == wkt_sum[inn]
+        # invariant 4: total_runs = runs + extra_runs; flags consistent
+        assert r["total_runs"] == r["runs"] + r["extra_runs"]
+        assert (r["extra_type"] in ("wide", "no ball", "no-ball")) == (r["rebowl"] == 1)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ball_sequences())
+def test_bronze_dedupe_idempotent(seq):
+    """Processing the same scrape twice yields the same bronze (the
+    reference's re-run safety, ex_match_rb.py:183,207)."""
+    spark = _get_spark()
+    raw = _raw_df(spark, seq)
+    once = to_bronze(raw).orderBy("extract_time").collect()
+    twice = to_bronze(raw.unionByName(raw)).orderBy("extract_time").collect()
+    assert once == twice
+
+
+def test_silver_stable_under_repartition():
+    """Silver output is independent of input partitioning (the ordering
+    contract actually holds)."""
+    spark = _get_spark()
+    from tests.fixtures_ipl import raw_deliveries
+
+    raw = raw_deliveries(spark)
+    meta, plyr = match_meta(spark), players(spark)
+    a = to_silver(to_bronze(raw), meta, plyr)
+    b = to_silver(to_bronze(raw.repartition(7)), meta, plyr)
+    cols = sorted(a.columns)
+    ka = sorted(tuple(r) for r in a.select(*cols).collect())
+    kb = sorted(tuple(r) for r in b.select(*cols).collect())
+    assert ka == kb
+
+
+def test_standings_points_property():
+    """points = 2·won + tied_nr for every team (reference :262)."""
+    spark = _get_spark()
+    from aws_ipl_data_pipeline_spark.plans import tournament_standings
+    from tests.fixtures_ipl import raw_deliveries
+
+    silver = to_silver(to_bronze(raw_deliveries(spark)), match_meta(spark), players(spark))
+    st_df = tournament_standings(silver)
+    bad = st_df.where(F.col("points") != F.col("won") * 2 + F.col("tied_nr")).count()
+    assert bad == 0
