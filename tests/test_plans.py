@@ -1,0 +1,84 @@
+"""Plan-quality gates (the 100 TB design checks, SURVEY §4): these
+assert the *physical plan shape*, not results — a regression here is a
+scale bug even when answers stay correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_flagship_is_broadcast_and_topk(spark):
+    p = formatted_plan(spark, "top_customers_by_revenue")
+    assert "SortMergeJoin" not in p  # dims broadcast; fact never shuffles to join
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p  # top-k, not a full sort
+
+
+def test_flagship_column_pruning(spark):
+    p = formatted_plan(spark, "top_customers_by_revenue")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    li = next(s for s in schemas if "l_orderkey" in s)
+    # 11-column lineitem pruned to exactly the 3 used
+    assert sorted(c.split(":")[0] for c in li.split(",")) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_orderkey",
+    ]
+
+
+def test_q1_filter_pushdown(spark):
+    p = formatted_plan(spark, "q1_pricing_summary")
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", p)
+    # partial (map-side) + final aggregation
+    assert p.count("HashAggregate") >= 2
+
+
+def test_pattern_predicates_pushed(spark):
+    p = formatted_plan(spark, "filter_pattern")
+    assert "StringContains(p_name,gear)" in p
+    assert "StringStartsWith(p_name,red)" in p
+
+
+def test_range_join_is_not_nested_loop(spark):
+    """The bucketed rewrite must keep the inequality join an equi-join —
+    BroadcastNestedLoopJoin here would be quadratic at scale."""
+    p = formatted_plan(spark, "range_join_events")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dim_joins_broadcast(spark):
+    for q in ("broadcast_dim_revenue", "renamed_key_join", "standings_points"):
+        p = formatted_plan(spark, q)
+        assert "BroadcastHashJoin" in p, q
+
+
+def test_no_python_udf_in_relational_core(spark):
+    """Everything except the fuzzy/multimodal operators must stay
+    JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
+    python_ok = {"fuzzy_name_match", "multimodal_features"}
+    for name in REGISTRY:
+        if name in python_ok:
+            continue
+        p = formatted_plan(spark, name)
+        assert "EvalPython" not in p, f"{name} fell off the JVM fast path"
+
+
+@pytest.mark.slow
+def test_entry_runs_on_vanilla_session(spark):
+    import __spark_entry__ as E
+
+    assert len(E.entry(spark).collect()) == 10
+    assert set(E.oracle_sql()) <= set(E.queries())
