@@ -1361,3 +1361,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select(
         "media_id", "kind", "n_bytes", "content_sha"
     )
+
+
+# register the IPL-medallion VALUES-fixture queries (bottom import: the
+# module needs `register`, defined above, at its import time)
+from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
