@@ -16,8 +16,19 @@ from pyspark.sql import types as T
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = True
 ) -> DataFrame:
-    """S1: CSV scan (reference pd.read_csv, ex_match_rb.py:173-175)."""
-    return spark.read.schema(schema).option("header", header).csv(path)
+    """S1: CSV scan (reference pd.read_csv, ex_match_rb.py:173-175).
+
+    nullValue is set to the non-colliding sentinel ``\\N`` so the quoted
+    empty string Spark's CSV sink emits (``""``) reads back as '' rather
+    than NULL; unquoted empty fields still read as NULL. With the default
+    (nullValue=""), both collapse to NULL and write→read is lossy.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

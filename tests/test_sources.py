@@ -1,0 +1,94 @@
+"""Sources (SURVEY §2.1): schema-enforced readers, JSONL/CSV round
+trips, partition-predicate overwrite semantics, file provenance."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.schemas import MATCH_META, PLAYERS, RAW_DELIVERIES
+from aws_ipl_data_pipeline_spark.sources import (
+    read_csv,
+    read_json_object,
+    read_jsonl,
+    write_jsonl,
+    write_partitioned,
+)
+from aws_ipl_data_pipeline_spark.sources.readers import with_source_file
+from tests.fixtures_ipl import META_ROWS, PLAYERS_ROWS, raw_deliveries
+
+
+def test_csv_round_trip_with_schema(spark, tmp_path):
+    """S1/S8: header CSV writes and schema-enforced reads are lossless."""
+    raw = raw_deliveries(spark)
+    path = str(tmp_path / "raw_csv")
+    raw.write.option("header", True).mode("overwrite").csv(path)
+    back = read_csv(spark, path, RAW_DELIVERIES)
+    assert back.schema == RAW_DELIVERIES
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, raw.collect()))
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """S2/S9: bronze-style JSONL (one record per line)."""
+    players = spark.createDataFrame(
+        [(n, t, "India", "Batter", False, None, None, None) for n, t in PLAYERS_ROWS],
+        schema=PLAYERS,
+    )
+    path = str(tmp_path / "players_jsonl")
+    write_jsonl(players, path)
+    back = read_jsonl(spark, path, PLAYERS)
+    assert back.count() == len(PLAYERS_ROWS)
+    assert {r["Name"] for r in back.collect()} == {n for n, _ in PLAYERS_ROWS}
+
+
+def test_json_object_scan(spark, tmp_path):
+    """S3/S4: single-object (non-lines) JSON meta file."""
+    meta = dict(
+        zip(
+            [f.name for f in MATCH_META.fields],
+            META_ROWS[0],
+        )
+    )
+    p = tmp_path / "meta" / "m1_meta.json"
+    os.makedirs(p.parent, exist_ok=True)
+    p.write_text(json.dumps(meta, indent=2))
+    df = read_json_object(spark, str(p.parent), MATCH_META)
+    [row] = df.collect()
+    assert row["short_name"] == "01_AAvsBB" and row["toss_decision"] == "bat"
+
+
+def test_partition_predicate_overwrite(spark, tmp_path):
+    """S6: rewriting one match's partitions leaves other matches'
+    rows byte-identical (the replaceWhere contract on parquet dynamic
+    overwrite)."""
+    path = str(tmp_path / "silver_like")
+    df = spark.createDataFrame(
+        [("M1", 1, 10), ("M1", 2, 20), ("M2", 1, 30)],
+        "match string, innings int, score int",
+    )
+    write_partitioned(df, path, ["match", "innings"])
+    update = spark.createDataFrame([("M1", 1, 99)], "match string, innings int, score int")
+    write_partitioned(
+        update, path, ["match", "innings"], replace_where="match = 'M1'"
+    )
+    got = {
+        (r["match"], r["innings"]): r["score"]
+        for r in spark.read.parquet(path).collect()
+    }
+    # M1/innings=1 replaced; M2 untouched. (Dynamic overwrite only
+    # touches partitions present in the written frame.)
+    assert got[("M1", 1)] == 99 and got[("M2", 1)] == 30
+
+
+def test_input_file_provenance(spark, tmp_path):
+    """S10/P6: match id from the source path (reference derives it from
+    the S3 key, ex_match_rb.py:170)."""
+    raw = raw_deliveries(spark).where(F.col("match") == "01_AAvsBB")
+    path = str(tmp_path / "files" / "01_AAvsBB")
+    raw.coalesce(1).write.option("header", True).mode("overwrite").csv(path)
+    back = with_source_file(read_csv(spark, path, RAW_DELIVERIES))
+    match_from_path = F.element_at(F.split(F.col("source_file"), "/"), -2)
+    [r] = back.select(match_from_path.alias("m")).distinct().collect()
+    assert r["m"] == "01_AAvsBB"
