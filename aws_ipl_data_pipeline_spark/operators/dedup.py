@@ -127,12 +127,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document from a (_id, shingle) frame.
 
-    Hash family: xxhash64(i || shingle) for i in 0..k-1 — deterministic,
-    JVM-side, no Python. Returns (_id, sig array<long>[k])."""
+    Hash family: xxhash64(seed+i, shingle) for i in 0..k-1 — xxhash64 is
+    variadic, so the family index is a second hashed column rather than
+    a per-row string concat (k concat allocations/row saved).
+    Deterministic, JVM-side, no Python. Returns (_id, sig array<long>[k])."""
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{seed}:{i}:"), F.col("shingle")))).alias(
-            f"_h{i}"
-        )
+        F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("_id").agg(*mins)
@@ -150,6 +150,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding + exact verification.
 
@@ -157,9 +158,19 @@ def minhash_lsh_pairs(
     ≈ (1/16)^(1/4) ≈ 0.5 jaccard; candidates are then verified with the
     exact shingle jaccard, so precision is exact and only recall depends
     on the banding. Returns (id_a, id_b, jaccard).
+
+    The shingle frame feeds three consumers (signatures, per-doc sizes,
+    candidate verification); ``persist_shingles`` caches it so the
+    explode+dedupe shuffle runs once per action instead of three times.
+    Measured OFF-by-default: on corpora where shingling is
+    codegen-cheap, materializing the wide string column costs more than
+    recomputing it — turn on only when the source scan itself is the
+    dominant cost (e.g. remote object storage).
     """
     rows_per_band = num_hashes // bands
     sh = word_shingles(docs, id_col, text_col, n)
+    if persist_shingles:
+        sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes, seed)
 
     band_structs = F.array(
