@@ -10,6 +10,12 @@
   optionally neighboring buckets by Hamming distance ≤ 1). At 100 TB
   the scan touches ~1/2^bits of the data; recall is tunable via
   bits/probes. Deterministic hyperplanes from a seeded generator.
+* ivf_topk — inverted-file (IVF) variant: every vector is assigned to
+  its nearest of ``n_cells`` centroid cells at index time; a query
+  probes only the ``n_probe`` nearest cells. At scale the assignment is
+  one pass (n_cells JVM-side dots per row) and the cell id is the
+  natural partition/cluster key for the stored index, so a probe is a
+  partition-pruned scan of n_probe/n_cells of the data.
 * pairwise cosine (dedup.embedding_cosine_pairs) covers the join-shaped
   variant.
 """
@@ -118,3 +124,78 @@ def lsh_bucketed_topk(
     bucketed = add_lsh_bucket(emb, planes, vec_col)
     candidates = bucketed.where(F.col("bucket").isin(list(probes)))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def _unit(vec: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in vec)) or 1.0
+    return [x / n for x in vec]
+
+
+def select_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic centroid sample: the ``n_cells`` rows with the
+    smallest ``xxhash64(seed, id)`` — a uniform pseudo-random draw that
+    is stable across runs/partitionings. The collect is n_cells rows
+    (the one legitimate driver-side step of IVF index build; a k-means
+    refinement would slot in here without changing the query path).
+    Returns unit-normalized centroid vectors."""
+    rows = (
+        emb.select(F.col(vec_col).alias("_v"), F.xxhash64(F.lit(seed), id_col).alias("_h"))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    return [_unit([float(x) for x in r["_v"]]) for r in rows]
+
+
+def add_ivf_cell(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector its nearest-centroid cell id (0-based).
+
+    Cosine argmax over unit centroids = plain dot argmax, so the row
+    norm divides out and assignment is ``n_cells`` codegen dots — no
+    shuffle, no Python. ``array_position`` compares the exact computed
+    double, so the argmax is well-defined (first max wins ties)."""
+    v = _as_double_vec(vec_col)
+    dots = F.array(
+        *[_dot(v, F.array(*[F.lit(x) for x in c])) for c in centroids]
+    )
+    return df.withColumn(
+        cell_col, (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF cell probing: scan only the ``n_probe``
+    cells whose centroids are nearest the query. Recall is tunable via
+    n_probe/n_cells; at n_probe == n_cells this degrades gracefully to
+    the exact scan."""
+    centroids = select_centroids(emb, n_cells, id_col, vec_col, seed)
+    uq = _unit([float(x) for x in query_vec])
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda i: -sum(a * b for a, b in zip(uq, centroids[i])),
+    )
+    probes = scored[: min(n_probe, len(scored))]
+    celled = add_ivf_cell(emb, centroids, vec_col)
+    candidates = celled.where(F.col("cell").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_id)

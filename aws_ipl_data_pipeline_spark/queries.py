@@ -1363,6 +1363,219 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation: rollup / cube / pivot (SQL-surface
+# extensions beyond the reference; Athena/ANSI standard)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (flag, status) → (flag) → grand total.
+    DuckDB's GROUPING bitmask matches Spark's grouping_id (leftmost
+    column = MSB), so gid hashes identically."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+@register(
+    "cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           round(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one pass (Spark
+    Expand operator — one scan, no per-set rescans)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+@register(
+    "pivot_status_qty",
+    """
+    SELECT l_returnflag,
+           round(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE), 2) AS "F",
+           round(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE), 2) AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on an explicit value list (['F','O']) — explicit values
+    keep the output schema static so the plan needs no pre-pass distinct
+    scan (the two-arg pivot would trigger one)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity").cast("double"), 2))
+    )
+
+
+@register(
+    "explode_token_counts",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+    """,
+)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface: explode(split(text)) → token frequency
+    top-50. Explode stays inside whole-stage codegen; the count is
+    map-side combined before the single shuffle."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(normalized_text("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "percentiles_by_segment",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+           round(quantile_cont(c_acctbal, 0.99), 4) AS p99
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ≡
+    DuckDB quantile_cont). At 100 TB swap to approx_percentile — the
+    t-digest sketch is mergeable so it map-side combines; the exact
+    form must materialize every group's values on one reducer."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", 0.5), 4).alias("p50"),
+        F.round(F.percentile("c_acctbal", 0.9), 4).alias("p90"),
+        F.round(F.percentile("c_acctbal", 0.99), 4).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: EXCEPT / INTERSECT (SURVEY §2.6 — free in Spark,
+# exposed for the SQL surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "except_customers",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT CAST(c_custkey AS BIGINT) FROM customer WHERE c_acctbal < 1000
+    """,
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — BUILDING-segment customers minus low-balance
+    ones. Spark plans this as a left-anti hash aggregate."""
+    c = t(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").cast("long")
+    )
+    low = c.where(F.col("c_acctbal") < 1000).select(F.col("c_custkey").cast("long"))
+    return building.exceptAll(low).distinct()
+
+
+@register(
+    "intersect_customers",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+    INTERSECT
+    SELECT CAST(o_custkey AS BIGINT) FROM orders
+    """,
+)
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — segment customers who actually ordered."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    seg = c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select(
+        F.col("c_custkey").cast("long")
+    )
+    return seg.intersect(o.select(F.col("o_custkey").cast("long").alias("c_custkey")))
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation (scale path; no reference analogue)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           round(SUM(value), 2) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — result is identical to the plain
+    groupBy (the oracle IS the plain GROUP BY), but a hot event_type
+    fans out over 8 salt buckets before the final per-key combine."""
+    from aws_ipl_data_pipeline_spark.operators.skew import salted_aggregate
+
+    e = t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {"total_value": F.col("value"), "n_events": F.lit(1)},
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_type",
+        F.round("total_value", 2).alias("total_value"),
+        F.col("n_events").cast("long"),
+    )
+
+
+@register("ann_ivf_topk")  # rows-only: approximate by design
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-probed approximate top-10 — the clustered-index scale
+    path (scan n_probe/n_cells of the table; cell id doubles as the
+    storage partition key)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_cells=16, n_probe=4, exclude_id=0
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
