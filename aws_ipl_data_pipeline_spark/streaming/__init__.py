@@ -2,3 +2,6 @@ from aws_ipl_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     run_incremental_pipeline,
     windowed_event_counts,
 )
+from aws_ipl_data_pipeline_spark.streaming.stateful import (  # noqa: F401
+    running_totals_stateful,
+)

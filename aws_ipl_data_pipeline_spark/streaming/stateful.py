@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference's only stateful computation is the sequential innings
+fold (pipeline_2026/ex_match_rb.py:127-154) — order-dependent running
+score per (match, innings). In batch that lowers to window functions
+(plans/bronze.py); in a true per-event stream the running totals need
+keyed state that survives micro-batches. This module is that scale
+path: Arrow-batched pandas state functions, one state row per key,
+state size O(keys) not O(events).
+
+Output mode is "update": each micro-batch emits one refreshed row per
+key seen in that batch. Downstream sinks treat it as an upsert keyed on
+the group columns (memory/Delta-merge sinks; append sinks would need
+watermark-closed finals instead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("total", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+
+
+def running_totals_stateful(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Per-key running (sum, count) across micro-batches.
+
+    Works on a streaming DataFrame (state persisted in the checkpoint)
+    and, because applyInPandasWithState also accepts batch frames in
+    Spark 4, on a batch frame as a one-shot fold. Emits
+    (key, total_value, n_events) per key per batch.
+    """
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            total, n = state.get
+        else:
+            total, n = 0.0, 0
+        for pdf in pdfs:
+            total += float(pdf[value_col].fillna(0.0).sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"key": [key[0]], "total_value": [total], "n_events": [n]}
+        )
+
+    return (
+        events.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

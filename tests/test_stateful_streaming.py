@@ -1,0 +1,79 @@
+"""applyInPandasWithState: keyed state survives micro-batch boundaries
+and the final totals equal the batch aggregate."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.streaming import running_totals_stateful
+
+ROWS = [
+    # (user_id, value) spread over two files → two micro-batches
+    [(1, 1.5), (1, 2.5), (2, 10.0), (3, -1.0)],
+    [(1, 6.0), (2, 0.25), (4, 7.0)],
+]
+
+SCHEMA = "user_id long, value double"
+
+
+def _write_batch(dirname: str, i: int, rows) -> None:
+    os.makedirs(dirname, exist_ok=True)
+    with open(f"{dirname}/b{i}.json", "w") as f:
+        for u, v in rows:
+            f.write(json.dumps({"user_id": u, "value": v}) + "\n")
+
+
+@pytest.mark.slow
+def test_stateful_totals_across_microbatches(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stateful"))
+    src = f"{base}/src"
+    for i, rows in enumerate(ROWS):
+        _write_batch(src, i, rows)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .json(src)
+    )
+    q = (
+        running_totals_stateful(stream, "user_id", "value")
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # update mode appends one refreshed row per key per batch; the row
+    # with the max n_events per key is the final state (n is monotonic)
+    out = spark.table("totals")
+    final = {
+        r["key"]: (r["total_value"], r["n_events"])
+        for r in out.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(F.desc("n_events"))
+            ),
+        )
+        .where("_rk = 1")
+        .collect()
+    }
+    flat = [(u, v) for batch in ROWS for u, v in batch]
+    expect = {}
+    for u, v in flat:
+        tot, n = expect.get(u, (0.0, 0))
+        expect[u] = (tot + v, n + 1)
+    assert {k: (round(v[0], 9), v[1]) for k, v in final.items()} == {
+        k: (round(v[0], 9), v[1]) for k, v in expect.items()
+    }
+    # user 1 appears in both batches → state genuinely crossed batches
+    assert final[1][1] == 3
+    # and the memory sink saw user 1 twice (once per micro-batch)
+    assert out.where("key = 1").count() == 2
