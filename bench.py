@@ -30,7 +30,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
+    "rollup_pricing",
+    "percentiles_by_segment",
+    "explode_token_counts",
+    "skew_salted_agg",
 ]
 
 
