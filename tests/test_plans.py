@@ -76,6 +76,50 @@ def test_no_python_udf_in_relational_core(spark):
         assert "EvalPython" not in p, f"{name} fell off the JVM fast path"
 
 
+def _nodes(p: str, kind: str) -> int:
+    """Count physical nodes of a kind: formatted explain prints each
+    node twice (tree + detail) — the '(<id>) <Kind>' detail lines count
+    each node exactly once."""
+    return len(re.findall(rf"\(\d+\) {kind}", p))
+
+
+def test_grouping_sets_single_scan(spark):
+    """ROLLUP/CUBE must be one scan + Expand, not one rescan per
+    grouping set (2^k scans at scale)."""
+    for q in ("rollup_pricing", "cube_pricing"):
+        p = formatted_plan(spark, q)
+        assert "Expand" in p, q
+        assert _nodes(p, "Scan parquet") == 1, q
+
+
+def test_pivot_static_schema_single_scan(spark):
+    """Explicit pivot values → no eager distinct pre-scan; one pass."""
+    p = formatted_plan(spark, "pivot_status_qty")
+    assert _nodes(p, "Scan parquet") == 1
+
+
+def test_salted_agg_two_exchanges(spark):
+    """Two-phase salted aggregation is exactly two shuffles: (key,salt)
+    partial then key final — more means the rewrite regressed."""
+    p = formatted_plan(spark, "skew_salted_agg")
+    assert _nodes(p, "Exchange") == 2
+
+
+def test_set_ops_stay_hash_based(spark):
+    for q in ("except_customers", "intersect_customers"):
+        p = formatted_plan(spark, q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+
+
+def test_percentile_partial_aggregation(spark):
+    """Exact percentile still map-side combines its collection buffer:
+    partial + final HashAggregate pair around a single exchange."""
+    p = formatted_plan(spark, "percentiles_by_segment")
+    assert _nodes(p, "Exchange") == 1
+    assert "partial_percentile" in p
+
+
 @pytest.mark.slow
 def test_entry_runs_on_vanilla_session(spark):
     import __spark_entry__ as E
