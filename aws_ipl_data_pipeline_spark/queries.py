@@ -1563,6 +1563,35 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column: get_json_object path extraction
+    (JVM-side, codegen) + predicate + agg. The scale note: for hot
+    paths parse ONCE with from_json to a typed struct column rather
+    than re-extracting per expression."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
 @register("ann_ivf_topk")  # rows-only: approximate by design
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell-probed approximate top-10 — the clustered-index scale

@@ -1,0 +1,76 @@
+"""ST6: the watermark-windowed aggregation produces identical windows
+whether driven as a stream (file micro-batches) or as one batch."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from aws_ipl_data_pipeline_spark.streaming import windowed_event_counts
+
+SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+
+ROWS = [
+    # two hourly windows; second file delivers late-but-in-watermark rows
+    [
+        (1, "2024-03-01 10:05:00", "click", 1.0),
+        (2, "2024-03-01 10:55:00", "click", 2.0),
+        (3, "2024-03-01 11:10:00", "view", 4.0),
+    ],
+    [
+        (4, "2024-03-01 11:40:00", "click", 8.0),
+        (5, "2024-03-01 10:20:00", "view", 16.0),  # late for 10:00 window
+    ],
+]
+
+
+def _write(dirname: str, i: int, rows) -> None:
+    os.makedirs(dirname, exist_ok=True)
+    with open(f"{dirname}/f{i}.json", "w") as f:
+        for e, ts, ty, v in rows:
+            f.write(
+                json.dumps({"event_id": e, "ts": ts, "event_type": ty, "value": v})
+                + "\n"
+            )
+
+
+@pytest.mark.slow
+def test_windowed_counts_stream_equals_batch(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("winstream"))
+    src = f"{base}/src"
+    for i, rows in enumerate(ROWS):
+        _write(src, i, rows)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from datetime import datetime
+
+    batch_df = spark.createDataFrame(
+        [
+            (e, datetime.fromisoformat(ts), ty, v)
+            for rows in ROWS
+            for e, ts, ty, v in rows
+        ],
+        SCHEMA,
+    )
+    batch = windowed_event_counts(batch_df, window="1 hour", watermark="2 hours")
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    streamed = spark.table("win_counts")
+    assert canon(streamed) == canon(batch)
+    # the late row landed in its event-time window, not arrival order
+    ten_view = [r for r in streamed.collect() if r["event_type"] == "view" and r["start"].hour == 10]
+    assert len(ten_view) == 1 and ten_view[0]["n"] == 1 and ten_view[0]["total_value"] == 16.0
