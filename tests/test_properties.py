@@ -119,3 +119,71 @@ def test_standings_points_property():
     st_df = tournament_standings(silver)
     bad = st_df.where(F.col("points") != F.col("won") * 2 + F.col("tied_nr")).count()
     assert bad == 0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key (few keys → guaranteed collisions)
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 16),  # salt buckets
+)
+def test_salted_aggregate_invariant(rows, buckets):
+    """salted_aggregate ≡ plain groupBy for any distribution and any
+    bucket count (sums compared exactly: both sides sum the same float32
+    inputs as float64; counts exact)."""
+    spark = _get_spark()
+    from aws_ipl_data_pipeline_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k long, v double"
+    )
+    plain = {
+        r["k"]: (round(r["s"], 6), r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    salted = {
+        r["k"]: (round(r["s"], 6), r["n"])
+        for r in salted_aggregate(
+            df, ["k"], {"s": F.col("v"), "n": F.lit(1)}, salt_buckets=buckets
+        ).collect()
+    }
+    assert salted == plain
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]), st.integers(0, 100)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_rollup_hierarchy_consistency(rows):
+    """ROLLUP invariant: each level's subtotals sum to the grand total,
+    and the grand-total row equals the whole-frame aggregate."""
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows] or [(None, None)], "k string, v long"
+    )
+    out = df.rollup("k").agg(
+        F.grouping_id().alias("gid"),
+        F.coalesce(F.sum("v"), F.lit(0)).alias("s"),
+    ).collect()
+    grand = [r for r in out if r["gid"] == 1]
+    leaves = [r for r in out if r["gid"] == 0]
+    assert len(grand) == 1
+    assert sum(r["s"] for r in leaves) == grand[0]["s"]
