@@ -1592,6 +1592,60 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "training_data_prep",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, lang, source, string_split({_NORM_SQL}, ' ') AS tk
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, lang, source,
+             len(tk) AS n_tokens,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             len(list_filter(tk, x -> x IN ('the','a','and','of','to','is','in'))) AS n_stop,
+             length(text) AS n_chars
+      FROM toks
+    ), kept AS (
+      SELECT * FROM m
+      WHERE n_tokens BETWEEN 20 AND 10000
+        AND n_punct * 1.0 / greatest(n_chars, 1) < 0.2
+        AND n_stop * 1.0 / greatest(n_tokens, 1) >= 0.01
+    ), canon AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id
+      ) AS rk
+      FROM kept
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM canon WHERE rk = 1
+    GROUP BY lang, source
+    """,
+)
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the training-data prep pipeline end-to-end —
+    quality gate → exact content dedup (min-id canonical) → corpus
+    stats per (lang, source). One scan feeds the quality metrics, the
+    dedupe key is a 16-byte digest (the only wide shuffle), and the
+    final agg is map-side combinable. At 100 TB the near-dup pass
+    (minhash_lsh_pairs) slots in between dedup and stats."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.text import quality_scores
+
+    docs = t(spark, sf_dir, "documents")
+    q = quality_scores(docs).where(F.col("quality_pass") == 1).select(
+        "doc_id", "n_tokens"
+    )
+    kept = docs.join(q, "doc_id")
+    w = Window.partitionBy(F.md5(normalized_text("text"))).orderBy("doc_id")
+    canon = kept.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return canon.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 @register("ann_ivf_topk")  # rows-only: approximate by design
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell-probed approximate top-10 — the clustered-index scale

@@ -36,6 +36,7 @@ HEADLINE = [
     "percentiles_by_segment",
     "explode_token_counts",
     "skew_salted_agg",
+    "training_data_prep",
 ]
 
 
