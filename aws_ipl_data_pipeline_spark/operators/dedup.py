@@ -159,38 +159,48 @@ def minhash_lsh_pairs(
     exact shingle jaccard, so precision is exact and only recall depends
     on the banding. Returns (id_a, id_b, jaccard).
 
-    The shingle frame feeds three consumers (signatures, per-doc sizes,
-    candidate verification); ``persist_shingles`` caches it so the
-    explode+dedupe shuffle runs once per action instead of three times.
-    Measured OFF-by-default: on corpora where shingling is
-    codegen-cheap, materializing the wide string column costs more than
-    recomputing it — turn on only when the source scan itself is the
-    dominant cost (e.g. remote object storage).
+    Single-pass shingle design: one aggregation per document computes
+    the k min-hashes, the distinct-shingle count AND the shingle set —
+    every downstream branch (banding, verification) reuses that one
+    shuffle (identical exchange subtrees → Spark's ReuseExchange), so
+    the explode+dedupe over the corpus runs once instead of four times.
+    Verification intersects the carried shingle sets per candidate
+    pair (array_intersect) — cost scales with candidates, and the sets
+    ride only into the (small) candidate join, never through the band
+    explode. For corpora with multi-MB documents, cap document size
+    upstream or shard the verification join.
+
+    ``persist_shingles`` additionally caches the exploded shingle frame;
+    measured OFF-by-default — with the single-pass design there is only
+    one consumer, so the cache is pure overhead unless the source scan
+    itself dominates (e.g. remote object storage).
     """
     rows_per_band = num_hashes // bands
     sh = word_shingles(docs, id_col, text_col, n)
     if persist_shingles:
         sh = sh.persist()
-    sig = minhash_signatures(sh, num_hashes, seed)
+    mins = [
+        F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("_id").agg(
+        *mins,
+        F.count("*").alias("_n"),
+        F.collect_set("shingle").alias("_set"),
+    )
 
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("sig")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                    *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("bucket"),
             )
             for b in range(bands)
         ]
     )
-    banded = sig.select("_id", F.explode(band_structs).alias("bb")).select(
+    banded = agg.select("_id", F.explode(band_structs).alias("bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     ca = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
@@ -202,19 +212,17 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
 
-    # exact verification on candidates only
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
-    common = (
-        candidates.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_common"))
+    # exact verification on candidates only: set intersection per pair
+    va = agg.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), F.col("_set").alias("_sa")
+    )
+    vb = agg.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), F.col("_set").alias("_sb")
     )
     return (
-        common.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), "id_b")
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
