@@ -284,3 +284,238 @@ def ipl_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs_against",
         "overs_against",
     )
+
+
+# delivery-grain silver fixture for the player gold tables:
+# (match, batsman, bowler, out_batsman, runs, total_runs,
+#  is_legal_delivery, is_four, is_six, is_dot_ball, wicket)
+# exercises: 'N/A' sentinel exclusion (batsman/bowler/out_batsman),
+# run-out attribution (out_batsman != striker), never-out batsman
+# (times_out=0 → reference divides by 1, not null), wides (legal=0).
+PLAYER_ROWS = [
+    ("M1", "Asha", "Xavi", "N/A", 4, 4, 1, 1, 0, 0, 0),
+    ("M1", "Asha", "Xavi", "N/A", 6, 6, 1, 0, 1, 0, 0),
+    ("M1", "Asha", "Xavi", "Asha", 0, 0, 1, 0, 0, 1, 1),
+    ("M1", "Bela", "Yusu", "N/A", 1, 1, 1, 0, 0, 0, 0),
+    ("M1", "Bela", "Yusu", "N/A", 0, 1, 0, 0, 0, 0, 0),
+    ("M1", "N/A", "Xavi", "N/A", 0, 0, 1, 0, 0, 1, 0),
+    ("M2", "Asha", "Yusu", "N/A", 2, 2, 1, 0, 0, 0, 0),
+    ("M2", "Chand", "Xavi", "Bela", 1, 1, 1, 0, 0, 0, 1),
+    ("M2", "Chand", "N/A", "N/A", 4, 4, 1, 1, 0, 0, 0),
+    ("M2", "Bela", "Xavi", "N/A", 0, 0, 1, 0, 0, 1, 0),
+]
+
+
+def _player_values_sql() -> str:
+    rows = ",\n      ".join(
+        f"('{m}', '{bt}', '{bw}', '{ob}', {r}, {tr}, {lg}, {f4}, {s6}, {dt}, {wk})"
+        for (m, bt, bw, ob, r, tr, lg, f4, s6, dt, wk) in PLAYER_ROWS
+    )
+    return (
+        f"(VALUES\n      {rows}\n    ) AS s(match, batsman, bowler, out_batsman,"
+        " runs, total_runs, is_legal_delivery, is_four, is_six, is_dot_ball, wicket)"
+    )
+
+
+def _player_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        PLAYER_ROWS,
+        "match string, batsman string, bowler string, out_batsman string, "
+        "runs int, total_runs int, is_legal_delivery int, is_four int, "
+        "is_six int, is_dot_ball int, wicket int",
+    )
+
+
+@register(
+    "ipl_batsman_stats",
+    f"""
+    WITH silver AS (SELECT * FROM {_player_values_sql()}),
+    bat AS (SELECT * FROM silver WHERE batsman IS NOT NULL AND batsman <> 'N/A'),
+    highest AS (
+      SELECT batsman, MAX(mr) AS highest_score FROM (
+        SELECT batsman, match, SUM(runs) AS mr FROM bat GROUP BY 1, 2
+      ) GROUP BY batsman
+    ),
+    stats AS (
+      SELECT batsman, COUNT(DISTINCT match) AS matches, SUM(runs) AS total_runs,
+             SUM(is_legal_delivery) AS legal_balls, SUM(is_four) AS fours,
+             SUM(is_six) AS sixes, SUM(is_dot_ball) AS dot_balls
+      FROM bat GROUP BY batsman
+    ),
+    outs AS (
+      SELECT out_batsman AS batsman, COUNT(*) AS times_out FROM silver
+      WHERE out_batsman IS NOT NULL AND out_batsman <> 'N/A' GROUP BY 1
+    )
+    SELECT s.batsman, CAST(s.matches AS BIGINT) AS matches,
+           CAST(s.total_runs AS BIGINT) AS total_runs,
+           CAST(s.legal_balls AS BIGINT) AS legal_balls,
+           CAST(s.fours AS BIGINT) AS fours, CAST(s.sixes AS BIGINT) AS sixes,
+           CAST(s.dot_balls AS BIGINT) AS dot_balls,
+           CAST(h.highest_score AS BIGINT) AS highest_score,
+           CAST(COALESCE(o.times_out, 0) AS BIGINT) AS times_out,
+           round(s.total_runs * 100.0 / (CASE WHEN s.legal_balls = 0 THEN 1 ELSE s.legal_balls END), 2) AS strike_rate,
+           round(s.total_runs * 1.0 / (CASE WHEN COALESCE(o.times_out, 0) = 0 THEN 1 ELSE o.times_out END), 2) AS batting_avg,
+           round(s.dot_balls * 100.0 / (CASE WHEN s.legal_balls = 0 THEN 1 ELSE s.legal_balls END), 2) AS dot_ball_pct
+    FROM stats s
+    LEFT JOIN highest h ON h.batsman = s.batsman
+    LEFT JOIN outs o ON o.batsman = s.batsman
+    """,
+)
+def ipl_batsman_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3/J1/J2/F2: the real gold_batsman_stats plan (reference
+    ex_match_sg.py:121-148) on a delivery-grain fixture vs an
+    independent SQL derivation — incl. the full-table times_out scan
+    and the divide-by-1-when-zero parity quirk."""
+    from aws_ipl_data_pipeline_spark.plans.gold import batsman_stats
+
+    tune_session(spark)
+    out = batsman_stats(_player_df(spark))
+    return out.select(
+        "batsman",
+        F.col("matches").cast("long"),
+        F.col("total_runs").cast("long"),
+        F.col("legal_balls").cast("long"),
+        F.col("fours").cast("long"),
+        F.col("sixes").cast("long"),
+        F.col("dot_balls").cast("long"),
+        F.col("highest_score").cast("long"),
+        F.col("times_out").cast("long"),
+        "strike_rate",
+        "batting_avg",
+        "dot_ball_pct",
+    )
+
+
+@register(
+    "ipl_bowler_stats",
+    f"""
+    WITH silver AS (SELECT * FROM {_player_values_sql()}),
+    bowl AS (SELECT * FROM silver WHERE bowler IS NOT NULL AND bowler <> 'N/A'),
+    stats AS (
+      SELECT bowler, COUNT(DISTINCT match) AS matches,
+             SUM(total_runs) AS total_runs_conceded,
+             SUM(is_legal_delivery) AS legal_balls, SUM(wicket) AS wickets,
+             SUM(is_dot_ball) AS dot_balls, SUM(is_four) AS fours_conceded,
+             SUM(is_six) AS sixes_conceded
+      FROM bowl GROUP BY bowler
+    )
+    SELECT bowler, CAST(matches AS BIGINT) AS matches,
+           CAST(total_runs_conceded AS BIGINT) AS total_runs_conceded,
+           CAST(legal_balls AS BIGINT) AS legal_balls,
+           CAST(wickets AS BIGINT) AS wickets,
+           CAST(dot_balls AS BIGINT) AS dot_balls,
+           CAST(fours_conceded AS BIGINT) AS fours_conceded,
+           CAST(sixes_conceded AS BIGINT) AS sixes_conceded,
+           CAST(floor(legal_balls / 6) + (legal_balls % 6) / 10.0 AS DOUBLE) AS overs_bowled,
+           round(total_runs_conceded / (CASE WHEN legal_balls = 0 THEN 1.0 ELSE legal_balls / 6.0 END), 2) AS economy_rate,
+           round(total_runs_conceded * 1.0 / (CASE WHEN wickets = 0 THEN 1 ELSE wickets END), 2) AS bowling_avg,
+           round(legal_balls * 1.0 / (CASE WHEN wickets = 0 THEN 1 ELSE wickets END), 2) AS strike_rate,
+           round(dot_balls * 100.0 / (CASE WHEN legal_balls = 0 THEN 1 ELSE legal_balls END), 2) AS dot_ball_pct
+    FROM stats
+    """,
+)
+def ipl_bowler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F1/F2/O1: the real gold_bowler_stats plan (reference
+    ex_match_sg.py:150-172) — overs notation, economy/avg/strike with
+    zero-denominator parity — vs independent SQL."""
+    from aws_ipl_data_pipeline_spark.plans.gold import bowler_stats
+
+    tune_session(spark)
+    out = bowler_stats(_player_df(spark))
+    return out.select(
+        "bowler",
+        F.col("matches").cast("long"),
+        F.col("total_runs_conceded").cast("long"),
+        F.col("legal_balls").cast("long"),
+        F.col("wickets").cast("long"),
+        F.col("dot_balls").cast("long"),
+        F.col("fours_conceded").cast("long"),
+        F.col("sixes_conceded").cast("long"),
+        F.col("overs_bowled").cast("double"),
+        "economy_rate",
+        "bowling_avg",
+        "strike_rate",
+        "dot_ball_pct",
+    )
+
+
+# team-grain rows: (match, batting_team, total_runs, wicket,
+# is_legal_delivery, is_four, is_six, innings_phase) — one team ('CC')
+# has no Powerplay deliveries at all → pp_run_rate NULL parity.
+TEAM_ROWS = [
+    ("M1", "AA", 4, 0, 1, 1, 0, "Powerplay"),
+    ("M1", "AA", 6, 0, 1, 0, 1, "Middle Overs"),
+    ("M1", "AA", 0, 1, 1, 0, 0, "Death Overs"),
+    ("M1", "BB", 1, 0, 1, 0, 0, "Powerplay"),
+    ("M1", "BB", 2, 0, 0, 0, 0, "Powerplay"),
+    ("M1", "N/A", 1, 0, 1, 0, 0, "Powerplay"),
+    ("M2", "AA", 2, 0, 1, 0, 0, "Powerplay"),
+    ("M2", "CC", 6, 0, 1, 0, 1, "Middle Overs"),
+    ("M2", "CC", 1, 1, 1, 0, 0, "Death Overs"),
+]
+
+
+def _team_values_sql() -> str:
+    rows = ",\n      ".join(
+        f"('{m}', '{t}', {tr}, {wk}, {lg}, {f4}, {s6}, '{ph}')"
+        for (m, t, tr, wk, lg, f4, s6, ph) in TEAM_ROWS
+    )
+    return (
+        f"(VALUES\n      {rows}\n    ) AS s(match, batting_team, total_runs,"
+        " wicket, is_legal_delivery, is_four, is_six, innings_phase)"
+    )
+
+
+@register(
+    "ipl_team_stats",
+    f"""
+    WITH silver AS (SELECT * FROM {_team_values_sql()}),
+    tm AS (SELECT * FROM silver WHERE batting_team IS NOT NULL AND batting_team <> 'N/A'),
+    stats AS (
+      SELECT batting_team AS team, COUNT(DISTINCT match) AS matches,
+             SUM(total_runs) AS total_runs, SUM(wicket) AS total_wickets_lost,
+             SUM(is_legal_delivery) AS legal_balls, SUM(is_four) AS fours,
+             SUM(is_six) AS sixes,
+             SUM(CASE WHEN innings_phase = 'Powerplay' THEN total_runs END) AS pp_runs,
+             SUM(CASE WHEN innings_phase = 'Powerplay' THEN is_legal_delivery END) AS pp_balls
+      FROM tm GROUP BY 1
+    )
+    SELECT team, CAST(matches AS BIGINT) AS matches,
+           CAST(total_runs AS BIGINT) AS total_runs,
+           CAST(total_wickets_lost AS BIGINT) AS total_wickets_lost,
+           CAST(legal_balls AS BIGINT) AS legal_balls,
+           CAST(fours AS BIGINT) AS fours, CAST(sixes AS BIGINT) AS sixes,
+           CAST(floor(legal_balls / 6) + (legal_balls % 6) / 10.0 AS DOUBLE) AS overs_batted,
+           round(total_runs / (CASE WHEN legal_balls = 0 THEN 1.0 ELSE legal_balls / 6.0 END), 2) AS overall_run_rate,
+           CASE WHEN pp_runs IS NOT NULL THEN
+             round(pp_runs / (CASE WHEN pp_balls = 0 THEN 1.0 ELSE pp_balls / 6.0 END), 2)
+           END AS pp_run_rate
+    FROM stats
+    """,
+)
+def ipl_team_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/F1/F2: the real gold_team_stats plan (reference
+    ex_match_sg.py:174-208) — Powerplay conditional agg in the same
+    pass, NULL pp rate for teams without Powerplay balls — vs
+    independent SQL."""
+    from aws_ipl_data_pipeline_spark.plans.gold import team_stats
+
+    tune_session(spark)
+    df = spark.createDataFrame(
+        TEAM_ROWS,
+        "match string, batting_team string, total_runs int, wicket int, "
+        "is_legal_delivery int, is_four int, is_six int, innings_phase string",
+    )
+    out = team_stats(df)
+    return out.select(
+        "team",
+        F.col("matches").cast("long"),
+        F.col("total_runs").cast("long"),
+        F.col("total_wickets_lost").cast("long"),
+        F.col("legal_balls").cast("long"),
+        F.col("fours").cast("long"),
+        F.col("sixes").cast("long"),
+        F.col("overs_batted").cast("double"),
+        "overall_run_rate",
+        "pp_run_rate",
+    )
