@@ -12,11 +12,15 @@ Layout:
   schemas    - explicit StructType contracts per medallion layer
   functions/ - scalar/event-parse/fuzzy column expression builders
   plans/     - bronze/silver/gold medallion transform plans
-  operators/ - dedup, similarity search, as-of/range join, text analysis,
-               multimodal plumbing (the 100 TB training-data toolkit)
+  operators/ - dedup, similarity search (LSH/IVF), as-of/range join,
+               text analysis, multimodal plumbing, skew salting (the
+               100 TB training-data toolkit)
   sources/   - readers/writers (CSV/JSONL/Parquet/Delta-gated) with
-               partition-predicate overwrite semantics
-  streaming/ - file-source incremental pipeline (foreachBatch medallion)
+               partition-predicate overwrite semantics; bucketed tables
+               for exchange-free co-located joins
+  streaming/ - file-source incremental pipeline (foreachBatch medallion),
+               watermarked event-time windows, applyInPandasWithState
+               keyed running state
 """
 
 __version__ = "0.1.0"

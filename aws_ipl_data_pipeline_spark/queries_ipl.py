@@ -519,3 +519,60 @@ def ipl_team_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overall_run_rate",
         "pp_run_rate",
     )
+
+
+@register("ipl_gold_e2e")  # rows-only: throughput probe, summary output
+def ipl_gold_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole gold job (all four tables, reference
+    ex_match_sg.py:323-347) over a deterministic ~45k-delivery corpus
+    (~2 IPL seasons): the delivery fixture replicated across 3000
+    synthetic matches via crossJoin(range) — zero driver-side data
+    generation. Returns one summary row per gold table. The reference's
+    implied budget is ≤45 s for silver+gold per match event; this runs
+    the full-league recompute in one pass."""
+    from aws_ipl_data_pipeline_spark.plans.gold import (
+        batsman_stats,
+        bowler_stats,
+        team_stats,
+        tournament_standings,
+    )
+
+    tune_session(spark)
+    base = _player_df(spark).withColumn(
+        "batting_team",
+        F.when(F.col("match") == "M1", "AA").otherwise("CC"),
+    ).withColumn(
+        "bowling_team",
+        F.when(F.col("match") == "M1", "BB").otherwise("AA"),
+    ).withColumn(
+        "innings_phase",
+        F.when(F.col("runs") >= 4, "Powerplay").otherwise("Middle Overs"),
+    )
+    reps = spark.range(3000).select(F.col("id").cast("string").alias("_rep"))
+    silver = (
+        base.crossJoin(reps)
+        .withColumn("match", F.concat_ws("_", "match", "_rep"))
+        .drop("_rep")
+    )
+    summaries = [
+        batsman_stats(silver).agg(
+            F.lit("gold_batsman_stats").alias("table"),
+            F.count("*").cast("long").alias("n_rows"),
+        ),
+        bowler_stats(silver).agg(
+            F.lit("gold_bowler_stats").alias("table"),
+            F.count("*").cast("long").alias("n_rows"),
+        ),
+        team_stats(silver).agg(
+            F.lit("gold_team_stats").alias("table"),
+            F.count("*").cast("long").alias("n_rows"),
+        ),
+        tournament_standings(silver).agg(
+            F.lit("gold_tournament_standings").alias("table"),
+            F.count("*").cast("long").alias("n_rows"),
+        ),
+    ]
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out

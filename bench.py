@@ -37,6 +37,7 @@ HEADLINE = [
     "explode_token_counts",
     "skew_salted_agg",
     "training_data_prep",
+    "ipl_gold_e2e",
 ]
 
 
