@@ -70,7 +70,7 @@ def test_no_python_udf_in_relational_core(spark):
     JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
     # ann_ivf_topk: cell assignment is a numpy-matmul pandas UDF by
     # design (HOF fold measured ~50x slower) — similarity.add_ivf_cell
-    python_ok = {"fuzzy_name_match", "multimodal_features", "ann_ivf_topk"}
+    python_ok = {"fuzzy_name_match", "multimodal_features", "ann_ivf_topk", "ann_lsh_topk"}
     for name in REGISTRY:
         if name in python_ok:
             continue
