@@ -56,6 +56,66 @@ def write_partitioned(
     w.save(path)
 
 
+def upsert_by_key(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    keys: list[str],
+    fmt: str | None = None,
+) -> None:
+    """ST2/J8: idempotent keyed upsert — "insert or replace by natural
+    key", newest write wins (the reference's append-then-dedupe bronze
+    merge, ex_match_rb.py:201-213, with deterministic precedence).
+
+    Delta path: a real MERGE (whenMatched update / whenNotMatched
+    insert) — transactional, no table rewrite beyond touched files.
+    Parquet path: read-union-dedupe-rewrite; the merged frame is
+    localCheckpoint()ed first because lazily overwriting a path that is
+    also being read is undefined (Spark refuses or corrupts). The
+    parquet fallback rewrites the whole table — fine for bronze-sized
+    layers; use Delta (or partition the upsert via write_partitioned)
+    for fact-scale tables.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    fmt = fmt or ("delta" if HAVE_DELTA else "parquet")
+    if fmt == "delta" and HAVE_DELTA:
+        if DeltaTable.isDeltaTable(spark, path):
+            tgt = DeltaTable.forPath(spark, path)
+            cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+            (
+                tgt.alias("t")
+                .merge(new_df.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        else:
+            new_df.write.format("delta").save(path)
+        return
+
+    try:
+        existing = spark.read.parquet(path)
+        exists = True
+    except Exception:
+        exists = False
+    if not exists:
+        new_df.write.parquet(path)
+        return
+    merged = (
+        new_df.withColumn("_pri", F.lit(0))
+        .unionByName(existing.withColumn("_pri", F.lit(1)))
+        .withColumn(
+            "_rk", F.row_number().over(Window.partitionBy(*keys).orderBy("_pri"))
+        )
+        .where(F.col("_rk") == 1)
+        .drop("_pri", "_rk")
+    )
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(path)
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S9: JSON-lines sink (reference to_json(orient='records',
     lines=True), ex_match_rb.py:210-221)."""

@@ -92,3 +92,26 @@ def test_input_file_provenance(spark, tmp_path):
     match_from_path = F.element_at(F.split(F.col("source_file"), "/"), -2)
     [r] = back.select(match_from_path.alias("m")).distinct().collect()
     assert r["m"] == "01_AAvsBB"
+
+
+def test_upsert_by_key_newest_wins(spark, tmp_path_factory):
+    from aws_ipl_data_pipeline_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path_factory.mktemp("upsert")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v long"
+    )
+    upsert_by_key(spark, base, path, keys=["k"])
+
+    # overlap on k=2 (changed value) + new k=4
+    delta = spark.createDataFrame(
+        [(2, "b", 99), (4, "d", 40)], "k long, name string, v long"
+    )
+    upsert_by_key(spark, delta, path, keys=["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10, 2: 99, 3: 30, 4: 40}
+
+    # idempotent: re-applying the same upsert changes nothing
+    upsert_by_key(spark, delta, path, keys=["k"])
+    got2 = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got2 == got
