@@ -140,3 +140,25 @@ TESTDATA_TABLES = (
     "documents",
     "embeddings",
 )
+
+
+def validate_frame(df, expected: T.StructType, where: str = "frame") -> None:
+    """Fail-fast schema contract: raise with a precise diff instead of
+    the reference's silent defensive skips ('over' not in columns →
+    skip file, ex_match_bs.py:429-431; 'rebowl' missing → synthesize,
+    :293-294). Checks names and types; nullability is advisory in
+    Spark and ignored here."""
+    got = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in expected.fields}
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    wrong = sorted(
+        f"{n}: expected {want[n].simpleString()}, got {got[n].simpleString()}"
+        for n in set(want) & set(got)
+        if want[n] != got[n]
+    )
+    if missing or extra or wrong:
+        raise ValueError(
+            f"schema mismatch in {where}: "
+            f"missing={missing} extra={extra} wrong_types={wrong}"
+        )

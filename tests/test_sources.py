@@ -115,3 +115,27 @@ def test_upsert_by_key_newest_wins(spark, tmp_path_factory):
     upsert_by_key(spark, delta, path, keys=["k"])
     got2 = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got2 == got
+
+
+def test_validate_frame_reports_precise_diff(spark):
+    from pyspark.sql import types as T
+
+    from aws_ipl_data_pipeline_spark.schemas import validate_frame
+
+    expected = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    ok = spark.createDataFrame([(1, "x")], "a long, b string")
+    validate_frame(ok, expected)  # no raise
+
+    bad = spark.createDataFrame([(1, 2, 3.0)], "a long, b long, c double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError) as e:
+        validate_frame(bad, expected, where="bronze")
+    msg = str(e.value)
+    assert "bronze" in msg and "extra=['c']" in msg
+    assert "b: expected string, got bigint" in msg
