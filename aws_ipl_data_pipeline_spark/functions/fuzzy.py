@@ -116,22 +116,9 @@ def team_choices(
     return team_player_map[m] if m is not None else all_players
 
 
-def normalize_names(
-    df: DataFrame,
-    players_df: DataFrame,
-    name_col: str,
-    scope_col: str,
-    out_col: str | None = None,
-    cutoff: float = PLAYER_CUTOFF,
-) -> DataFrame:
-    """Normalize ``name_col`` against the player catalog, blocked by the
-    team in ``scope_col``. Distinct-pairs → pandas UDF → broadcast join
-    back (reference's b_map optimization, ex_match_bs.py:324-336, made
-    distributed).
-    """
-    out_col = out_col or name_col
-    spark = df.sparkSession
-
+def _build_normalizer(spark, players_df: DataFrame, cutoff: float):
+    """Collect the tiny player catalog, broadcast it, and return the
+    Arrow-batched (name, scope) → canonical-name pandas UDF."""
     catalog = (
         players_df.select(
             F.col("Name").alias("_p_name"), F.col("Team").alias("_p_team")
@@ -161,6 +148,82 @@ def normalize_names(
             out.append(cache[key])
         return pd.Series(out)
 
+    return _normalize
+
+
+def normalize_names_multi(
+    df: DataFrame,
+    players_df: DataFrame,
+    specs: list[tuple[str, str]],
+    cutoff: float = PLAYER_CUTOFF,
+) -> DataFrame:
+    """Normalize several name columns in ONE distinct-pairs pass.
+
+    ``specs`` is a list of (name_col, scope_col), each rewritten in
+    place. A naive per-column call re-derives the distinct pairs from
+    ``df`` once per column — and with it the whole upstream lineage
+    (the bronze fold ran 4× in the silver plan before this). Here the
+    (name, scope) pairs of every spec are unpivoted into one frame,
+    deduped once, scored once, and broadcast-joined back per column:
+    the upstream lineage is evaluated for the pairs branch exactly once
+    however many columns are normalized.
+    """
+    spark = df.sparkSession
+    _normalize = _build_normalizer(spark, players_df, cutoff)
+
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.col(nc).cast("string").alias("_raw"),
+                F.col(sc).cast("string").alias("_scope"),
+            )
+            for nc, sc in specs
+        ]
+    )
+    pairs = (
+        df.select(F.explode(pair_structs).alias("_p"))
+        .select("_p._raw", "_p._scope")
+        .dropDuplicates()
+        .withColumn("_canonical", _normalize(F.col("_raw"), F.col("_scope")))
+    )
+
+    for nc, sc in specs:
+        renamed = pairs.select(
+            F.col("_raw").alias("_j_raw"),
+            F.col("_scope").alias("_j_scope"),
+            F.col("_canonical").alias("_j_canon"),
+        )
+        df = (
+            df.join(
+                F.broadcast(renamed),
+                df[nc].eqNullSafe(renamed["_j_raw"])
+                & df[sc].eqNullSafe(renamed["_j_scope"]),
+                "left",
+            )
+            .withColumn(nc, F.coalesce("_j_canon", F.lit("N/A")))
+            .drop("_j_raw", "_j_scope", "_j_canon")
+        )
+    return df
+
+
+def normalize_names(
+    df: DataFrame,
+    players_df: DataFrame,
+    name_col: str,
+    scope_col: str,
+    out_col: str | None = None,
+    cutoff: float = PLAYER_CUTOFF,
+) -> DataFrame:
+    """Normalize ``name_col`` against the player catalog, blocked by the
+    team in ``scope_col``. Distinct-pairs → pandas UDF → broadcast join
+    back (reference's b_map optimization, ex_match_bs.py:324-336, made
+    distributed). For several columns use normalize_names_multi (one
+    pairs pass for all of them)."""
+    out_col = out_col or name_col
+    if out_col == name_col:
+        return normalize_names_multi(df, players_df, [(name_col, scope_col)], cutoff)
+
+    _normalize = _build_normalizer(df.sparkSession, players_df, cutoff)
     pairs = (
         df.select(F.col(name_col).alias("_raw"), F.col(scope_col).alias("_scope"))
         .dropDuplicates()

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_ipl_data_pipeline_spark.functions.fuzzy import normalize_names
+from aws_ipl_data_pipeline_spark.functions.fuzzy import normalize_names_multi
 from aws_ipl_data_pipeline_spark.functions.scalars import flag, innings_phase
 from aws_ipl_data_pipeline_spark.schemas import DELIVERY_KEY
 
@@ -126,11 +126,20 @@ def to_silver(
         .drop("home_team", "away_team", "_meta_venue", "_meta_date")
     )
 
-    # team-scoped fuzzy name normalization (reference :314-336)
+    # team-scoped fuzzy name normalization (reference :314-336) — one
+    # distinct-pairs pass for all three columns (a per-column pass
+    # re-evaluated the whole bronze fold per column)
     if players is not None:
-        df = normalize_names(df, players, "batsman", "batting_team", cutoff=cutoff)
-        df = normalize_names(df, players, "bowler", "bowling_team", cutoff=cutoff)
-        df = normalize_names(df, players, "out_batsman", "batting_team", cutoff=cutoff)
+        df = normalize_names_multi(
+            df,
+            players,
+            [
+                ("batsman", "batting_team"),
+                ("bowler", "bowling_team"),
+                ("out_batsman", "batting_team"),
+            ],
+            cutoff=cutoff,
+        )
 
     # deterministic keyed dedupe: first by extract_time (reference :347
     # keeps first in file order)
