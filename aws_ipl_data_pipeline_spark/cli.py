@@ -1,0 +1,167 @@
+"""CLI parity with the reference's per-layer entry points.
+
+The reference is operated as one script per layer
+(pipeline_local/to_bronze/brnz_match.py, to_silver/slvr_match.py,
+to_gold/gld_match.py, each with a __main__); this engine exposes the
+same operational surface as subcommands over a shared SparkSession:
+
+    python -m aws_ipl_data_pipeline_spark bronze --raw-dir D --out P
+    python -m aws_ipl_data_pipeline_spark silver --bronze P --meta M \
+        [--players PL] --out P2
+    python -m aws_ipl_data_pipeline_spark gold --silver P2 --out-dir D2
+    python -m aws_ipl_data_pipeline_spark stream --raw-dir D --silver P2 \
+        --gold D2 --meta M [--players PL] --checkpoint C
+    python -m aws_ipl_data_pipeline_spark sql "SELECT ..." \
+        --table deliveries=P2 [--table g=path ...]
+
+Inputs: raw is the reference's per-match CSV layout (a glob like
+``raw/*/``); meta and players are JSON/JSONL as produced by the
+reference scrapers (schemas.MATCH_META / schemas.PLAYERS).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    from aws_ipl_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def cmd_bronze(args) -> None:
+    from aws_ipl_data_pipeline_spark.plans import to_bronze
+    from aws_ipl_data_pipeline_spark.schemas import RAW_DELIVERIES
+    from aws_ipl_data_pipeline_spark.sources.readers import read_csv
+    from aws_ipl_data_pipeline_spark.sources.writers import write_partitioned
+
+    spark = _spark("bronze")
+    raw = read_csv(spark, args.raw_dir, RAW_DELIVERIES)
+    bronze = to_bronze(raw)
+    write_partitioned(bronze, args.out, partition_by=["match"])
+
+
+def cmd_silver(args) -> None:
+    from aws_ipl_data_pipeline_spark.plans import to_silver
+    from aws_ipl_data_pipeline_spark.schemas import MATCH_META, PLAYERS
+    from aws_ipl_data_pipeline_spark.sources.readers import (
+        read_json_object,
+        read_jsonl,
+    )
+    from aws_ipl_data_pipeline_spark.sources.writers import write_partitioned
+
+    spark = _spark("silver")
+    bronze = spark.read.parquet(args.bronze)
+    meta = read_json_object(spark, args.meta, MATCH_META)
+    players = read_jsonl(spark, args.players, PLAYERS) if args.players else None
+    silver = to_silver(bronze, meta, players)
+    write_partitioned(
+        silver,
+        args.out,
+        partition_by=["match", "innings"],
+        replace_where=args.replace_where,
+    )
+
+
+def cmd_gold(args) -> None:
+    from aws_ipl_data_pipeline_spark.plans.gold import (
+        batsman_stats,
+        bowler_stats,
+        team_stats,
+        tournament_standings,
+    )
+
+    spark = _spark("gold")
+    silver = spark.read.parquet(args.silver)
+    for name, builder in (
+        ("gold_batsman_stats", batsman_stats),
+        ("gold_bowler_stats", bowler_stats),
+        ("gold_team_stats", team_stats),
+        ("gold_tournament_standings", tournament_standings),
+    ):
+        builder(silver).write.mode("overwrite").parquet(f"{args.out_dir}/{name}")
+
+
+def cmd_stream(args) -> None:
+    from aws_ipl_data_pipeline_spark.schemas import MATCH_META, PLAYERS
+    from aws_ipl_data_pipeline_spark.sources.readers import (
+        read_json_object,
+        read_jsonl,
+    )
+    from aws_ipl_data_pipeline_spark.streaming import run_incremental_pipeline
+
+    spark = _spark("stream")
+    meta = read_json_object(spark, args.meta, MATCH_META)
+    players = read_jsonl(spark, args.players, PLAYERS) if args.players else None
+    q = run_incremental_pipeline(
+        spark,
+        raw_dir=args.raw_dir,
+        silver_path=args.silver,
+        gold_dir=args.gold,
+        meta_df=meta,
+        players_df=players,
+        checkpoint_dir=args.checkpoint,
+        available_now=not args.continuous,
+    )
+    q.awaitTermination()
+
+
+def cmd_sql(args) -> None:
+    spark = _spark("sql")
+    for spec in args.table or []:
+        name, _, path = spec.partition("=")
+        spark.read.parquet(path).createOrReplaceTempView(name)
+    spark.sql(args.query).show(args.rows, truncate=False)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="aws_ipl_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bronze", help="raw per-match CSVs -> bronze deliveries")
+    b.add_argument("--raw-dir", required=True)
+    b.add_argument("--out", required=True)
+    b.set_defaults(fn=cmd_bronze)
+
+    s = sub.add_parser("silver", help="bronze + meta [+ players] -> silver")
+    s.add_argument("--bronze", required=True)
+    s.add_argument("--meta", required=True)
+    s.add_argument("--players")
+    s.add_argument("--out", required=True)
+    s.add_argument("--replace-where", help="partition predicate, e.g. \"match = 'X'\"")
+    s.set_defaults(fn=cmd_silver)
+
+    g = sub.add_parser("gold", help="silver -> four gold tables")
+    g.add_argument("--silver", required=True)
+    g.add_argument("--out-dir", required=True)
+    g.set_defaults(fn=cmd_gold)
+
+    st = sub.add_parser("stream", help="incremental raw->bronze->silver->gold")
+    st.add_argument("--raw-dir", required=True)
+    st.add_argument("--silver", required=True)
+    st.add_argument("--gold", required=True)
+    st.add_argument("--meta", required=True)
+    st.add_argument("--players")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--continuous", action="store_true")
+    st.set_defaults(fn=cmd_stream)
+
+    q = sub.add_parser("sql", help="ad-hoc SQL over parquet tables")
+    q.add_argument("query")
+    q.add_argument("--table", action="append", metavar="NAME=PATH")
+    q.add_argument("--rows", type=int, default=20)
+    q.set_defaults(fn=cmd_sql)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,77 @@
+"""The CLI end-to-end: bronze → silver → gold over reference-layout
+files equals the in-library batch path."""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+
+import pytest
+
+from aws_ipl_data_pipeline_spark.cli import main
+from aws_ipl_data_pipeline_spark.plans import to_bronze, to_silver
+from aws_ipl_data_pipeline_spark.plans.gold import tournament_standings
+from aws_ipl_data_pipeline_spark.schemas import MATCH_META, RAW_DELIVERIES
+from tests.fixtures_ipl import META_ROWS, RAW_ROWS, match_meta, players, raw_deliveries
+
+HEADER = [f.name for f in RAW_DELIVERIES.fields]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.mark.slow
+def test_cli_medallion_equals_library(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("cli"))
+
+    # reference raw layout: one CSV per match under raw/<match>/
+    by_match: dict[str, list] = {}
+    for row in RAW_ROWS:
+        by_match.setdefault(row[0], []).append(row)
+    for m, rows in by_match.items():
+        d = f"{base}/raw/{m}"
+        os.makedirs(d)
+        with open(f"{d}/{m}-1.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(HEADER)
+            w.writerows(rows)
+
+    # reference meta layout: one JSON object per match
+    os.makedirs(f"{base}/meta")
+    meta_fields = [f.name for f in MATCH_META.fields]
+    for row in META_ROWS:
+        obj = dict(zip(meta_fields, row))
+        with open(f"{base}/meta/{obj['short_name']}_meta.json", "w") as f:
+            json.dump(obj, f)
+
+    # players as JSONL
+    players(spark).write.mode("overwrite").json(f"{base}/players")
+
+    main(["bronze", "--raw-dir", f"{base}/raw/*/", "--out", f"{base}/bronze"])
+    main(
+        [
+            "silver",
+            "--bronze", f"{base}/bronze",
+            "--meta", f"{base}/meta",
+            "--players", f"{base}/players",
+            "--out", f"{base}/silver",
+        ]
+    )
+    main(["gold", "--silver", f"{base}/silver", "--out-dir", f"{base}/gold"])
+
+    lib_silver = to_silver(to_bronze(raw_deliveries(spark)), match_meta(spark), players(spark))
+    cli_silver = spark.read.parquet(f"{base}/silver")
+    dt = dict(lib_silver.dtypes)
+    cli_silver = cli_silver.selectExpr(
+        *[f"cast({c} as {dt[c]}) as {c}" for c in lib_silver.columns]
+    )
+    assert _canon(cli_silver) == _canon(lib_silver)
+
+    lib_st = tournament_standings(lib_silver)
+    cli_st = spark.read.parquet(f"{base}/gold/gold_tournament_standings")
+    assert _canon(cli_st.select(*sorted(lib_st.columns))) == _canon(
+        lib_st.select(*sorted(lib_st.columns))
+    )
