@@ -553,6 +553,11 @@ def ipl_gold_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.crossJoin(reps)
         .withColumn("match", F.concat_ws("_", "match", "_rep"))
         .drop("_rep")
+        # the real pipeline materializes silver before the gold job reads
+        # it (streaming/pipeline.py writes then re-reads); a lazy local
+        # checkpoint gives the four builder branches the same
+        # evaluate-once input instead of 4x re-generation
+        .localCheckpoint(eager=False)
     )
     summaries = [
         batsman_stats(silver).agg(

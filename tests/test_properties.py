@@ -187,3 +187,37 @@ def test_rollup_hierarchy_consistency(rows):
     leaves = [r for r in out if r["gid"] == 0]
     assert len(grand) == 1
     assert sum(r["s"] for r in leaves) == grand[0]["s"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(  # a sequence of upsert batches
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_upsert_by_key_model(tmp_path_factory, batches):
+    """upsert_by_key over any batch sequence equals the dict model
+    (last write per key wins); within a batch, precedence is undefined
+    for duplicate keys so batches are deduped to the last tuple."""
+    spark = _get_spark()
+    from aws_ipl_data_pipeline_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path_factory.mktemp("upsert_prop")) + "/t"
+    model: dict[int, int] = {}
+    for batch in batches:
+        dedup = dict(batch)  # last (k,v) per key within the batch
+        df = spark.createDataFrame(list(dedup.items()), "k long, v long")
+        upsert_by_key(spark, df, path, keys=["k"])
+        model.update(dedup)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == model
