@@ -891,6 +891,38 @@ def date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "date_functions_battery",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_us,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+           CAST(epoch_us(o_orderdate + INTERVAL 7 DAY) AS BIGINT) AS plus_week_us,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom
+    FROM orders
+    """,
+)
+def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level temporal surface: truncation, day-of-week (normalized
+    to DuckDB's Sunday=0 convention), date arithmetic, interval shift,
+    formatting, quarter — all codegen, no UDF."""
+    o = t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        F.col("o_orderkey").cast("long"),
+        F.unix_micros(F.date_trunc("month", ts)).alias("month_start_us"),
+        (F.dayofweek(ts) - 1).cast("long").alias("dow_sun0"),
+        F.datediff(ts, F.lit("1995-01-01")).cast("long").alias("days_since_95"),
+        F.unix_micros(ts + F.expr("INTERVAL 7 DAYS")).alias("plus_week_us"),
+        F.date_format(ts, "yyyy-MM").alias("ym"),
+        F.quarter(ts).cast("long").alias("q"),
+        F.dayofmonth(ts).cast("long").alias("dom"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Event-time windows & temporal joins (SURVEY §2.9 ST6 / §7 extensions)
 # --------------------------------------------------------------------------
