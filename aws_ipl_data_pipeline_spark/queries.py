@@ -1683,10 +1683,10 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(len(embedding) AS BIGINT) AS n_dims,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
-           round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
-           round(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
-           round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 4) AS head4_sum,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS vmax,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS vmin,
+           round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 4) + 0.0 AS head4_sum,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
     FROM embeddings
     """,
@@ -1698,14 +1698,16 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     head4 = F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double"))
+    # `+ 0.0` after round: IEEE -0.0 + 0.0 = +0.0 — engines disagree on
+    # the sign of a zero-rounded negative and the hash compare is exact
     return e.select(
         F.col("vec_id").cast("long"),
         F.size(emb).cast("long").alias("n_dims"),
-        F.round(F.element_at(emb, 1).cast("double"), 4).alias("first_dim"),
-        F.round(F.array_max(emb).cast("double"), 4).alias("vmax"),
-        F.round(F.array_min(emb).cast("double"), 4).alias("vmin"),
-        F.round(
-            F.aggregate(head4, F.lit(0.0), lambda acc, x: acc + x), 4
+        (F.round(F.element_at(emb, 1).cast("double"), 4) + 0.0).alias("first_dim"),
+        (F.round(F.array_max(emb).cast("double"), 4) + 0.0).alias("vmax"),
+        (F.round(F.array_min(emb).cast("double"), 4) + 0.0).alias("vmin"),
+        (
+            F.round(F.aggregate(head4, F.lit(0.0), lambda acc, x: acc + x), 4) + 0.0
         ).alias("head4_sum"),
         F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_positive"),
     )
