@@ -68,9 +68,16 @@ def test_dim_joins_broadcast(spark):
 def test_no_python_udf_in_relational_core(spark):
     """Everything except the fuzzy/multimodal operators must stay
     JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
-    # ann_ivf_topk: cell assignment is a numpy-matmul pandas UDF by
-    # design (HOF fold measured ~50x slower) — similarity.add_ivf_cell
-    python_ok = {"fuzzy_name_match", "multimodal_features", "ann_ivf_topk", "ann_lsh_topk"}
+    # ann_ivf/ann_lsh: numpy-matmul assignment (HOF folds are
+    # interpreted, measured ~10-50x slower); dedup_simhash: numpy bit
+    # votes replace a 64-conditional-agg JVM formulation (~2.3x)
+    python_ok = {
+        "fuzzy_name_match",
+        "multimodal_features",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "dedup_simhash",
+    }
     for name in REGISTRY:
         if name in python_ok:
             continue
