@@ -29,6 +29,7 @@ HEADLINE = [
     "range_join_events",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "text_quality",
