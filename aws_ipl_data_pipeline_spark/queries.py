@@ -923,6 +923,49 @@ def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "time_rollup_hierarchy",
+    """
+    SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the daily aggregate is
+    computed FROM the hourly aggregate, not from raw events — counts
+    and sums compose, so each coarser tier reads the (much smaller)
+    tier below it. At 100 TB the hourly tier is a materialized
+    continuous aggregate and daily/weekly queries never touch raw
+    data. The oracle aggregates raw directly — proving tier
+    composition is lossless."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("day_start").alias("day_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Event-time windows & temporal joins (SURVEY §2.9 ST6 / §7 extensions)
 # --------------------------------------------------------------------------

@@ -129,6 +129,16 @@ def test_percentile_partial_aggregation(spark):
     assert "partial_percentile" in p
 
 
+def test_relational_core_in_whole_stage_codegen(spark):
+    """The hot scalar paths must run inside fused codegen stages
+    ('[codegen id : N]' in formatted mode), not interpreted expression
+    trees. (AQE-wrapped multi-stage plans only annotate codegen in the
+    runtime-final plan, so gate the single-stage batteries.)"""
+    for q in ("scalar_battery", "string_battery", "date_functions_battery"):
+        p = formatted_plan(spark, q)
+        assert "codegen id" in p, q
+
+
 @pytest.mark.slow
 def test_entry_runs_on_vanilla_session(spark):
     import __spark_entry__ as E
