@@ -75,3 +75,20 @@ def test_cli_medallion_equals_library(spark, tmp_path_factory):
     assert _canon(cli_st.select(*sorted(lib_st.columns))) == _canon(
         lib_st.select(*sorted(lib_st.columns))
     )
+
+
+def test_cli_sql_over_parquet(spark, tmp_path_factory, capsys):
+    base = str(tmp_path_factory.mktemp("clisql"))
+    spark.createDataFrame(
+        [(1, "AA", 10), (2, "BB", 30)], "rank long, team string, points long"
+    ).write.parquet(f"{base}/standings")
+    main(
+        [
+            "sql",
+            "SELECT team, points FROM standings ORDER BY points DESC",
+            "--table",
+            f"standings={base}/standings",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "BB" in out and "30" in out
