@@ -97,6 +97,13 @@ def shingle_jaccard_pairs(
     100 TB path — a shingle shared by millions of docs is pure noise).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # Verification here counts co-occurrences (join on shingle →
+    # groupBy pair) rather than carrying collect_set shingle sets as
+    # minhash_lsh_pairs does: without LSH banding the candidate set IS
+    # every co-occurring pair, and the count aggregates map-side while
+    # set-carrying must materialize wide arrays per doc (measured 3.5×
+    # slower at sf0.1). With banding the candidates are few and the
+    # trade flips — that's why the two operators verify differently.
     sh = word_shingles(docs, id_col, text_col, n)
     if max_shingle_df is not None:
         keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
