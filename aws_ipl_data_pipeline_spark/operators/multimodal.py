@@ -82,6 +82,64 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+try:  # real decoder if available (not in this container)
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:  # pragma: no cover
+    HAVE_PIL = False
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, use_real_codec: bool = False
+) -> DataFrame:
+    """Resize image payloads to fit within ``max_side``, preserving
+    aspect ratio from meta['w']/meta['h'].
+
+    ``use_real_codec=True`` requires pillow and raises
+    NotImplementedError without it (the decode libraries are not in
+    this container). The default path is the deterministic fake: the
+    scale factor is computed from the REAL metadata, the output payload
+    is a content-derived downsample (every ceil(1/scale²)-th byte), and
+    meta carries the new dimensions — so schema, batching, partition
+    behavior and size accounting are all faithfully exercised."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_codec and not HAVE_PIL:
+            raise NotImplementedError("image resize requires pillow")
+        rows = []
+        for pdf in it:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(meta or {})
+                w = int(meta.get("w", "0") or 0)
+                h = int(meta.get("h", "0") or 0)
+                side = max(w, h)
+                scale = (max_side / side) if side > max_side else 1.0
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                payload = payload or b""
+                if scale < 1.0:
+                    step = max(int(1.0 / (scale * scale)), 1)
+                    payload = payload[::step]
+                meta.update({"w": str(nw), "h": str(nh), "resized": "1"})
+                rows.append((mid, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return media.where(media.kind == "image").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """'Frame sampling' plumbing: emits one row per sampled offset of
     each video payload (UDTF-shaped 1→N mapInPandas). The decode is the

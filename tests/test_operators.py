@@ -154,3 +154,28 @@ def test_fuzzy_scorer_cutoffs():
 def test_fuzzy_score_scale(a, b, hi):
     s = fuzzy.score(a, b)
     assert (s >= 75) == hi
+
+
+def test_multimodal_resize_plumbing(spark):
+    from aws_ipl_data_pipeline_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", b"x" * 4096, {"w": "1024", "h": "512"}),
+            (2, "image", "image/png", b"y" * 100, {"w": "100", "h": "50"}),
+            (3, "video", "video/mp4", b"z" * 100, {"w": "1920", "h": "1080"}),
+        ],
+        "media_id long, kind string, mime string, payload binary, meta map<string,string>",
+    )
+    out = {r["media_id"]: r.asDict() for r in resize_images(media, max_side=256).collect()}
+    assert set(out) == {1, 2}  # only images
+    # aspect preserved, longest side capped
+    assert out[1]["meta"]["w"] == "256" and out[1]["meta"]["h"] == "128"
+    assert len(out[1]["payload"]) < 4096  # payload actually shrank
+    # under-threshold image untouched dimensionally
+    assert out[2]["meta"]["w"] == "100" and len(out[2]["payload"]) == 100
+    # real-codec path is gated, not silently faked
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        resize_images(media, use_real_codec=True).collect()
