@@ -191,14 +191,21 @@ def minhash_lsh_pairs(
     sh = word_shingles(docs, id_col, text_col, n)
     if persist_shingles:
         sh = sh.persist()
+    # hash each variable-length shingle string ONCE to a 64-bit base,
+    # then derive the k family hashes from the fixed-width base — k
+    # hashes over 12 bytes instead of k hashes over the full string.
+    # Verification intersects base-hash sets rather than string sets
+    # (half the shuffle bytes; collision odds ~|shingles|²/2⁶⁴, the
+    # same accepted class as md5 exact-dedup digests).
+    sh = sh.select("_id", F.xxhash64("shingle").alias("_hs"))
     mins = [
-        F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"_h{i}")
+        F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("_id").agg(
         *mins,
         F.count("*").alias("_n"),
-        F.collect_set("shingle").alias("_set"),
+        F.collect_set("_hs").alias("_set"),
     )
 
     band_structs = F.array(
