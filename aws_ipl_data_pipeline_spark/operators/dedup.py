@@ -358,6 +358,39 @@ def simhash_pairs(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    n_splits: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test split that cannot leak duplicates
+    across splits: the split key is the CANONICAL id of the document's
+    exact-dedup group (min id per normalized-content digest), so every
+    copy of the same content lands in the same split. Reproducible
+    across runs/partitionings (content-derived, no RNG). Returns
+    (doc_id, canonical_id, split) with split in [0, n_splits).
+
+    At scale: one digest shuffle (the dedup group-by) + a broadcast-able
+    group→canonical map join; extend the canonical grouping with
+    minhash_lsh_pairs connected components when near-dup leakage also
+    matters."""
+    hashed = docs.select(
+        F.col(id_col), F.md5(normalized_text(text_col)).alias("_digest")
+    )
+    canon = hashed.groupBy("_digest").agg(
+        F.min(id_col).cast("long").alias("canonical_id")
+    )
+    return (
+        hashed.join(canon, "_digest")
+        .select(
+            F.col(id_col).cast("long"),
+            "canonical_id",
+            F.pmod(F.col("canonical_id"), F.lit(n_splits)).cast("int").alias("split"),
+        )
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1197,6 +1197,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents
+    ),
+    canon AS (
+      SELECT digest, CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+      FROM hashed GROUP BY digest
+    ),
+    assigned AS (
+      SELECT h.doc_id, c.canonical_id, CAST(c.canonical_id % 10 AS INT) AS split
+      FROM hashed h JOIN canon c ON h.digest = c.digest
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_groups
+    FROM assigned GROUP BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/test split keyed on the exact-dedup canonical
+    id — duplicates can never straddle splits. Returns per-split doc
+    and content-group counts."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import leakage_safe_split as _ls
+
+    out = _ls(t(spark, sf_dir, "documents"), n_splits=10)
+    return out.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("canonical_id").cast("long").alias("n_groups"),
+    )
+
+
 @register("dedup_simhash")  # rows-only: custom 64-bit hash family
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (Hamming ≤ 3 via block pigeonhole)."""

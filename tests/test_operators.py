@@ -179,3 +179,27 @@ def test_multimodal_resize_plumbing(spark):
 
     with _pytest.raises(Exception):
         resize_images(media, use_real_codec=True).collect()
+
+
+def test_leakage_safe_split_invariants(spark):
+    from aws_ipl_data_pipeline_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same exact text"),
+            (50, "THE  same exact   text "),  # dup modulo normalization
+            (3, "something entirely different"),
+            (200, "the same exact text"),  # another copy
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["split"]) for r in
+           leakage_safe_split(docs, n_splits=4).collect()}
+    assert len(out) == 4  # every doc assigned
+    # all copies share canonical id AND split
+    assert out[1] == out[50] == out[200] == (1, 1 % 4)
+    assert out[3][0] == 3
+    # deterministic across recomputation
+    out2 = {r["doc_id"]: (r["canonical_id"], r["split"]) for r in
+            leakage_safe_split(docs, n_splits=4).collect()}
+    assert out2 == out
