@@ -391,6 +391,70 @@ def leakage_safe_split(
     )
 
 
+def near_dup_groups(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets the min doc id of its near-dup cluster as ``group_id``.
+
+    Iterative min-label propagation (label ← min(label, neighbors'
+    labels)), the standard large-graph CC approach; converges in
+    O(component diameter) rounds — near-dup clusters are shallow, so
+    ``max_iter`` is a safety bound, with an early-exit convergence
+    check per round (one count per iteration, driver-side loop over
+    LAZY frames — no data ever collected). Each round localCheckpoints
+    the label frame: iterative lineage otherwise grows exponentially.
+    Returns (doc_id, group_id); singleton documents are their own group.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold=threshold)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(id_col).cast("long").alias("label"),
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("group_id")
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1229,6 +1229,22 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("near_dup_groups")  # rows-only: iterative algorithm (connected components)
+def near_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the
+    MinHash pair graph via min-label propagation. Returns per-cluster
+    sizes for clusters with >1 member."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import near_dup_groups
+
+    groups = near_dup_groups(t(spark, sf_dir, "documents"), threshold=0.8)
+    return (
+        groups.groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .select(F.col("group_id").cast("long"), "n_members")
+    )
+
+
 @register("dedup_simhash")  # rows-only: custom 64-bit hash family
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (Hamming ≤ 3 via block pigeonhole)."""

@@ -203,3 +203,18 @@ def test_leakage_safe_split_invariants(spark):
     out2 = {r["doc_id"]: (r["canonical_id"], r["split"]) for r in
             leakage_safe_split(docs, n_splits=4).collect()}
     assert out2 == out
+
+
+def test_near_dup_groups_connected_components(spark):
+    from aws_ipl_data_pipeline_spark.operators.dedup import near_dup_groups
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # chain 1-2-3 (diameter > 1), pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (5, 6, 0.95)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r["doc_id"]: r["group_id"] for r in near_dup_groups(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
