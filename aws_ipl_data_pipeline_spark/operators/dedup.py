@@ -363,18 +363,30 @@ def leakage_safe_split(
     n_splits: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dups: bool = False,
+    threshold: float = 0.8,
 ) -> DataFrame:
     """Deterministic train/val/test split that cannot leak duplicates
     across splits: the split key is the CANONICAL id of the document's
     exact-dedup group (min id per normalized-content digest), so every
-    copy of the same content lands in the same split. Reproducible
-    across runs/partitionings (content-derived, no RNG). Returns
-    (doc_id, canonical_id, split) with split in [0, n_splits).
+    copy of the same content lands in the same split. With
+    ``near_dups=True`` the canonical id is instead the connected
+    component over the MinHash near-dup graph (near_dup_groups), so
+    paraphrase-level duplicates can't straddle splits either.
+    Reproducible across runs/partitionings (content-derived, no RNG).
+    Returns (doc_id, canonical_id, split) with split in [0, n_splits).
 
     At scale: one digest shuffle (the dedup group-by) + a broadcast-able
-    group→canonical map join; extend the canonical grouping with
-    minhash_lsh_pairs connected components when near-dup leakage also
-    matters."""
+    group→canonical map join; the near-dup variant adds the LSH pass."""
+    if near_dups:
+        groups = near_dup_groups(
+            docs, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+        return groups.select(
+            F.col(id_col).cast("long"),
+            F.col("group_id").alias("canonical_id"),
+            F.pmod(F.col("group_id"), F.lit(n_splits)).cast("int").alias("split"),
+        )
     hashed = docs.select(
         F.col(id_col), F.md5(normalized_text(text_col)).alias("_digest")
     )

@@ -1229,6 +1229,44 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_mixing",
+    """
+    WITH kept AS (
+      SELECT source, doc_id FROM documents
+      WHERE doc_id % 100 < CASE
+        WHEN source IN ('src0','src1','src2') THEN 90
+        WHEN length(source) > 4 THEN 30
+        ELSE 60 END
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM kept GROUP BY source
+    """,
+)
+def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture control: keep a per-source fraction of the
+    corpus deterministically (id-hash bucketing, no RNG — the same doc
+    is kept or dropped on every run and on any cluster). The CASE maps
+    source → sampling rate (some sources upweighted, the long tail
+    downsampled), the standard mixture-rebalancing op in LLM data
+    pipelines."""
+    d = t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 90)
+        .when(F.length("source") > 4, 30)
+        .otherwise(60)
+    )
+    return (
+        d.where(F.pmod("doc_id", F.lit(100)) < rate)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.min("doc_id").cast("long").alias("min_id"),
+        )
+    )
+
+
 @register("near_dup_groups")  # rows-only: iterative algorithm (connected components)
 def near_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the

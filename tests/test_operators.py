@@ -218,3 +218,28 @@ def test_near_dup_groups_connected_components(spark):
     )
     got = {r["doc_id"]: r["group_id"] for r in near_dup_groups(docs, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_leakage_safe_split_near_dups(spark):
+    from aws_ipl_data_pipeline_spark.operators.dedup import leakage_safe_split
+
+    # docs 1 and 2 are near-dups (not exact): 60 unique tokens shared,
+    # one token differs → distinct-shingle jaccard ≈ 0.9
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one extra tail"),
+            (2, base + " one other tail"),
+            (9, "completely different content with no shared shingles at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, 4).collect()}
+    near = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, 4, near_dups=True, threshold=0.8).collect()
+    }
+    # exact split CAN separate the near-dups; the near-dup split cannot
+    assert exact[1] != exact[2]
+    assert near[1] == near[2]
+    assert len(near) == 3  # singleton still assigned
