@@ -28,6 +28,11 @@ STOPWORDS = LANG_MARKERS["en"]
 # single non-space symbol (approximates subword splits on punctuation).
 BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
+# PII patterns shared by the Spark and oracle sides (RE2/Java-compatible
+# subset: no backrefs or lookaround).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
 
 def tokens(text_col: Column | str = "text") -> Column:
     """Whitespace tokens of normalized text."""
@@ -107,6 +112,84 @@ def language_id(
     return docs.select(
         F.col(id_col).cast("long"),
         F.when(has_cjk, F.lit("zh")).otherwise(best).alias("predicted_lang"),
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-token ratio plus the
+    mass fraction of the most frequent token and bigram.
+
+    Token/bigram top counts go through explode → groupBy (map-side
+    partial aggregation keyed by doc_id, two narrow shuffles) rather
+    than higher-order array folds — the per-row fold is interpreted,
+    the exploded hash-agg is whole-stage codegen'd."""
+    tk = tokens(text_col)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"), tk.alias("tk"))
+    stats = base.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct_tokens"),
+    )
+    # Spark array indexing in SQL exprs is 0-based: i in 2..n -> (i-2, i-1)
+    bigrams = F.expr("transform(sequence(2, size(tk)), i -> concat(tk[i-2], ' ', tk[i-1]))")
+    top_tok = (
+        base.select("doc_id", F.explode("tk").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_tok"))
+    )
+    top_bg = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    n = F.col("n_tokens")
+    return (
+        stats.join(top_tok, "doc_id", "left")
+        .join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(
+                1 - F.col("n_distinct_tokens") / F.greatest(n, F.lit(1)), 4
+            ).alias("dup_token_ratio"),
+            F.round(
+                F.coalesce(F.col("top_tok"), F.lit(0)) / F.greatest(n, F.lit(1)), 4
+            ).alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("top_bg"), F.lit(0))
+                / F.greatest(n - 1, F.lit(1)),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing: count and redact email / phone patterns.
+
+    Pure regexp column expressions (codegen'd); emits the redacted
+    text's md5 + length so equality of the full redaction is checkable
+    without shipping the text."""
+    c = F.col(text_col)
+    emails = F.regexp_count(c, F.lit(EMAIL_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        emails.cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
     )
 
 

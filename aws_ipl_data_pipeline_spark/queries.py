@@ -1855,6 +1855,198 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Window-function battery (beyond ref; SURVEY §2.5 classes widened):
+# ntile / percent_rank / cume_dist / first-last over full frame /
+# ROWS moving frame / value-based RANGE frame
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_battery",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(ntile(4) OVER wk AS BIGINT) AS price_quartile,
+           round(percent_rank() OVER wk, 6) AS pct_rank,
+           round(cume_dist() OVER wk, 6) AS cume,
+           CAST(first_value(o_orderkey) OVER wk AS BIGINT) AS first_key,
+           CAST(last_value(o_orderkey) OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS last_key,
+           round(avg(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS mov_avg_price,
+           round(sum(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ), 2) AS range_sum_price
+    FROM orders
+    WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic/frame window classes in one pass: a single
+    window partitioning (o_custkey) is reused by every function, so the
+    plan has ONE Exchange + sort feeding all nine columns — at 100 TB
+    the shuffle is paid once, not per-function."""
+    o = t(spark, sf_dir, "orders")
+    wk = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wmov = wk.rowsBetween(-2, 0)
+    wrange = (
+        Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 0)
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        F.ntile(4).over(wk).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(wk), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wk), 6).alias("cume"),
+        F.first("o_orderkey").over(wk).cast("long").alias("first_key"),
+        F.last("o_orderkey").over(wfull).cast("long").alias("last_key"),
+        F.round(F.avg("o_totalprice").over(wmov), 4).alias("mov_avg_price"),
+        F.round(F.sum("o_totalprice").over(wrange), 2).alias("range_sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated / nested subqueries (beyond ref; entry point 3 SQL surface —
+# Catalyst decorrelation: RewriteCorrelatedScalarSubquery → left outer
+# aggregate join; IN-subquery → left semi join)
+# --------------------------------------------------------------------------
+
+_CORRELATED_SQL = """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           c.c_name,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey < 3)
+"""
+
+
+@register("correlated_subquery", _CORRELATED_SQL)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + IN subquery through the SQL front
+    door (same text runs on both engines). Catalyst decorrelates to an
+    aggregate + join — no per-row re-execution, unlike the reference's
+    per-team scalar loops (ex_match_sg.py:252-291)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_CORRELATED_SQL)
+
+
+# --------------------------------------------------------------------------
+# Training-data extensions: repetition quality metrics + PII redaction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ), base AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             list_transform(range(2, len(tk) + 1),
+                            i -> tk[i-1] || ' ' || tk[i]) AS bg
+      FROM toks
+    ), tokc AS (
+      SELECT doc_id, max(c) AS top_tok FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM base, unnest(tk) AS u(tok) GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ), bgc AS (
+      SELECT doc_id, max(c) AS top_bg FROM (
+        SELECT doc_id, b, count(*) AS c
+        FROM base, unnest(bg) AS u(b) GROUP BY doc_id, b
+      ) GROUP BY doc_id
+    )
+    SELECT CAST(base.doc_id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+           round(1 - len(list_distinct(tk)) * 1.0 / greatest(n, 1), 4)
+             AS dup_token_ratio,
+           round(COALESCE(top_tok, 0) * 1.0 / greatest(n, 1), 4)
+             AS top_token_frac,
+           round(COALESCE(top_bg, 0) * 1.0 / greatest(n - 1, 1), 4)
+             AS top_bigram_frac
+    FROM base
+    LEFT JOIN tokc USING (doc_id)
+    LEFT JOIN bgc USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (dup-token ratio, top
+    token/bigram mass)."""
+    from aws_ipl_data_pipeline_spark.operators.text import repetition_metrics
+
+    return repetition_metrics(t(spark, sf_dir, "documents"))
+
+
+# deterministic synthetic PII (the word-salad corpus has none): an email
+# and a phone derived from doc_id, prepended to the text on BOTH sides
+_PII_SYNTH_SQL = (
+    "'reach u' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-' || "
+    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '. ' || text"
+)
+
+
+@register(
+    "text_pii_redaction",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, {_PII_SYNTH_SQL} AS text FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                 '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'))
+             AS redacted_md5,
+           CAST(length(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                 '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'))
+             AS BIGINT) AS n_chars_redacted
+    FROM synth
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministically PII-injected corpus; the
+    redacted text's md5 proves byte-equality of the scrub."""
+    from aws_ipl_data_pipeline_spark.operators.text import redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("reach u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(". "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return redact_pii(synth)
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
