@@ -132,8 +132,13 @@ def repetition_metrics(
         F.size("tk").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("tk")).cast("long").alias("n_distinct_tokens"),
     )
-    # Spark array indexing in SQL exprs is 0-based: i in 2..n -> (i-2, i-1)
-    bigrams = F.expr("transform(sequence(2, size(tk)), i -> concat(tk[i-2], ' ', tk[i-1]))")
+    # Spark array indexing in SQL exprs is 0-based: i in 2..n -> (i-2, i-1).
+    # Guard n<2: sequence(2, 1) counts DOWN in Spark, which would index
+    # out of bounds on single-token docs.
+    bigrams = F.expr(
+        "IF(size(tk) < 2, CAST(array() AS array<string>), "
+        "transform(sequence(2, size(tk)), i -> concat(tk[i-2], ' ', tk[i-1])))"
+    )
     top_tok = (
         base.select("doc_id", F.explode("tk").alias("tok"))
         .groupBy("doc_id", "tok")

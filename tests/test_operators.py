@@ -243,3 +243,43 @@ def test_leakage_safe_split_near_dups(spark):
     assert exact[1] != exact[2]
     assert near[1] == near[2]
     assert len(near) == 3  # singleton still assigned
+
+
+def test_repetition_metrics_edges(spark):
+    from aws_ipl_data_pipeline_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # dup-heavy: top token 'a' 3/4, bigram 'a a' 2/3
+            (2, "x"),                # single token: no bigrams
+            (3, "p q r"),           # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(docs).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct_tokens"] == 2
+    assert got[1]["dup_token_ratio"] == 0.5
+    assert got[1]["top_token_frac"] == 0.75
+    assert got[1]["top_bigram_frac"] == round(2 / 3, 4)
+    assert got[2]["n_tokens"] == 1 and got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["dup_token_ratio"] == 0.0 and got[3]["top_token_frac"] == round(1 / 3, 4)
+
+
+def test_redact_pii(spark):
+    from aws_ipl_data_pipeline_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and call 555-123-4567 now"),
+            (2, "no pii here"),
+            (3, "a@b.io b@c.net 111-222-3333 444-555-6666"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 1)
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 0)
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (2, 2)
+    # redaction is applied: length reflects '<EMAIL>'/'<PHONE>' substitution
+    assert got[2]["n_chars_redacted"] == len("no pii here")
+    assert got[3]["n_chars_redacted"] == len("<EMAIL> <EMAIL> <PHONE> <PHONE>")
