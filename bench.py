@@ -33,6 +33,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "text_quality",
+    "text_repetition",
+    "window_battery",
     "rollup_pricing",
     "percentiles_by_segment",
     "explode_token_counts",

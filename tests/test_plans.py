@@ -145,3 +145,26 @@ def test_entry_runs_on_vanilla_session(spark):
 
     assert len(E.entry(spark).collect()) == 10
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_window_battery_single_exchange(spark):
+    """Every window function in the battery shares the (o_custkey)
+    partitioning: one Exchange + one Sort feed all nine columns — the
+    shuffle is paid once, not per-function."""
+    p = formatted_plan(spark, "window_battery")
+    assert _nodes(p, "Exchange") == 1
+    assert _nodes(p, "Sort") == 1
+
+
+def test_correlated_subquery_decorrelated(spark):
+    """Catalyst must rewrite the correlated scalar subquery to an
+    aggregate + join (no per-row subquery re-execution plan nodes)."""
+    p = formatted_plan(spark, "correlated_subquery")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert _nodes(p, "HashAggregate") >= 1
+
+
+def test_pii_redaction_map_only(spark):
+    """Redaction is a pure scan→project pipeline: zero shuffles."""
+    p = formatted_plan(spark, "text_pii_redaction")
+    assert _nodes(p, "Exchange") == 0
