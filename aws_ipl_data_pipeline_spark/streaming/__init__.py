@@ -1,4 +1,5 @@
 from aws_ipl_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
+    dedup_within_watermark,
     run_incremental_pipeline,
     windowed_event_counts,
 )

@@ -115,6 +115,24 @@ def run_incremental_pipeline(
     return writer.start()
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ingest dedup with BOUNDED state: duplicate keys arriving
+    within the watermark horizon are dropped, and expired keys are
+    evicted from the state store — unlike a global `dropDuplicates`,
+    whose streaming state grows without bound. This is the ST2
+    append+dedupe upsert (ex_match_rb.py:201-213) recast for an
+    unbounded stream: at 100 TB/day the state holds only the watermark
+    window's keys."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -74,3 +74,45 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path_factory):
     # the late row landed in its event-time window, not arrival order
     ten_view = [r for r in streamed.collect() if r["event_type"] == "view" and r["start"].hour == 10]
     assert len(ten_view) == 1 and ten_view[0]["n"] == 1 and ten_view[0]["total_value"] == 16.0
+
+
+@pytest.mark.slow
+def test_dedup_within_watermark_stream(spark, tmp_path_factory):
+    """Duplicate event_ids delivered across micro-batches within the
+    watermark horizon must surface exactly once, matching the batch
+    dropDuplicates result."""
+    from aws_ipl_data_pipeline_spark.streaming import dedup_within_watermark
+
+    base = str(tmp_path_factory.mktemp("dedupstream"))
+    src = f"{base}/src"
+    rows = [
+        [
+            (1, "2024-03-01 10:05:00", "click", 1.0),
+            (2, "2024-03-01 10:10:00", "view", 2.0),
+        ],
+        [
+            (1, "2024-03-01 10:05:00", "click", 1.0),  # dup of batch 0
+            (2, "2024-03-01 10:12:00", "view", 3.0),   # same key, later ts: also dup
+            (3, "2024-03-01 10:30:00", "click", 4.0),
+        ],
+    ]
+    for i, batch in enumerate(rows):
+        _write(src, i, batch)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        dedup_within_watermark(stream, keys=["event_id"], watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == [1, 2, 3]  # each key exactly once despite redelivery
