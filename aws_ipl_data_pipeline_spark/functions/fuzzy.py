@@ -24,6 +24,8 @@ token-aware Indel-similarity fallback (same 0-100 scale, same cutoffs).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,6 +41,30 @@ except Exception:  # pragma: no cover
 
 PLAYER_CUTOFF = 75.0  # reference ex_match_bs.py:198
 TEAM_CUTOFF = 70.0  # reference ex_match_bs.py:256
+
+# The scorer is PINNED, not silently auto-switched: the reference's
+# cutoffs (75/70) are calibrated to rapidfuzz WRatio, and a quiet
+# fallback would let silver name normalization differ between
+# environments. SPARK_GRAFT_FUZZY_SCORER ∈ {auto, rapidfuzz, indel};
+# requesting rapidfuzz where it isn't importable is a hard error.
+_SCORER_ENV = "SPARK_GRAFT_FUZZY_SCORER"
+
+
+def resolve_scorer() -> str:
+    """Return the pinned scorer name ('rapidfuzz' or 'indel')."""
+    choice = os.environ.get(_SCORER_ENV, "auto").lower()
+    if choice not in {"auto", "rapidfuzz", "indel"}:
+        raise ValueError(
+            f"{_SCORER_ENV} must be auto|rapidfuzz|indel, got {choice!r}"
+        )
+    if choice == "rapidfuzz" and not HAVE_RAPIDFUZZ:
+        raise ImportError(
+            f"{_SCORER_ENV}=rapidfuzz but rapidfuzz is not importable; "
+            "install it or pin indel explicitly"
+        )
+    if choice == "auto":
+        return "rapidfuzz" if HAVE_RAPIDFUZZ else "indel"
+    return choice
 
 
 def _indel_ratio(a: str, b: str) -> float:
@@ -68,7 +94,7 @@ def score(a: str, b: str) -> float:
     a, b = a.lower().strip(), b.lower().strip()
     if a == b:
         return 100.0
-    if HAVE_RAPIDFUZZ:
+    if resolve_scorer() == "rapidfuzz":
         return float(_rf_fuzz.WRatio(a, b))
     s = _indel_ratio(a, b)
     ts = _indel_ratio(" ".join(sorted(a.split())), " ".join(sorted(b.split())))
@@ -80,7 +106,7 @@ def extract_one(query: str, choices: list[str], cutoff: float = 0.0) -> str | No
     """Best-scoring choice above cutoff, else None."""
     if not query or not choices:
         return None
-    if HAVE_RAPIDFUZZ:
+    if resolve_scorer() == "rapidfuzz":
         m = _rf_process.extractOne(query, choices, score_cutoff=cutoff)
         return m[0] if m else None
     best, best_s = None, cutoff
@@ -186,6 +212,12 @@ def normalize_names_multi(
         .dropDuplicates()
         .withColumn("_canonical", _normalize(F.col("_raw"), F.col("_scope")))
     )
+    if len(specs) > 1:
+        # Materialize the scored pairs ONCE (the frame is O(distinct
+        # names) — tiny) so the per-column broadcast joins below read the
+        # checkpointed rows instead of re-running the scoring UDF and the
+        # whole upstream lineage once per column.
+        pairs = pairs.localCheckpoint(eager=True)
 
     for nc, sc in specs:
         renamed = pairs.select(

@@ -20,7 +20,19 @@ engine. Scale design notes per operator:
   banding on bit-blocks (pigeonhole: d ≤ k differing bits → at least
   one of k+1 blocks identical) turns Hamming search into equi-joins.
 * embedding_cosine_pairs — exact pairwise cosine above a threshold
-  (baseline; quadratic — for scale use similarity.lsh_bucketed_topk).
+  (reference baseline; single CartesianProduct — kept only as the
+  oracle cross-check for the blocked variant).
+* embedding_cosine_pairs_blocked — the REGISTERED exact path: block
+  the vectors into G buckets, enumerate the G(G+1)/2 unordered block
+  pairs as join tasks, and compute each block-pair's cosine matrix with
+  one vectorized numpy GEMM inside applyInPandas. Same O(n²·d) FLOPS
+  (exactness at a sub-0.5 threshold on dense vectors can't be pruned —
+  LSH recall at cos≈0.45 is ~0 separation), but the PLAN is a single
+  shuffle on the task key: no CartesianProduct node, G(G+1)/2
+  evenly-sized tasks instead of one skewed cartesian, per-task memory
+  bounded by 2·(n/G)·d — pick G so a block fits an executor. This is
+  the standard reducer-blocked theta-join (1-bucket) shape; for
+  approximate regimes use similarity.lsh_bucketed_topk / ivf_topk.
 """
 
 from __future__ import annotations
@@ -502,4 +514,75 @@ def embedding_cosine_pairs(
             F.col("id_b").cast("long"),
             F.round("cos_sim", 4).alias("cos_sim"),
         )
+    )
+
+
+def embedding_cosine_pairs_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact pairwise cosine ≥ threshold, reducer-blocked (the scale
+    plan; same results as ``embedding_cosine_pairs``).
+
+    Vectors hash into ``n_blocks`` blocks; every unordered block pair
+    (ga ≤ gb) is one task key, each vector is replicated to exactly the
+    ``n_blocks`` tasks its block participates in, and one vectorized
+    numpy GEMM per task emits just the qualifying pairs. One shuffle on
+    the task key, no CartesianProduct / join at all, G(G+1)/2
+    evenly-sized tasks; per-task memory is 2·(n/G)·d doubles — at
+    cluster scale pick ``n_blocks`` so a block fits an executor core.
+    Rounding happens JVM-side (same F.round as the exact baseline) so
+    the two paths and the SQL oracle stay hash-identical.
+    """
+    spark = emb.sparkSession
+    v = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("g"),
+    )
+    mates = spark.range(n_blocks).select(F.col("id").cast("int").alias("h"))
+    rep = (
+        v.join(F.broadcast(mates))  # G tiny rows: broadcast replicate
+        .select(
+            "id",
+            "vec",
+            "g",
+            F.least("g", "h").alias("ta"),
+            F.greatest("g", "h").alias("tb"),
+        )
+    )
+
+    def _block_pair(key, pdf):
+        ga, gb = int(key[0]), int(key[1])
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        if ga == gb:
+            cos = (mat @ mat.T) / np.outer(nrm, nrm)
+            ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
+            lo = np.minimum(ids[ia], ids[ib])
+            hi = np.maximum(ids[ia], ids[ib])
+            sim = cos[ia, ib]
+        else:
+            amask = (pdf["g"].to_numpy() == ga)
+            aid, bid = ids[amask], ids[~amask]
+            am, bm = mat[amask], mat[~amask]
+            an, bn = nrm[amask], nrm[~amask]
+            if len(aid) == 0 or len(bid) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            cos = (am @ bm.T) / np.outer(an, bn)
+            ia, ib = np.nonzero(cos >= threshold)
+            lo = np.minimum(aid[ia], bid[ib])
+            hi = np.maximum(aid[ia], bid[ib])
+            sim = cos[ia, ib]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sim})
+
+    pairs = rep.groupBy("ta", "tb").applyInPandas(
+        _block_pair, schema="id_a long, id_b long, cos_sim double"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
     )

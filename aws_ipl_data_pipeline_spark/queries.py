@@ -1319,11 +1319,18 @@ _EMB_EXPAND = """
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: exact pairwise cosine ≥ 0.45 (baseline
-    O(n²) path; LSH-bucketed variant is ann_lsh_topk)."""
-    from aws_ipl_data_pipeline_spark.operators.dedup import embedding_cosine_pairs
+    """Embedding near-dup pairs: exact pairwise cosine ≥ 0.45 via the
+    reducer-blocked GEMM plan (no CartesianProduct; one shuffle on the
+    block-pair task key). The single-cartesian baseline
+    (embedding_cosine_pairs) is kept as the cross-check; approximate
+    regimes use ann_lsh_topk / ann_ivf_topk."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_blocked,
+    )
 
-    return embedding_cosine_pairs(t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return embedding_cosine_pairs_blocked(
+        t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -2045,6 +2052,135 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return redact_pii(synth)
+
+
+_DOC_SHINGLES_SQL = """
+    norm AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
+      FROM norm, unnest(range(1, len(tk) - 3)) AS u(i)
+      WHERE len(tk) >= 5
+    )
+"""
+
+
+@register(
+    "decontamination_overlap",
+    f"""
+    WITH {_DOC_SHINGLES_SQL}
+    SELECT CAST(a.doc_id AS BIGINT) AS train_doc_id,
+           CAST(b.doc_id AS BIGINT) AS eval_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing ≥3 distinct word
+    5-grams with any eval-set doc (eval = doc_id % 10 == 0 here; in
+    production the eval side is the benchmark suite). Inverted-index
+    join on the shingle — only docs sharing a shingle ever meet, the
+    overlap count aggregates map-side, and the tiny eval side
+    broadcast-prunes at scale. The n-gram-overlap decontamination
+    protocol follows the published GPT-3/Pile practice."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=5)
+    train = sh.where(F.col("_id") % 10 != 0).select(
+        F.col("_id").alias("train_doc_id"), "shingle"
+    )
+    ev = sh.where(F.col("_id") % 10 == 0).select(
+        F.col("_id").alias("eval_doc_id"), "shingle"
+    )
+    return (
+        train.join(ev, "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= 3)
+        .select(
+            F.col("train_doc_id").cast("long"),
+            F.col("eval_doc_id").cast("long"),
+            F.col("n_overlap").cast("long"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_by_source",
+    """
+    SELECT doc_id, source, n_chars, CAST(rk AS INT) AS sample_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 5
+    """,
+)
+def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT sampling: deterministic n-per-group via a hash
+    order (seeded shuffle that every rerun reproduces — no RNG state).
+    One shuffle on the stratum key; at corpus scale swap the global
+    window for a per-group hash-threshold pre-filter so no stratum's
+    rows concentrate on one task, then rank only the survivors."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 5)
+        .select("doc_id", "source", "n_chars", "sample_rank")
+    )
+
+
+@register(
+    "vocab_top_terms",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM tok WHERE token <> ''
+    GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT 20
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-k terms by document frequency.
+    array_distinct before the explode keeps one row per (doc, term),
+    the count aggregates map-side, and the top-k is
+    TakeOrderedAndProject (never a full sort); tiebreak on the token
+    makes the k-boundary deterministic."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(normalized_text("text"), " "))).alias(
+                "token"
+            ),
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(20)
+    )
 
 
 # register the IPL-medallion VALUES-fixture queries (bottom import: the

@@ -40,18 +40,20 @@ def write_partitioned(
     filters like ``match = 'X'``).
     """
     fmt = fmt or ("delta" if HAVE_DELTA else "parquet")
+    if replace_where is not None and fmt != "delta":
+        # dynamic overwrite only touches partitions present in df; keep
+        # the predicate as a guard on the written rows
+        df = df.where(replace_where)
+        mode = "overwrite"
     w = df.write.format(fmt).partitionBy(*partition_by).mode(mode)
-    if replace_where is not None:
-        if fmt == "delta":
-            w = w.option("replaceWhere", replace_where)
-        else:
-            # dynamic overwrite only touches partitions present in df;
-            # keep the predicate as a guard on the written rows
-            df_f = df.where(replace_where)
-            w = df_f.write.format(fmt).partitionBy(*partition_by).mode("overwrite")
-            w.option("partitionOverwriteMode", "dynamic").save(path)
-            return
-    if mode == "overwrite" and fmt != "delta":
+    if replace_where is not None and fmt == "delta":
+        w = w.option("replaceWhere", replace_where)
+    elif mode == "overwrite":
+        # Set dynamic partition overwrite as a WRITER option for every
+        # format, delta included (Delta >= 2.0 honors it). Relying on the
+        # session conf alone risks a static whole-table overwrite — and
+        # silent loss of untouched partitions — on sessions that never
+        # set spark.sql.sources.partitionOverwriteMode=dynamic.
         w = w.option("partitionOverwriteMode", "dynamic")
     w.save(path)
 
@@ -78,6 +80,24 @@ def upsert_by_key(
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+
+    # Duplicate keys WITHIN new_df would be resolved nondeterministically
+    # on the parquet path and make Delta MERGE throw ("multiple source
+    # rows matched"). Dedupe first with a documented tiebreak: the row
+    # with the lexicographically greatest non-key tuple wins (nulls
+    # last), so both paths pick the same survivor on every run.
+    others = [c for c in new_df.columns if c not in keys]
+    if others:
+        pick = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc_nulls_last() for c in others]
+        )
+        new_df = (
+            new_df.withColumn("_nk", F.row_number().over(pick))
+            .where(F.col("_nk") == 1)
+            .drop("_nk")
+        )
+    else:
+        new_df = new_df.dropDuplicates(keys)
 
     fmt = fmt or ("delta" if HAVE_DELTA else "parquet")
     if fmt == "delta" and HAVE_DELTA:

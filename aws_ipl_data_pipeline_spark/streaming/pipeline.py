@@ -28,6 +28,7 @@ aggregated over the whole table by definition.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,13 +77,18 @@ def run_incremental_pipeline(
         # the touched partitions rewrite.
         affected = [r[0] for r in batch_df.select("match").distinct().collect()]
         acc = batch_df
+        # Only a missing path means "first batch". Any other read error
+        # (corrupt file, storage hiccup) must FAIL the micro-batch so the
+        # checkpoint retries it — swallowing it would overwrite the
+        # accumulated partitions with just this batch's rows.
         try:
             existing = spark.read.schema(RAW_DELIVERIES).parquet(bronze_path)
             acc = acc.unionByName(
                 existing.where(F.col("match").isin(affected))
             ).dropDuplicates()
-        except Exception:
-            pass  # first batch: nothing accumulated yet
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
         acc = acc.localCheckpoint()  # cut lineage before self-overwrite
         write_partitioned(acc, bronze_path, partition_by=["match"], mode="overwrite")
 

@@ -68,6 +68,34 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
+    # trend line vs the last recorded round: report per-query deltas and
+    # flag anything regressing >1.5x so a regression can't hide in the
+    # total (stderr only — the stdout contract stays one JSON line)
+    prior = None
+    for prev in sorted(
+        f for f in os.listdir(".") if f.startswith("BENCH_r") and f.endswith(".json")
+    )[::-1]:
+        try:
+            with open(prev) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+            if parsed.get("sf") == sf and parsed.get("queries"):
+                prior = (prev, parsed["queries"])
+                break
+        except Exception:
+            continue
+    if prior is not None:
+        ref_name, ref_q = prior
+        for name, now in timings.items():
+            then = ref_q.get(name)
+            if then:
+                ratio = now / then
+                flag = "  <-- REGRESSION >1.5x" if ratio > 1.5 else ""
+                print(
+                    f"  vs {ref_name} {name}: {then}s -> {now}s "
+                    f"({ratio:.2f}x){flag}",
+                    file=sys.stderr,
+                )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

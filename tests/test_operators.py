@@ -283,3 +283,71 @@ def test_redact_pii(spark):
     # redaction is applied: length reflects '<EMAIL>'/'<PHONE>' substitution
     assert got[2]["n_chars_redacted"] == len("no pii here")
     assert got[3]["n_chars_redacted"] == len("<EMAIL> <EMAIL> <PHONE> <PHONE>")
+
+
+def test_blocked_cosine_equals_exact(spark):
+    """The blocked GEMM plan is exact: identical pairs + rounded sims as
+    the single-cartesian baseline, at several block counts (including
+    n_blocks > distinct hash values, leaving some block pairs empty)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_blocked,
+    )
+    from aws_ipl_data_pipeline_spark.queries import t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    want = sorted(map(tuple, embedding_cosine_pairs(emb, threshold=0.4).collect()))
+    assert want  # fixture must produce at least one qualifying pair
+    for g in (1, 3, 8):
+        got = sorted(
+            map(
+                tuple,
+                embedding_cosine_pairs_blocked(
+                    emb, threshold=0.4, n_blocks=g
+                ).collect(),
+            )
+        )
+        assert got == want, f"n_blocks={g}"
+
+
+def test_fuzzy_scorer_pinned(monkeypatch):
+    from aws_ipl_data_pipeline_spark.functions import fuzzy
+
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_SCORER", "indel")
+    assert fuzzy.resolve_scorer() == "indel"
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_SCORER", "nonsense")
+    with pytest.raises(ValueError):
+        fuzzy.resolve_scorer()
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_SCORER", "rapidfuzz")
+    if fuzzy.HAVE_RAPIDFUZZ:
+        assert fuzzy.resolve_scorer() == "rapidfuzz"
+        # parity: same canonical choices at the reference cutoffs either way
+        names = ["V Kohli", "Virat Kohli", "R Sharma", "Rohit Sharma"]
+        rf = [fuzzy.extract_one(n, names[1::2], 75.0) for n in names[::2]]
+        monkeypatch.setenv("SPARK_GRAFT_FUZZY_SCORER", "indel")
+        il = [fuzzy.extract_one(n, names[1::2], 75.0) for n in names[::2]]
+        assert rf == il
+    else:
+        with pytest.raises(ImportError):
+            fuzzy.resolve_scorer()
+
+
+def test_normalize_multi_single_scoring_pass(spark):
+    """With >1 spec the scored pairs frame is materialized once; the
+    returned plan must read the checkpointed rows, not re-run the
+    Arrow scoring UDF (and the whole upstream lineage) per column."""
+    df = spark.createDataFrame(
+        [("V Kohli", "RCB", "J Bumrah"), ("Rohit Shrama", "MI", "J Bumrah")],
+        "batsman string, team string, bowler string",
+    )
+    players = spark.createDataFrame(
+        [("Virat Kohli", "RCB"), ("Rohit Sharma", "MI"), ("Jasprit Bumrah", "MI")],
+        "Name string, Team string",
+    )
+    out = fuzzy.normalize_names_multi(
+        df, players, [("batsman", "team"), ("bowler", "team")]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    rows = {r["batsman"] for r in out.collect()}
+    assert rows == {"Virat Kohli", "Rohit Sharma"}

@@ -168,3 +168,10 @@ def test_pii_redaction_map_only(spark):
     """Redaction is a pure scan→project pipeline: zero shuffles."""
     p = formatted_plan(spark, "text_pii_redaction")
     assert _nodes(p, "Exchange") == 0
+
+
+def test_embedding_cosine_no_cartesian(spark):
+    # the registered embedding near-dup must be the reducer-blocked GEMM
+    # plan: one shuffle on the block-pair key, never a CartesianProduct
+    p = formatted_plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in p

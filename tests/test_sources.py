@@ -117,6 +117,25 @@ def test_upsert_by_key_newest_wins(spark, tmp_path_factory):
     assert got2 == got
 
 
+def test_upsert_dedupes_duplicate_source_keys(spark, tmp_path_factory):
+    """Duplicate keys WITHIN one upsert batch resolve deterministically:
+    the lexicographically greatest non-key tuple wins (nulls last) — the
+    same survivor a Delta MERGE would need pre-deduped anyway."""
+    from aws_ipl_data_pipeline_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path_factory.mktemp("upsert_dup")) + "/t"
+    base = spark.createDataFrame([(1, "a", 10)], "k long, name string, v long")
+    upsert_by_key(spark, base, path, keys=["k"])
+    dup = spark.createDataFrame(
+        [(2, "x", 1), (2, "y", 2), (2, "x", 3), (1, "z", None)],
+        "k long, name string, v long",
+    )
+    upsert_by_key(spark, dup, path, keys=["k"])
+    got = {(r["k"]): (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # k=2: greatest (name, v) tuple is ("y", 2); k=1: incoming ("z", None) wins
+    assert got == {2: ("y", 2), 1: ("z", None)}
+
+
 def test_validate_frame_reports_precise_diff(spark):
     from pyspark.sql import types as T
 
