@@ -2183,6 +2183,102 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+    FROM ordered
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: documents are laid head-to-tail in a
+    deterministic hash order and chunked into fixed 2048-token packs;
+    each doc gets the pack it STARTS in plus its offset there (docs may
+    span packs — the standard concat-then-chunk LM data layout, not
+    bin-packing). The running total is one window over the hash order;
+    at corpus scale the same layout runs per-shard (hash-partition
+    first, window within shards) so no global single-partition sort is
+    needed — noted here because this registered form IS the global
+    layout, the per-shard variant just adds the shard key to the
+    window."""
+    docs = t(spark, sf_dir, "documents")
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(normalized_text("text"), " "), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    budget = 2048
+    return toks.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("long").alias("pack_id"),
+        ((F.col("cum") - F.col("n_tokens")) % budget).cast("long").alias("pack_offset"),
+    )
+
+
+@register(
+    "quality_weighted_sample",
+    """
+    WITH q AS (
+      SELECT doc_id, source, n_chars,
+             LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS keep_prob,
+             (doc_id * 2654435761) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(keep_prob, 4) AS keep_prob
+    FROM q
+    WHERE bucket < keep_prob * 1000
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without RNG state: each doc's keep
+    probability derives from a quality proxy (length here; any score
+    column in production) and the keep decision is a pure function of
+    the id (Knuth multiplicative hash into 1000 buckets) — reruns,
+    retries, and stragglers all make identical decisions, which
+    sampled-twice/sampled-never bugs under task retry can't survive.
+    Map-only plan: no shuffle, fully pushed down."""
+    docs = t(spark, sf_dir, "documents")
+    keep_prob = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
+    bucket = (F.col("doc_id") * 2654435761) % 1000
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            keep_prob.alias("_kp"),
+            bucket.alias("_b"),
+        )
+        .where(F.col("_b") < F.col("_kp") * 1000)
+        .select(
+            "doc_id", "source", "n_chars", F.round("_kp", 4).alias("keep_prob")
+        )
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401

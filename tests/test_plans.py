@@ -175,3 +175,21 @@ def test_embedding_cosine_no_cartesian(spark):
     # plan: one shuffle on the block-pair key, never a CartesianProduct
     p = formatted_plan(spark, "dedup_embedding_cosine")
     assert "CartesianProduct" not in p
+
+
+def test_quality_weighted_sample_map_only(spark):
+    # pure per-row decision: no shuffle anywhere in the plan
+    p = formatted_plan(spark, "quality_weighted_sample")
+    assert "Exchange" not in p
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    # top-k by doc_freq must be TakeOrderedAndProject, not a full sort
+    p = formatted_plan(spark, "vocab_top_terms")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_stratified_sample_single_exchange(spark):
+    # one hash shuffle on the stratum key feeds the ranking window
+    p = formatted_plan(spark, "stratified_sample_by_source")
+    assert _nodes(p, "Exchange") == 1
