@@ -118,6 +118,27 @@ def cmd_sql(args) -> None:
     spark.sql(args.query).show(args.rows, truncate=False)
 
 
+def cmd_query(args) -> None:
+    """Run any registered operator query over a table directory; write
+    parquet with --out, else show. ``--name list`` prints the registry
+    (oracle-backed entries marked)."""
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+    if args.name == "list":
+        for name in sorted(REGISTRY):
+            kind = "oracle" if REGISTRY[name].oracle else "rows-only"
+            print(f"{name}\t{kind}")
+        return
+    if args.name not in REGISTRY:
+        sys.exit(f"unknown query {args.name!r}; try: query list")
+    spark = _spark(f"query-{args.name}")
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+    else:
+        df.show(args.rows, truncate=False)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="aws_ipl_data_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -155,6 +176,15 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--table", action="append", metavar="NAME=PATH")
     q.add_argument("--rows", type=int, default=20)
     q.set_defaults(fn=cmd_sql)
+
+    qq = sub.add_parser(
+        "query", help="run a registered operator query ('query list' to enumerate)"
+    )
+    qq.add_argument("name")
+    qq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qq.add_argument("--out", help="write parquet here instead of showing")
+    qq.add_argument("--rows", type=int, default=20)
+    qq.set_defaults(fn=cmd_query)
     return p
 
 

@@ -92,3 +92,26 @@ def test_cli_sql_over_parquet(spark, tmp_path_factory, capsys):
     )
     out = capsys.readouterr().out
     assert "BB" in out and "30" in out
+
+
+def test_cli_query_runs_and_writes(spark, tmp_path_factory, capsys):
+    from aws_ipl_data_pipeline_spark.cli import main
+
+    main(["query", "list"])
+    out = capsys.readouterr().out
+    assert "vocab_top_terms\toracle" in out
+
+    dest = str(tmp_path_factory.mktemp("cliq")) + "/vocab"
+    main(
+        [
+            "query",
+            "vocab_top_terms",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            dest,
+        ]
+    )
+    got = spark.read.parquet(dest)
+    assert got.count() == 20
+    assert set(got.columns) == {"token", "doc_freq"}

@@ -221,3 +221,90 @@ def test_upsert_by_key_model(tmp_path_factory, batches):
         model.update(dedup)
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == model
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 500)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([64, 257, 2048]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sequence_packing_invariants(rows, budget):
+    """Packing layout invariants for any doc-id/token-count multiset and
+    budget: offsets stay inside the pack, the layout is gapless (each
+    doc starts exactly where the previous one ended, in hash order),
+    and total token mass is preserved."""
+    spark = _get_spark()
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    w = (
+        Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = docs.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "n_tokens",
+        "cum",
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).alias("pack_id"),
+        ((F.col("cum") - F.col("n_tokens")) % budget).alias("pack_offset"),
+    )
+    got = out.collect()
+    assert sum(r["n_tokens"] for r in got) == sum(n for _, n in rows)
+    start = 0
+    for r in sorted(got, key=lambda r: r["cum"]):
+        assert r["pack_id"] == start // budget
+        assert r["pack_offset"] == start % budget
+        assert 0 <= r["pack_offset"] < budget
+        start += r["n_tokens"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 100_000),
+            st.lists(
+                st.floats(-1.0, 1.0, allow_nan=False, width=32),
+                min_size=8,
+                max_size=8,
+            ),
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 2, 5]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_blocked_cosine_matches_exact_random(vecs, n_blocks):
+    """Reducer-blocked GEMM pairs == single-cartesian exact pairs on
+    arbitrary vectors and block counts (zero vectors excluded — cosine
+    undefined)."""
+    import math
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_blocked,
+    )
+
+    vecs = [(i, v) for i, v in vecs if math.sqrt(sum(x * x for x in v)) > 1e-6]
+    if len(vecs) < 2:
+        return
+    spark = _get_spark()
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    want = sorted(
+        map(tuple, embedding_cosine_pairs(emb, threshold=0.3).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            embedding_cosine_pairs_blocked(
+                emb, threshold=0.3, n_blocks=n_blocks
+            ).collect(),
+        )
+    )
+    assert got == want
