@@ -112,3 +112,40 @@ def test_late_rescape_overwrites_match_partition(spark, tmp_path_factory):
     assert n_m1_before < n_m1_after == 15
     # untouched match byte-identical rows
     assert _canon(silver2.where("match = '02_AAvsCC'")) == m2_before
+
+
+@pytest.mark.slow
+def test_corrupt_bronze_fails_batch_not_silently(spark, tmp_path_factory):
+    """A corrupt accumulated-bronze read must FAIL the micro-batch (so
+    the checkpoint retries) — never be treated as 'first batch', which
+    would overwrite accumulated partitions with only the new rows."""
+    base = str(tmp_path_factory.mktemp("stream3"))
+    raw_dir = f"{base}/raw"
+    meta, plyr = match_meta(spark), players(spark)
+    by_match: dict[str, list] = {}
+    for row in RAW_ROWS:
+        by_match.setdefault(row[0], []).append(row)
+    _write_csv(f"{raw_dir}/01_AAvsBB/01_AAvsBB-1.csv", by_match["01_AAvsBB"])
+
+    # bronze path exists but holds garbage instead of parquet
+    bronze = f"{base}/bronze"
+    os.makedirs(bronze, exist_ok=True)
+    with open(f"{bronze}/part-00000.parquet", "w") as f:
+        f.write("this is not parquet")
+
+    q = run_incremental_pipeline(
+        spark,
+        raw_dir=f"{raw_dir}/*/",
+        silver_path=f"{base}/silver",
+        gold_dir=f"{base}/gold",
+        meta_df=meta,
+        players_df=plyr,
+        checkpoint_dir=f"{base}/ckpt",
+        bronze_path=bronze,
+        available_now=True,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+    # the corrupt file survived — nothing silently overwrote the table
+    with open(f"{bronze}/part-00000.parquet") as f:
+        assert f.read() == "this is not parquet"
