@@ -586,3 +586,43 @@ def embedding_cosine_pairs_blocked(
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
     )
+
+
+def prefix_fingerprint(
+    text_col: Column | str = "text", n_tokens: int = 8
+) -> Column:
+    """Digest of the first ``n_tokens`` normalized tokens — the coarse
+    boilerplate-prefix key production ingest dedups on (URL-normalized
+    or template-heavy pages collide on it long before full-text md5
+    does)."""
+    toks = F.split(normalized_text(text_col), " ")
+    return F.md5(F.concat_ws(" ", F.slice(toks, 1, n_tokens)))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: int = 8,
+) -> DataFrame:
+    """Batch-vs-corpus dedup — the production daily-ingest flow: dedupe
+    the incoming batch within itself (min id per digest), then anti-join
+    the historical digest set; only novel content survives.
+
+    ``seen_hashes`` needs one ``text_hash`` column. Scale shape: the
+    batch is small and dedupes with one map-side-combinable hash agg;
+    the anti-join shuffles on the digest — at 100 TB keep the digest
+    table bucketed by ``text_hash`` so the anti-join co-locates and the
+    corpus side never reshuffles. Returns (id, text_hash) of novel docs.
+    """
+    batch = (
+        new_docs.select(
+            F.col(id_col), prefix_fingerprint(text_col, n_tokens).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(F.min(id_col).cast("long").alias(id_col))
+    )
+    return batch.join(
+        seen_hashes.select("text_hash"), "text_hash", "left_anti"
+    ).select(id_col, "text_hash")

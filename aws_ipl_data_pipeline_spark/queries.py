@@ -2279,6 +2279,89 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREFIX_HASH_SQL = """
+    h AS (
+      SELECT doc_id, source, n_chars,
+             md5(array_to_string(
+               (string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))[1:8],
+               ' ')) AS text_hash
+      FROM documents
+    )
+"""
+
+
+@register(
+    "incremental_dedup",
+    f"""
+    WITH {_PREFIX_HASH_SQL},
+    batch AS (
+      SELECT text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM h WHERE doc_id % 3 = 0 GROUP BY text_hash
+    )
+    SELECT b.doc_id, b.text_hash
+    FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM h s WHERE s.doc_id % 3 <> 0 AND s.text_hash = b.text_hash
+    )
+    """,
+)
+def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: the incoming batch (doc_id % 3 == 0 stands in
+    for today's crawl) dedupes within itself then anti-joins the
+    historical corpus digest set — only novel content is admitted."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+        prefix_fingerprint,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 3 != 0).select(
+        prefix_fingerprint("text").alias("text_hash")
+    )
+    return incremental_dedup(docs.where(F.col("doc_id") % 3 == 0), seen)
+
+
+@register(
+    "canonical_selection",
+    f"""
+    WITH {_PREFIX_HASH_SQL},
+    r AS (
+      SELECT text_hash, doc_id, source,
+             row_number() OVER (
+               PARTITION BY text_hash
+               ORDER BY CAST(substr(source, 4) AS INT), doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY text_hash) AS n_copies
+      FROM h
+    )
+    SELECT text_hash, doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rk = 1 AND n_copies > 1
+    """,
+)
+def canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection: within each duplicate-content group,
+    keep the copy from the highest-priority source (lowest source
+    number here; a trust ranking in production), tiebreak on id. One
+    shuffle on the digest; rank + group size share the window
+    partitioning."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import prefix_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select(
+        prefix_fingerprint("text").alias("text_hash"),
+        "doc_id",
+        "source",
+        F.expr("CAST(substring(source, 4) AS INT)").alias("_pri"),
+    )
+    w = Window.partitionBy("text_hash")
+    return (
+        h.withColumn("rk", F.row_number().over(w.orderBy("_pri", "doc_id")))
+        .withColumn("n_copies", F.count("*").over(w))
+        .where((F.col("rk") == 1) & (F.col("n_copies") > 1))
+        .select("text_hash", "doc_id", "source", F.col("n_copies").cast("long"))
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
