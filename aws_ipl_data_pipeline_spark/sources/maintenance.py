@@ -1,0 +1,86 @@
+"""Table maintenance: small-files compaction and atomic publish.
+
+The reference's per-match partition writes (one object per scrape,
+pipeline_2026/ex_match_bs.py:461-471) produce exactly the small-files
+shape that degrades a 100 TB lake: every scan pays per-file open/seek
+and the driver pays listing. Compaction rewrites a parquet table into
+~target-size files; the swap is staged-then-rename so readers never
+observe a half-written table (the parquet-level stand-in for Delta's
+OPTIMIZE + transactional commit, which takes over when delta-spark is
+installed).
+
+Scale notes: file sizes come from the Hadoop FileSystem API (works for
+any FS Spark can read — local, HDFS, S3A); the rewrite is one
+`repartition(n)` round-robin shuffle, which also evens out skewed
+input files. For partitioned tables compact per partition predicate so
+only small-file partitions rewrite.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def table_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes of a table directory (any Hadoop FS)."""
+    fs, jpath = _fs_and_path(spark, path)
+    return fs.getContentSummary(jpath).getLength()
+
+
+def data_file_count(spark: SparkSession, path: str) -> int:
+    """Number of data files Spark would scan for the table."""
+    return len(
+        [f for f in spark.read.parquet(path).inputFiles() if "_SUCCESS" not in f]
+    )
+
+
+def publish_atomically(df: DataFrame, path: str) -> None:
+    """Write ``df`` to a staging dir, then swap it into ``path`` with
+    FS renames — readers see the old table or the new one, never a mix.
+    (Rename is atomic on HDFS/local; on S3 it is copy-based but still
+    all-or-nothing per the final rename of the directory entry set —
+    use Delta for true transactional publish there.)"""
+    spark = df.sparkSession
+    staging = path.rstrip("/") + "._staging"
+    backup = path.rstrip("/") + "._old"
+    fs, jpath = _fs_and_path(spark, path)
+    _, jstaging = _fs_and_path(spark, staging)
+    _, jbackup = _fs_and_path(spark, backup)
+    fs.delete(jstaging, True)
+    fs.delete(jbackup, True)
+    df.write.mode("overwrite").parquet(staging)
+    if fs.exists(jpath):
+        if not fs.rename(jpath, jbackup):
+            raise IOError(f"could not stage out old table at {path}")
+    if not fs.rename(jstaging, jpath):
+        # roll back: restore the previous table
+        fs.rename(jbackup, jpath)
+        raise IOError(f"could not publish staged table to {path}")
+    fs.delete(jbackup, True)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the parquet table at ``path`` into ⌈bytes/target⌉
+    evenly-sized files and atomically swap it in. Returns the new file
+    count. Row-for-row identical content — only the file layout
+    changes."""
+    total = table_bytes(spark, path)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path).repartition(n)
+    # cut lineage from the path being replaced before the swap
+    df = df.localCheckpoint(eager=True)
+    publish_atomically(df, path)
+    return data_file_count(spark, path)

@@ -158,3 +158,36 @@ def test_validate_frame_reports_precise_diff(spark):
     msg = str(e.value)
     assert "bronze" in msg and "extra=['c']" in msg
     assert "b: expected string, got bigint" in msg
+
+
+def test_compaction_preserves_rows_and_shrinks_files(spark, tmp_path_factory):
+    from aws_ipl_data_pipeline_spark.sources.maintenance import (
+        compact,
+        data_file_count,
+    )
+
+    path = str(tmp_path_factory.mktemp("compact")) + "/t"
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k", "md5(CAST(id AS STRING)) AS payload")
+    df.repartition(40).write.parquet(path)
+    assert data_file_count(spark, path) == 40
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    n_after = compact(spark, path, target_file_bytes=1 << 30)
+    assert n_after == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    # staging/backup dirs must not linger
+    import os
+
+    parent = os.path.dirname(path)
+    assert sorted(os.listdir(parent)) == ["t"]
+
+
+def test_publish_atomically_replaces_or_rolls_back(spark, tmp_path_factory):
+    from aws_ipl_data_pipeline_spark.sources.maintenance import publish_atomically
+
+    path = str(tmp_path_factory.mktemp("publish")) + "/t"
+    spark.range(5).write.parquet(path)
+    publish_atomically(spark.range(100, 103).toDF("id"), path)
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == [100, 101, 102]
