@@ -2362,6 +2362,98 @@ def canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_analysis",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+    ),
+    s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+                  OVER (PARTITION BY user_id) AS t_view
+      FROM ev
+    ),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t_view THEN us END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t_click THEN us END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+           MIN(t_purchase) AS t_purchase,
+           CAST(CASE WHEN MIN(t_purchase) IS NOT NULL THEN 3
+                     WHEN MIN(t_click) IS NOT NULL THEN 2
+                     WHEN MIN(t_view) IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM s3 GROUP BY user_id
+    """,
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (view → click → purchase) per user: each
+    stage's timestamp is the earliest event of that type AFTER the
+    previous stage completed. Three stacked conditional-min windows
+    share ONE user_id partitioning, and the final per-user rollup
+    reuses that partitioning — a single shuffle end-to-end (gated).
+    The standard behavioral-analytics sequence-match, done with
+    windows instead of per-user event replay."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wu = Window.partitionBy("user_id")
+    df = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(wu),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("us") > F.col("t_view")),
+                    F.col("us"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("t_click")),
+                    F.col("us"),
+                )
+            ).over(wu),
+        )
+    )
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
+        .select(
+            F.col("user_id").cast("long"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_stage"),
+        )
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401

@@ -193,3 +193,11 @@ def test_stratified_sample_single_exchange(spark):
     # one hash shuffle on the stratum key feeds the ranking window
     p = formatted_plan(spark, "stratified_sample_by_source")
     assert _nodes(p, "Exchange") == 1
+
+
+def test_funnel_single_exchange(spark):
+    """Three stacked conditional-min windows and the final per-user
+    rollup share one user_id partitioning: exactly 1 Exchange."""
+    p = formatted_plan(spark, "funnel_analysis")
+    assert _nodes(p, "Exchange") == 1
+    assert _nodes(p, "Window") == 3
