@@ -2454,6 +2454,47 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "retention_cohorts",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    a AS (SELECT DISTINCT user_id, wk FROM ev),
+    f AS (
+      SELECT *, MIN(wk) OVER (PARTITION BY user_id) AS first_wk FROM a
+    )
+    SELECT CAST(epoch_us(first_wk) AS BIGINT) AS cohort_week_us,
+           CAST(date_diff('day', first_wk, wk) / 7 AS INT) AS weeks_since,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM f GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-active
+    week, counted in each later week they reappear. Per-user first-week
+    is a window min (no self-join); activity is pre-deduped to
+    (user, week) grain so the cohort rollup aggregates a frame whose
+    size is users × weeks, not raw events — the cardinality reduction
+    happens map-side before any wide shuffle."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("timestamp")).alias("wk")
+    )
+    a = e.dropDuplicates(["user_id", "wk"])
+    f = a.withColumn("first_wk", F.min("wk").over(Window.partitionBy("user_id")))
+    return (
+        f.groupBy("first_wk", (F.datediff("wk", "first_wk") / 7).cast("int").alias(
+            "weeks_since"
+        ))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.unix_micros("first_wk").alias("cohort_week_us"),
+            "weeks_since",
+            "n_users",
+        )
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
