@@ -1267,6 +1267,51 @@ def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    edges AS (
+      SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b
+      FROM jac WHERE j >= 0.8
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(x, y) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+    ),
+    labels AS (
+      SELECT x AS doc_id, LEAST(x, MIN(y)) AS group_id FROM reach GROUP BY x
+    )
+    SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY group_id HAVING COUNT(*) > 1
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering, oracle-proven: connected components (min-
+    label propagation) over the EXACT jaccard pair graph, checked
+    against a DuckDB recursive-CTE transitive closure. The iterative
+    Spark loop is the 100 TB path (closure materialization is
+    quadratic in component size; label propagation is linear per
+    round); this query pins that the loop computes the same
+    components."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        near_dup_groups,
+        shingle_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs, threshold=0.8)
+    groups = near_dup_groups(docs, pairs=pairs, threshold=0.8)
+    return (
+        groups.groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .select(F.col("group_id").cast("long"), "n_members")
+    )
+
+
 @register("near_dup_groups")  # rows-only: iterative algorithm (connected components)
 def near_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the
