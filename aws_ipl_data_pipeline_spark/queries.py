@@ -2540,6 +2540,48 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "data_quality_report",
+    """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS u0
+      FROM lineitem
+    )
+    SELECT 'quantity_in_1_45' AS rule, v0 AS n_violations, n_rows FROM s
+    UNION ALL SELECT 'discount_in_0_005', v1, n_rows FROM s
+    UNION ALL SELECT 'shipdate_not_null', v2, n_rows FROM s
+    UNION ALL SELECT 'returnflag_in_set', v3, n_rows FROM s
+    UNION ALL SELECT 'orderkey_linenumber_unique', u0, n_rows FROM s
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-contract validation: five expectations (ranges, null,
+    set membership, key uniqueness) checked in ONE aggregation pass —
+    a 20-rule contract still costs one scan + one reduce. Violation
+    counts, not booleans, so loads can threshold instead of
+    hard-failing on a single bad row."""
+    from aws_ipl_data_pipeline_spark.operators.quality import expectation_report
+
+    li = t(spark, sf_dir, "lineitem")
+    return expectation_report(
+        li,
+        rules=[
+            ("quantity_in_1_45", ~F.col("l_quantity").between(1, 45)),
+            ("discount_in_0_005", ~F.col("l_discount").between(0, 0.05)),
+            ("shipdate_not_null", F.col("l_shipdate").isNull()),
+            ("returnflag_in_set", ~F.col("l_returnflag").isin("A", "N", "R")),
+        ],
+        unique_keys=[
+            ("orderkey_linenumber_unique", ["l_orderkey", "l_linenumber"])
+        ],
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401

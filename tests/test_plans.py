@@ -201,3 +201,10 @@ def test_funnel_single_exchange(spark):
     p = formatted_plan(spark, "funnel_analysis")
     assert _nodes(p, "Exchange") == 1
     assert _nodes(p, "Window") == 3
+
+
+def test_data_quality_single_scan(spark):
+    """Every expectation folds into one aggregation over one scan — a
+    second scan means the contract stopped being single-pass."""
+    p = formatted_plan(spark, "data_quality_report")
+    assert _nodes(p, "Scan parquet") == 1
