@@ -149,3 +149,44 @@ def test_corrupt_bronze_fails_batch_not_silently(spark, tmp_path_factory):
     # the corrupt file survived — nothing silently overwrote the table
     with open(f"{bronze}/part-00000.parquet") as f:
         assert f.read() == "this is not parquet"
+
+
+@pytest.mark.slow
+def test_corpus_ingest_stream_dedupes_across_batches(spark, tmp_path_factory):
+    """Streaming corpus ingest: docs arriving in later files that
+    duplicate earlier content (by prefix fingerprint) are rejected;
+    the quality gate drops empty docs; reruns admit nothing new."""
+    from aws_ipl_data_pipeline_spark.streaming.corpus import run_corpus_ingest
+
+    base = str(tmp_path_factory.mktemp("corpus"))
+    docs_dir = f"{base}/drop"
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "unique first content"), (3, "   ")],
+        schema,
+    )
+    b1.write.parquet(f"{docs_dir}/f1.parquet")
+    kwargs = dict(
+        docs_dir=f"{docs_dir}/*",
+        out_path=f"{base}/admitted",
+        checkpoint_dir=f"{base}/ckpt",
+        schema=b1.schema,
+        min_chars=1,
+    )
+    run_corpus_ingest(spark, **kwargs).awaitTermination(300)
+    got1 = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
+    assert got1 == {1, 2}  # empty doc 3 gated out
+
+    # batch 2: doc 10 duplicates doc 1's content, doc 11 is novel
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "genuinely new material here")],
+        schema,
+    ).write.parquet(f"{docs_dir}/f2.parquet")
+    run_corpus_ingest(spark, **kwargs).awaitTermination(300)
+    got2 = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
+    assert got2 == {1, 2, 11}
+
+    # rerun with no new files: nothing changes
+    run_corpus_ingest(spark, **kwargs).awaitTermination(300)
+    got3 = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
+    assert got3 == got2
