@@ -191,3 +191,49 @@ def test_publish_atomically_replaces_or_rolls_back(spark, tmp_path_factory):
     publish_atomically(spark.range(100, 103).toDF("id"), path)
     got = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert got == [100, 101, 102]
+
+
+def test_sorted_write_enables_row_group_skipping(spark, tmp_path_factory):
+    """write_sorted must produce narrow, disjoint per-row-group min/max
+    stats on the sort key (the mechanism behind parquet data skipping);
+    the same frame written unsorted has near-full-range stats, so a
+    selective scan can skip nothing."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_ipl_data_pipeline_spark.sources.maintenance import write_sorted
+
+    base = str(tmp_path_factory.mktemp("sorted"))
+    df = spark.range(100_000).selectExpr(
+        "CAST(pmod(id * 2654435761, 100000) AS BIGINT) AS k", "id AS payload"
+    )
+    df.coalesce(4).write.parquet(f"{base}/plain")
+    write_sorted(df, f"{base}/sorted", by=["k"], n_files=4)
+
+    def ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.names.index("k")
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                out.append((st.min, st.max))
+        return sorted(out)
+
+    full_span = 100_000
+    sorted_spans = [hi - lo for lo, hi in ranges(f"{base}/sorted")]
+    plain_spans = [hi - lo for lo, hi in ranges(f"{base}/plain")]
+    # every sorted row group covers a narrow slice; unsorted ones
+    # each cover (nearly) the whole key domain
+    assert max(sorted_spans) < full_span / 2
+    assert min(plain_spans) > full_span * 0.9
+    # disjoint: a point predicate hits exactly one sorted row group
+    rs = ranges(f"{base}/sorted")
+    probe = 50_000
+    assert sum(1 for lo, hi in rs if lo <= probe <= hi) <= 1
+    # content identical
+    assert (
+        spark.read.parquet(f"{base}/sorted").orderBy("payload").collect()
+        == spark.read.parquet(f"{base}/plain").orderBy("payload").collect()
+    )
