@@ -90,6 +90,68 @@ def write_sorted(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_dim: int = 8,
+):
+    """Morton (Z-order) key column over ``cols``: each column is
+    width-bucketed into 2^bits uniform buckets between its min and max
+    (one tiny agg collects the 2·k bounds), then the bucket bits are
+    interleaved. Sorting by this key clusters rows so that row-group
+    min/max stats are narrow on EVERY participating column — the
+    multi-key generalization of ``write_sorted``. Pure column
+    expressions; the bounds agg is the only job. Returns (df, key_col).
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).head()
+    n = 1 << bits_per_dim
+    buckets = []
+    for c in cols:
+        lo, hi = float(bounds[f"_lo_{c}"]), float(bounds[f"_hi_{c}"])
+        span = (hi - lo) or 1.0
+        b = F.least(
+            F.lit(n - 1),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n).cast(
+                "long"
+            ),
+        )
+        buckets.append(b)
+    key = F.lit(0).cast("long")
+    for bit in range(bits_per_dim):
+        for d, b in enumerate(buckets):
+            key = key + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * len(buckets) + d,
+            )
+    return df.withColumn("_zkey", key), "_zkey"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits_per_dim: int = 8,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: range-partition + sort on the
+    Morton key of ``cols``, then drop the key. Selective filters on ANY
+    of the clustered columns skip row groups (footer-stats asserted in
+    tests) — the parquet equivalent of Delta OPTIMIZE ZORDER BY."""
+    keyed, key = zorder_key(df, cols, bits_per_dim)
+    out = (
+        keyed.repartitionByRange(key)
+        if n_files is None
+        else keyed.repartitionByRange(n_files, key)
+    )
+    out.sortWithinPartitions(key).drop(key).write.mode(mode).parquet(path)
+
+
 def compact(
     spark: SparkSession,
     path: str,

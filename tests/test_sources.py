@@ -237,3 +237,43 @@ def test_sorted_write_enables_row_group_skipping(spark, tmp_path_factory):
         spark.read.parquet(f"{base}/sorted").orderBy("payload").collect()
         == spark.read.parquet(f"{base}/plain").orderBy("payload").collect()
     )
+
+
+def test_zorder_write_narrows_stats_on_both_dims(spark, tmp_path_factory):
+    """Z-order clustering must narrow row-group min/max spans on BOTH
+    participating columns (single-key sorting can only do one)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_ipl_data_pipeline_spark.sources.maintenance import write_zordered
+
+    base = str(tmp_path_factory.mktemp("zorder"))
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "CAST(pmod(id * 2654435761, 1000) AS BIGINT) AS x",
+        "CAST(pmod(id * 40503, 1000) AS BIGINT) AS y",
+        "id AS payload",
+    )
+    df.coalesce(4).write.parquet(f"{base}/plain")
+    write_zordered(df, f"{base}/z", cols=["x", "y"], n_files=16)
+
+    def med_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.names.index(col)
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                spans.append(st.max - st.min)
+        spans.sort()
+        return spans[len(spans) // 2]
+
+    for col in ("x", "y"):
+        assert med_span(f"{base}/z", col) < 0.55 * med_span(f"{base}/plain", col), col
+    # content preserved
+    assert (
+        spark.read.parquet(f"{base}/z").agg({"payload": "sum"}).head()[0]
+        == spark.read.parquet(f"{base}/plain").agg({"payload": "sum"}).head()[0]
+    )
+    assert sorted(spark.read.parquet(f"{base}/z").columns) == ["payload", "x", "y"]
