@@ -208,3 +208,11 @@ def test_data_quality_single_scan(spark):
     second scan means the contract stopped being single-pass."""
     p = formatted_plan(spark, "data_quality_report")
     assert _nodes(p, "Scan parquet") == 1
+
+
+def test_deep_star_join_all_broadcast(spark):
+    """Five-table star join: the fact side flows through a chain of
+    broadcast hash joins and never sort-merge-shuffles to join."""
+    p = formatted_plan(spark, "regional_revenue_rollup")
+    assert _nodes(p, "BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in p
