@@ -118,6 +118,25 @@ def cmd_sql(args) -> None:
     spark.sql(args.query).show(args.rows, truncate=False)
 
 
+def cmd_corpus(args) -> None:
+    """Run the streaming corpus ingest over a parquet drop directory
+    (schema inferred from the files already present)."""
+    from aws_ipl_data_pipeline_spark.streaming.corpus import run_corpus_ingest
+
+    spark = _spark("corpus-ingest")
+    schema = spark.read.parquet(args.docs_dir).schema
+    q = run_corpus_ingest(
+        spark,
+        docs_dir=args.docs_dir,
+        out_path=args.out,
+        checkpoint_dir=args.checkpoint,
+        schema=schema,
+        min_chars=args.min_chars,
+        available_now=not args.continuous,
+    )
+    q.awaitTermination()
+
+
 def cmd_query(args) -> None:
     """Run any registered operator query over a table directory; write
     parquet with --out, else show. ``--name list`` prints the registry
@@ -176,6 +195,16 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--table", action="append", metavar="NAME=PATH")
     q.add_argument("--rows", type=int, default=20)
     q.set_defaults(fn=cmd_sql)
+
+    co = sub.add_parser(
+        "corpus", help="streaming corpus ingest: dedupe + quality-gate new docs"
+    )
+    co.add_argument("--docs-dir", required=True)
+    co.add_argument("--out", required=True)
+    co.add_argument("--checkpoint", required=True)
+    co.add_argument("--min-chars", type=int, default=1)
+    co.add_argument("--continuous", action="store_true")
+    co.set_defaults(fn=cmd_corpus)
 
     qq = sub.add_parser(
         "query", help="run a registered operator query ('query list' to enumerate)"

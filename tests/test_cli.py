@@ -115,3 +115,26 @@ def test_cli_query_runs_and_writes(spark, tmp_path_factory, capsys):
     got = spark.read.parquet(dest)
     assert got.count() == 20
     assert set(got.columns) == {"token", "doc_freq"}
+
+
+def test_cli_corpus_ingest(spark, tmp_path_factory):
+    from aws_ipl_data_pipeline_spark.cli import main
+
+    base = str(tmp_path_factory.mktemp("clicorpus"))
+    spark.createDataFrame(
+        [(1, "some text"), (2, "some text"), (3, "other text")],
+        "doc_id long, text string",
+    ).write.parquet(f"{base}/drop/f1.parquet")
+    main(
+        [
+            "corpus",
+            "--docs-dir",
+            f"{base}/drop/*",
+            "--out",
+            f"{base}/admitted",
+            "--checkpoint",
+            f"{base}/ckpt",
+        ]
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
+    assert got == {1, 3}  # doc 2 deduped against doc 1's content
