@@ -2622,6 +2622,65 @@ def regional_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_rate_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, day, n,
+             AVG(n) OVER w AS mu,
+             STDDEV_SAMP(n) OVER w AS sigma,
+             COUNT(*) OVER w AS n_prior
+      FROM daily
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_type, CAST(epoch_us(day) AS BIGINT) AS day_us, n,
+           round((n - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE n_prior >= 3 AND sigma > 0 AND abs((n - mu) / sigma) >= 1.5
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection: per event type, each day's volume
+    is z-scored against the trailing 7-day window (excluding itself —
+    ROWS -7..-1, so the anomaly can't suppress its own baseline);
+    days ≥1.5σ off trend surface. One shuffle on event_type feeds the
+    daily rollup and all three frame aggregates."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+        ).agg(F.count("*").cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.withColumn("n_prior", F.count("*").over(w))
+        .withColumn("mu", F.avg("n").over(w))
+        .withColumn("sigma", F.stddev_samp("n").over(w))
+        .where(
+            (F.col("n_prior") >= 3) & (F.col("sigma") > 0) & (F.abs(z) >= 1.5)
+        )
+        .select(
+            "event_type",
+            F.unix_micros("day").alias("day_us"),
+            "n",
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
