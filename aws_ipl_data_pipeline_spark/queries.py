@@ -2651,8 +2651,10 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational anomaly detection: per event type, each day's volume
     is z-scored against the trailing 7-day window (excluding itself —
     ROWS -7..-1, so the anomaly can't suppress its own baseline);
-    days ≥1.5σ off trend surface. One shuffle on event_type feeds the
-    daily rollup and all three frame aggregates."""
+    days ≥1.5σ off trend surface. Two shuffles: the daily rollup hashes
+    on (type, day) with map-side combine — collapsing events to
+    type×day grain — and only that tiny frame reshuffles for the
+    per-type trailing windows (all three frame aggregates share it)."""
     e = t(spark, sf_dir, "events")
     daily = (
         e.groupBy(

@@ -216,3 +216,11 @@ def test_deep_star_join_all_broadcast(spark):
     p = formatted_plan(spark, "regional_revenue_rollup")
     assert _nodes(p, "BroadcastHashJoin") == 4
     assert "SortMergeJoin" not in p
+
+
+def test_anomaly_rollup_before_window(spark):
+    """Exactly two shuffles: the (type, day) rollup collapses raw
+    events first, then only that tiny frame reshuffles once for the
+    per-type trailing windows."""
+    p = formatted_plan(spark, "event_rate_anomalies")
+    assert _nodes(p, "Exchange") == 2
