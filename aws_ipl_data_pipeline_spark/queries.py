@@ -2683,6 +2683,76 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)) , 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF feature extraction: top-3 scoring terms per document
+    (smoothed idf = ln((1+N)/(1+df))). Term frequency and document
+    frequency are two map-side-combinable aggregations over one
+    explode; N is a broadcast scalar; idf joins back on the term (a
+    vocabulary-sized dimension — broadcast at any corpus scale) and
+    the per-doc top-3 ranks inside the doc_id partitioning. Tiebreak
+    on the term keeps the rank-3 boundary deterministic."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(normalized_text("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("int"))
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
