@@ -224,3 +224,11 @@ def test_anomaly_rollup_before_window(spark):
     per-type trailing windows."""
     p = formatted_plan(spark, "event_rate_anomalies")
     assert _nodes(p, "Exchange") == 2
+
+
+def test_tfidf_idf_join_broadcasts(spark):
+    """The idf join-back is on a vocabulary-sized dimension — it must
+    broadcast, never sort-merge-shuffle the (doc, term) side."""
+    p = formatted_plan(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
