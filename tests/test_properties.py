@@ -308,3 +308,79 @@ def test_blocked_cosine_matches_exact_random(vecs, n_blocks):
         )
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 1000),  # timestamp offset (may collide)
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_funnel_matches_python_reference(events):
+    """Strict-order funnel semantics vs a brute-force per-user replay:
+    stage k's timestamp is the earliest event of its type strictly
+    after stage k-1, for arbitrary interleavings, duplicate
+    timestamps, missing stages, and out-of-order arrival."""
+    spark = _get_spark()
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(events, "user_id long, event_type string, us long")
+    wu = Window.partitionBy("user_id")
+    staged = (
+        df.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(wu)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("us") > F.col("t_view")),
+                    F.col("us"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("t_click")),
+                    F.col("us"),
+                )
+            ).over(wu),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
+    )
+    got = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in staged.collect()
+    }
+
+    def ref(user):
+        evs = [(ts, ty) for (u, ty, ts) in events if u == user]
+        out = []
+        for stage in ("view", "click", "purchase"):
+            # stage 1: min over all; later stages: min strictly after
+            # the previous stage (None if that stage was never reached)
+            if not out:
+                cands = [ts for ts, ty in evs if ty == stage]
+            elif out[-1] is None:
+                cands = []
+            else:
+                cands = [ts for ts, ty in evs if ty == stage and ts > out[-1]]
+            out.append(min(cands) if cands else None)
+        return tuple(out)
+
+    for user in {u for (u, _, _) in events}:
+        assert got[user] == ref(user), user
