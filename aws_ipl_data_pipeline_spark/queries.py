@@ -2446,56 +2446,19 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses that partitioning — a single shuffle end-to-end (gated).
     The standard behavioral-analytics sequence-match, done with
     windows instead of per-user event replay."""
+    from aws_ipl_data_pipeline_spark.operators.behavior import funnel
+
     e = t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    wu = Window.partitionBy("user_id")
-    df = (
-        e.withColumn(
-            "t_view",
-            F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(wu),
-        )
-        .withColumn(
-            "t_click",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("us") > F.col("t_view")),
-                    F.col("us"),
-                )
-            ).over(wu),
-        )
-        .withColumn(
-            "t_purchase",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("us") > F.col("t_click")),
-                    F.col("us"),
-                )
-            ).over(wu),
-        )
-    )
-    return (
-        df.groupBy("user_id")
-        .agg(
-            F.min("t_view").alias("t_view"),
-            F.min("t_click").alias("t_click"),
-            F.min("t_purchase").alias("t_purchase"),
-        )
-        .select(
-            F.col("user_id").cast("long"),
-            "t_view",
-            "t_click",
-            "t_purchase",
-            F.when(F.col("t_purchase").isNotNull(), 3)
-            .when(F.col("t_click").isNotNull(), 2)
-            .when(F.col("t_view").isNotNull(), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("funnel_stage"),
-        )
+    return funnel(e, ["view", "click", "purchase"]).select(
+        F.col("user_id").cast("long"),
+        "t_view",
+        "t_click",
+        "t_purchase",
+        "funnel_stage",
     )
 
 

@@ -351,3 +351,40 @@ def test_normalize_multi_single_scoring_pass(spark):
     assert "ArrowEvalPython" not in plan
     rows = {r["batsman"] for r in out.collect()}
     assert rows == {"Virat Kohli", "Rohit Sharma"}
+
+
+def test_funnel_operator_arbitrary_stages(spark):
+    """Parameterized funnel: 2- and 4-stage chains obey strict order,
+    and the plan stays one Exchange regardless of stage count."""
+    import re
+
+    from aws_ipl_data_pipeline_spark.operators.behavior import funnel
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", 10), (1, "b", 20), (1, "c", 30), (1, "d", 40),
+            (2, "b", 5), (2, "a", 6), (2, "c", 4),   # c before a: unreachable
+            (3, "a", 1),
+        ],
+        "user_id long, event_type string, us long",
+    )
+    out4 = {r["user_id"]: (r["t_a"], r["t_b"], r["t_c"], r["t_d"], r["funnel_stage"])
+            for r in funnel(ev, ["a", "b", "c", "d"]).collect()}
+    assert out4[1] == (10, 20, 30, 40, 4)
+    assert out4[2] == (6, None, None, None, 1)  # b at 5 precedes a; c at 4 too
+    assert out4[3] == (1, None, None, None, 1)
+
+    df2 = funnel(ev, ["a", "c"])
+    # plan check on the un-executed frame (post-action AQE explains
+    # print final+initial sections and double-count nodes)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df2._jdf.queryExecution().explainString(mode)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    out2 = {r["user_id"]: r["funnel_stage"] for r in df2.collect()}
+    assert out2 == {1: 2, 2: 1, 3: 1}
+
+    with pytest.raises(ValueError):
+        funnel(ev, [])
