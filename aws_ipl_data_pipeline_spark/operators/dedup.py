@@ -626,3 +626,42 @@ def incremental_dedup(
     return batch.join(
         seen_hashes.select("text_hash"), "text_hash", "left_anti"
     ).select(id_col, "text_hash")
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile n-gram protocol): train
+    docs sharing ≥ ``min_overlap`` distinct word n-grams with any eval
+    doc. Inverted-index join on the shingle — only docs sharing one
+    ever meet; the overlap count aggregates map-side; the eval side (a
+    benchmark suite) is tiny and broadcasts. ``max_shingle_df`` drops
+    shingles present in more than that many eval docs — the skew lever
+    when eval sets contain boilerplate. Returns (train_doc_id,
+    eval_doc_id, n_overlap)."""
+    tr = word_shingles(train_docs, id_col, text_col, n).select(
+        F.col("_id").alias("train_doc_id"), "shingle"
+    )
+    ev = word_shingles(eval_docs, id_col, text_col, n).select(
+        F.col("_id").alias("eval_doc_id"), "shingle"
+    )
+    if max_shingle_df is not None:
+        keep = ev.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
+        ev = ev.join(keep.select("shingle"), "shingle")
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+        .select(
+            F.col("train_doc_id").cast("long"),
+            F.col("eval_doc_id").cast("long"),
+            F.col("n_overlap").cast("long"),
+        )
+    )

@@ -2134,26 +2134,14 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap count aggregates map-side, and the tiny eval side
     broadcast-prunes at scale. The n-gram-overlap decontamination
     protocol follows the published GPT-3/Pile practice."""
-    from aws_ipl_data_pipeline_spark.operators.dedup import word_shingles
+    from aws_ipl_data_pipeline_spark.operators.dedup import decontaminate
 
     docs = t(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=5)
-    train = sh.where(F.col("_id") % 10 != 0).select(
-        F.col("_id").alias("train_doc_id"), "shingle"
-    )
-    ev = sh.where(F.col("_id") % 10 == 0).select(
-        F.col("_id").alias("eval_doc_id"), "shingle"
-    )
-    return (
-        train.join(ev, "shingle")
-        .groupBy("train_doc_id", "eval_doc_id")
-        .agg(F.count("*").alias("n_overlap"))
-        .where(F.col("n_overlap") >= 3)
-        .select(
-            F.col("train_doc_id").cast("long"),
-            F.col("eval_doc_id").cast("long"),
-            F.col("n_overlap").cast("long"),
-        )
+    return decontaminate(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        n=5,
+        min_overlap=3,
     )
 
 

@@ -388,3 +388,25 @@ def test_funnel_operator_arbitrary_stages(spark):
 
     with pytest.raises(ValueError):
         funnel(ev, [])
+
+
+def test_decontaminate_shingle_ceiling(spark):
+    """max_shingle_df drops boilerplate shingles shared by too many
+    eval docs — the skew lever when eval sets contain templates."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common prefix words here tail one"),
+            (2, "common prefix words here tail two"),
+            (10, "common prefix words here tail ten"),
+            (11, "common prefix words here tail elf"),
+            (20, "unique eval doc content entirely new"),
+        ],
+        "doc_id long, text string",
+    )
+    train = docs.where("doc_id < 10")
+    ev = docs.where("doc_id >= 10")
+    assert decontaminate(train, ev, n=3, min_overlap=1).count() == 4
+    # boilerplate shingles appear in 2 eval docs; ceiling 1 removes them
+    assert decontaminate(train, ev, n=3, min_overlap=1, max_shingle_df=1).count() == 0
