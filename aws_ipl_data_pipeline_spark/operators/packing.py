@@ -1,0 +1,64 @@
+"""Sequence packing: lay documents head-to-tail into fixed token-budget
+packs (the concat-then-chunk LM training layout).
+
+Two forms:
+
+* global — one total order (deterministic hash), one running total:
+  the registered oracle query (`sequence_packing`). Exact single
+  sequence space, but the window is a single partition — fine for a
+  final small corpus, wrong for 100 TB.
+* sharded — ``pack_sequences(df, shard_col=...)``: hash-partition
+  first, run the same running-total expression within each shard, and
+  namespace the pack id by shard. Every shard emits its own pack
+  space, which is how LM data layouts are sharded in practice (each
+  data worker consumes its own shard's packs). The plan shuffles on
+  the shard key — no single-partition window — asserted in
+  tests/test_plans.py-style gates in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign each doc the pack it STARTS in plus its offset there.
+
+    Output: input columns + (pack_id, pack_offset); with a shard
+    column, pack_id is (shard, local pack) encoded as
+    ``shard_hash * 2^32 + local_pack`` so ids stay unique and sortable
+    across shards without coordination."""
+    order = (F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    if shard_col is None:
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        base = docs.withColumn("_cum", F.sum(tokens_col).over(w))
+        local = F.floor((F.col("_cum") - F.col(tokens_col)) / budget)
+        pack = local.cast("long")
+    else:
+        w = (
+            Window.partitionBy(shard_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        base = docs.withColumn("_cum", F.sum(tokens_col).over(w))
+        local = F.floor((F.col("_cum") - F.col(tokens_col)) / budget)
+        pack = (
+            F.pmod(F.xxhash64(F.col(shard_col)), F.lit(1 << 20)) * F.lit(1 << 32)
+            + local
+        ).cast("long")
+    return base.select(
+        *docs.columns,
+        pack.alias("pack_id"),
+        ((F.col("_cum") - F.col(tokens_col)) % budget).cast("long").alias(
+            "pack_offset"
+        ),
+    )

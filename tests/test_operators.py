@@ -410,3 +410,65 @@ def test_decontaminate_shingle_ceiling(spark):
     assert decontaminate(train, ev, n=3, min_overlap=1).count() == 4
     # boilerplate shingles appear in 2 eval docs; ceiling 1 removes them
     assert decontaminate(train, ev, n=3, min_overlap=1, max_shingle_df=1).count() == 0
+
+
+def test_sharded_packing_no_single_partition_window(spark):
+    """The sharded form must shuffle on the shard key — never collapse
+    to a single-partition global window — and keep the same per-shard
+    layout invariants as the global form."""
+    import re
+
+    from aws_ipl_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, i % 4, 100 + (i * 37) % 400) for i in range(200)],
+        "doc_id long, shard int, n_tokens long",
+    )
+    out = pack_sequences(docs, budget=1000, shard_col="shard")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(shard", plan)
+
+    rows = out.collect()
+    # per shard: gapless layout in hash order, offsets in [0, budget)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    import hashlib
+
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]))
+        start = 0
+        pack_ids = set()
+        for r in rs:
+            assert r["pack_offset"] == start % 1000
+            assert 0 <= r["pack_offset"] < 1000
+            pack_ids.add(r["pack_id"])
+            start += r["n_tokens"]
+        # pack ids of different shards never collide
+    all_ids = [r["pack_id"] for r in rows]
+    assert len({i >> 32 for i in all_ids}) == 4  # four distinct shard spaces
+
+
+def test_global_packing_matches_registered_query(spark):
+    """The operator's global form computes the same layout as the
+    registered oracle query's inline expression."""
+    from aws_ipl_data_pipeline_spark.operators.packing import pack_sequences
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+    want = {
+        (r["doc_id"], r["pack_id"], r["pack_offset"])
+        for r in REGISTRY["sequence_packing"].fn(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id",
+        "CAST(size(filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), x -> x != '')) AS BIGINT) AS n_tokens",
+    )
+    got = {
+        (r["doc_id"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(docs, budget=2048).collect()
+    }
+    assert got == want
