@@ -2251,25 +2251,17 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed — noted here because this registered form IS the global
     layout, the per-shard variant just adds the shard key to the
     window."""
-    docs = t(spark, sf_dir, "documents")
     from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.packing import pack_sequences
 
+    docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.size(
             F.filter(F.split(normalized_text("text"), " "), lambda x: x != "")
         ).cast("long").alias("n_tokens"),
     )
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    budget = 2048
-    return toks.withColumn("cum", F.sum("n_tokens").over(w)).select(
-        "doc_id",
-        "n_tokens",
-        F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("long").alias("pack_id"),
-        ((F.col("cum") - F.col("n_tokens")) % budget).cast("long").alias("pack_offset"),
-    )
+    return pack_sequences(toks, budget=2048)
 
 
 @register(
