@@ -137,6 +137,33 @@ def cmd_corpus(args) -> None:
     q.awaitTermination()
 
 
+def cmd_maintain(args) -> None:
+    """Table maintenance: small-files compaction or sorted/Z-ordered
+    rewrite for data skipping."""
+    from aws_ipl_data_pipeline_spark.sources.maintenance import (
+        compact,
+        write_sorted,
+        write_zordered,
+    )
+
+    spark = _spark("maintain")
+    if args.action == "compact":
+        n = compact(spark, args.path, target_file_bytes=args.target_bytes)
+        print(f"compacted {args.path} -> {n} files")
+    elif args.action == "sort":
+        if not args.by:
+            sys.exit("sort requires --by")
+        df = spark.read.parquet(args.path).localCheckpoint(eager=True)
+        write_sorted(df, args.path, by=args.by)
+        print(f"rewrote {args.path} sorted by {args.by}")
+    else:  # zorder
+        if not args.by or len(args.by) < 2:
+            sys.exit("zorder requires --by with at least two columns")
+        df = spark.read.parquet(args.path).localCheckpoint(eager=True)
+        write_zordered(df, args.path, cols=args.by)
+        print(f"rewrote {args.path} z-ordered by {args.by}")
+
+
 def cmd_query(args) -> None:
     """Run any registered operator query over a table directory; write
     parquet with --out, else show. ``--name list`` prints the registry
@@ -195,6 +222,15 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--table", action="append", metavar="NAME=PATH")
     q.add_argument("--rows", type=int, default=20)
     q.set_defaults(fn=cmd_sql)
+
+    m = sub.add_parser(
+        "maintain", help="compact small files or rewrite sorted/z-ordered"
+    )
+    m.add_argument("action", choices=["compact", "sort", "zorder"])
+    m.add_argument("--path", required=True)
+    m.add_argument("--by", nargs="+", help="sort/zorder columns")
+    m.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    m.set_defaults(fn=cmd_maintain)
 
     co = sub.add_parser(
         "corpus", help="streaming corpus ingest: dedupe + quality-gate new docs"

@@ -138,3 +138,20 @@ def test_cli_corpus_ingest(spark, tmp_path_factory):
     )
     got = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
     assert got == {1, 3}  # doc 2 deduped against doc 1's content
+
+
+def test_cli_maintain_compact_and_sort(spark, tmp_path_factory, capsys):
+    from aws_ipl_data_pipeline_spark.cli import main
+
+    base = str(tmp_path_factory.mktemp("climaint"))
+    path = f"{base}/t"
+    spark.range(5000).selectExpr("id", "id % 11 AS k").repartition(20).write.parquet(
+        path
+    )
+    main(["maintain", "compact", "--path", path, "--target-bytes", str(1 << 30)])
+    assert "-> 1 files" in capsys.readouterr().out
+    assert spark.read.parquet(path).count() == 5000
+
+    main(["maintain", "sort", "--path", path, "--by", "k"])
+    got = spark.read.parquet(path)
+    assert got.count() == 5000 and set(got.columns) == {"id", "k"}
