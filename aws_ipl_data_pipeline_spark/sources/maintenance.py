@@ -83,11 +83,10 @@ def write_sorted(
     data written unsorted has near-full-range stats on every row group
     and skips nothing (asserted from the parquet footers in
     tests/test_sources.py)."""
-    cols = [c if not isinstance(c, str) else c for c in by]
-    out = df.repartitionByRange(*cols) if n_files is None else df.repartitionByRange(
-        n_files, *cols
+    out = df.repartitionByRange(*by) if n_files is None else df.repartitionByRange(
+        n_files, *by
     )
-    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+    out.sortWithinPartitions(*by).write.mode(mode).parquet(path)
 
 
 def zorder_key(
