@@ -2166,14 +2166,11 @@ def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on the stratum key; at corpus scale swap the global
     window for a per-group hash-threshold pre-filter so no stratum's
     rows concentrate on one task, then rank only the survivors."""
+    from aws_ipl_data_pipeline_spark.operators.sampling import stratified_sample
+
     docs = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
-        docs.withColumn("sample_rank", F.row_number().over(w))
-        .where(F.col("sample_rank") <= 5)
-        .select("doc_id", "source", "n_chars", "sample_rank")
+    return stratified_sample(docs, "source", 5).select(
+        "doc_id", "source", "n_chars", "sample_rank"
     )
 
 
@@ -2286,21 +2283,12 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries, and stragglers all make identical decisions, which
     sampled-twice/sampled-never bugs under task retry can't survive.
     Map-only plan: no shuffle, fully pushed down."""
+    from aws_ipl_data_pipeline_spark.operators.sampling import weighted_sample
+
     docs = t(spark, sf_dir, "documents")
     keep_prob = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
-    bucket = (F.col("doc_id") * 2654435761) % 1000
-    return (
-        docs.select(
-            "doc_id",
-            "source",
-            "n_chars",
-            keep_prob.alias("_kp"),
-            bucket.alias("_b"),
-        )
-        .where(F.col("_b") < F.col("_kp") * 1000)
-        .select(
-            "doc_id", "source", "n_chars", F.round("_kp", 4).alias("keep_prob")
-        )
+    return weighted_sample(docs, keep_prob).select(
+        "doc_id", "source", "n_chars", F.round(keep_prob, 4).alias("keep_prob")
     )
 
 
