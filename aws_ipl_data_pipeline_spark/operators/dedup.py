@@ -289,7 +289,10 @@ def simhash_pairs(
     conditional SUM aggregates over the exploded token frame — two
     shuffles and a 64-column agg buffer — where the UDF is a single
     narrow pass (measured ~4× faster; no shuffle until the block join).
-    Hash family blake2b-64 (stable across processes/seeds).
+    Hash family: the first 8 bytes of ``md5(f"{seed}:{token}")``
+    (big-endian) — stable across processes AND reproducible in ANSI
+    SQL (both DuckDB and Spark expose md5 hex), so a SQL oracle can
+    hash-match the candidate pairs instead of a rows-only check.
     """
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -310,9 +313,7 @@ def simhash_pairs(
                 h = hash_cache.get(tk)
                 if h is None:
                     h = int.from_bytes(
-                        hashlib.blake2b(
-                            f"{seed}:{tk}".encode(), digest_size=8
-                        ).digest(),
+                        hashlib.md5(f"{seed}:{tk}".encode()).digest()[:8],
                         "big",
                     )
                     hash_cache[tk] = h
@@ -433,6 +434,9 @@ def near_dup_groups(
     check per round (one count per iteration, driver-side loop over
     LAZY frames — no data ever collected). Each round localCheckpoints
     the label frame: iterative lineage otherwise grows exponentially.
+    If labels are still changing after ``max_iter`` rounds (a component
+    whose diameter exceeds the bound), raises RuntimeError rather than
+    silently returning unconverged labels.
     Returns (doc_id, group_id); singleton documents are their own group.
     """
     if pairs is None:
@@ -474,6 +478,12 @@ def near_dup_groups(
         labels = updated
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"near_dup_groups did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing): a near-dup component "
+            "has diameter > max_iter; raise max_iter"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("group_id")
     )

@@ -33,8 +33,11 @@ def pack_sequences(
 
     Output: input columns + (pack_id, pack_offset); with a shard
     column, pack_id is (shard, local pack) encoded as
-    ``shard_hash * 2^32 + local_pack`` so ids stay unique and sortable
-    across shards without coordination."""
+    ``shard_ns * 2^32 + local_pack`` so ids stay unique and sortable
+    across shards without coordination. The shard namespace is the
+    first 20 bits of ``md5(shard)`` (5 hex chars) — chosen over
+    xxhash64 because md5 is reproducible in ANSI SQL on both Spark and
+    DuckDB, so the sharded layout can be oracle-checked end to end."""
     order = (F.md5(F.col(id_col).cast("string")), F.col(id_col))
     if shard_col is None:
         w = Window.orderBy(*order).rowsBetween(
@@ -51,10 +54,10 @@ def pack_sequences(
         )
         base = docs.withColumn("_cum", F.sum(tokens_col).over(w))
         local = F.floor((F.col("_cum") - F.col(tokens_col)) / budget)
-        pack = (
-            F.pmod(F.xxhash64(F.col(shard_col)), F.lit(1 << 20)) * F.lit(1 << 32)
-            + local
+        shard_ns = F.conv(
+            F.substring(F.md5(F.col(shard_col).cast("string")), 1, 5), 16, 10
         ).cast("long")
+        pack = (shard_ns * F.lit(1 << 32) + local).cast("long")
     return base.select(
         *docs.columns,
         pack.alias("pack_id"),

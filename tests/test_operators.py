@@ -220,6 +220,33 @@ def test_near_dup_groups_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_near_dup_groups_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iter must raise, never
+    silently return unconverged labels (half-labeled clusters would
+    leak near-dups across a downstream split)."""
+    import pytest
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import near_dup_groups
+
+    n = 16
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    # path graph 0-1-2-...-15: min-label 0 walks one hop per round
+    chain = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n - 1)],
+        "id_a long, id_b long, jaccard double",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_groups(docs, chain, max_iter=3)
+    # and with an adequate bound the same graph converges to one group
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in near_dup_groups(docs, chain, max_iter=n).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_leakage_safe_split_near_dups(spark):
     from aws_ipl_data_pipeline_spark.operators.dedup import leakage_safe_split
 
