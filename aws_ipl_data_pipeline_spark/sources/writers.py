@@ -64,6 +64,8 @@ def upsert_by_key(
     path: str,
     keys: list[str],
     fmt: str | None = None,
+    partition_by: list[str] | None = None,
+    schema=None,
 ) -> None:
     """ST2/J8: idempotent keyed upsert — "insert or replace by natural
     key", newest write wins (the reference's append-then-dedupe bronze
@@ -73,10 +75,17 @@ def upsert_by_key(
     insert) — transactional, no table rewrite beyond touched files.
     Parquet path: read-union-dedupe-rewrite; the merged frame is
     localCheckpoint()ed first because lazily overwriting a path that is
-    also being read is undefined (Spark refuses or corrupts). The
-    parquet fallback rewrites the whole table — fine for bronze-sized
-    layers; use Delta (or partition the upsert via write_partitioned)
-    for fact-scale tables.
+    also being read is undefined (Spark refuses or corrupts).
+
+    With ``partition_by`` the parquet path is PARTITION-SCOPED: only the
+    partitions present in ``new_df`` are read (broadcast semi-join on
+    the new frame's partition tuples → dynamic partition pruning, no
+    driver-side value collection), merged, and rewritten (dynamic
+    partition overwrite) — per-call work is O(new rows + touched
+    partitions), never O(table). Without it the parquet fallback
+    rewrites the whole table — fine for small layers only. Pass
+    ``schema`` (the table's StructType) to pin partition-column types
+    against directory-name inference.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -115,14 +124,28 @@ def upsert_by_key(
             new_df.write.format("delta").save(path)
         return
 
+    # Only a missing path means "first write". Any other read error
+    # (corrupt footer, storage hiccup) must propagate — treating it as
+    # first-write would overwrite the table with just this batch.
+    from pyspark.errors import AnalysisException
+
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     try:
-        existing = spark.read.parquet(path)
+        existing = reader.parquet(path)
         exists = True
-    except Exception:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         exists = False
     if not exists:
-        new_df.write.parquet(path)
+        w = new_df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return
+    if partition_by:
+        touched = new_df.select(*partition_by).distinct()
+        existing = existing.join(F.broadcast(touched), partition_by, "left_semi")
     merged = (
         new_df.withColumn("_pri", F.lit(0))
         .unionByName(existing.withColumn("_pri", F.lit(1)))
@@ -133,7 +156,11 @@ def upsert_by_key(
         .drop("_pri", "_rk")
     )
     merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(path)
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        # dynamic overwrite: only the touched partitions are replaced
+        w = w.partitionBy(*partition_by).option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

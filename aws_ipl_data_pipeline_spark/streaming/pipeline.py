@@ -28,7 +28,6 @@ aggregated over the whole table by definition.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,7 +40,10 @@ from aws_ipl_data_pipeline_spark.plans.gold import (
 )
 from aws_ipl_data_pipeline_spark.plans.silver import to_silver
 from aws_ipl_data_pipeline_spark.schemas import RAW_DELIVERIES
-from aws_ipl_data_pipeline_spark.sources.writers import write_partitioned
+from aws_ipl_data_pipeline_spark.sources.writers import (
+    upsert_by_key,
+    write_partitioned,
+)
 
 
 def run_incremental_pipeline(
@@ -73,24 +75,29 @@ def run_incremental_pipeline(
             return
         # ST2: accumulate raw deliveries per match (scrape files overlap;
         # the reference appends + dedupes bronze JSONL before rebuilding,
-        # ex_match_rb.py:201-213). Stored partitioned by match so only
-        # the touched partitions rewrite.
+        # ex_match_rb.py:201-213). A partition-scoped append+dedupe
+        # upsert: only the batch's match partitions are read (dynamic
+        # partition pruning off the broadcast of the batch's match set),
+        # merged, and dynamically overwritten — per-batch work is
+        # O(batch + touched partitions) even on the parquet path. A read
+        # error other than "path missing" FAILS the micro-batch so the
+        # checkpoint retries it (upsert_by_key guarantees this).
+        upsert_by_key(
+            spark,
+            batch_df,
+            bronze_path,
+            keys=list(batch_df.columns),
+            partition_by=["match"],
+            schema=RAW_DELIVERIES,
+        )
+        # the silver rebuild reads back ONLY the affected partitions
+        # (partition-pruned scan; the collect is O(#matches per batch))
         affected = [r[0] for r in batch_df.select("match").distinct().collect()]
-        acc = batch_df
-        # Only a missing path means "first batch". Any other read error
-        # (corrupt file, storage hiccup) must FAIL the micro-batch so the
-        # checkpoint retries it — swallowing it would overwrite the
-        # accumulated partitions with just this batch's rows.
-        try:
-            existing = spark.read.schema(RAW_DELIVERIES).parquet(bronze_path)
-            acc = acc.unionByName(
-                existing.where(F.col("match").isin(affected))
-            ).dropDuplicates()
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-        acc = acc.localCheckpoint()  # cut lineage before self-overwrite
-        write_partitioned(acc, bronze_path, partition_by=["match"], mode="overwrite")
+        acc = (
+            spark.read.schema(RAW_DELIVERIES)
+            .parquet(bronze_path)
+            .where(F.col("match").isin(affected))
+        )
 
         # ST3: rebuild the affected matches end-to-end from accumulated raw
         bronze = to_bronze(acc)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,21 +53,27 @@ def main() -> None:
     # warmup: JIT + parquet footer caches on a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # steady-state throughput: best of ITERS runs per query — the first
-    # execution of each plan shape pays one-time JVM JIT + codegen
-    # compilation (2-4x the steady cost), which a long-running service
-    # amortizes to zero
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # steady-state throughput: >=4 runs per query, report best AND
+    # median — the first execution of each plan shape pays one-time JVM
+    # JIT + codegen compilation (2-4x the steady cost), which a
+    # long-running service amortizes to zero; the median shows whether
+    # "best" is the steady state or a lucky outlier
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "4"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(iters):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(statistics.median(runs), 3)
+        print(
+            f"  {name}: best {timings[name]}s median {medians[name]}s",
+            file=sys.stderr,
+        )
 
     # trend line vs the last recorded round: report per-query deltas and
     # flag anything regressing >1.5x so a regression can't hide in the
@@ -104,6 +111,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "iters": iters,
                 "sf": sf,
             }
         )
