@@ -1,0 +1,131 @@
+"""Distributed k-means over an embedding column.
+
+Two layers:
+
+* ``assign_to_centroids`` — the map-only hot path: centroids arrive as a
+  Python list (O(k·dim) — driver-small by construction, same budget as
+  similarity.ivf_topk's cell table), distances unroll to JVM column
+  expressions, argmin is an ``array_min`` over (dist, id) structs. No
+  shuffle, no UDF: at 100 TB this pipelines into the scan.
+* ``kmeans_fit`` — Lloyd iterations: assign → recompute means by
+  (cluster, dimension) via posexplode + avg (map-side combinable hash
+  agg, one shuffle of n·dim skinny rows per iteration) → collect the
+  k·dim means to the driver → repeat. Converges when no assignment
+  changes; raises if ``max_iter`` ends with assignments still moving,
+  matching the honesty contract of dedup.near_dup_groups.
+
+Initial centroids are the embeddings of deterministic ids (lowest k by
+id hash — seedable, no RNG), so reruns and task retries see identical
+clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(vec_col: str, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid, element-folded on
+    doubles in index order (the order the SQL oracle sums in)."""
+    lit_vec = F.array(*[F.lit(float(x)).cast("double") for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            lit_vec,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2, ties to
+    the lowest centroid id). Map-only: k distances as unrolled column
+    expressions, argmin via array_min over (dist2, centroid_id) structs.
+
+    Output: (id_col, centroid_id, dist2)."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2(vec_col, vec).alias("d2"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, vec in sorted(centroids.items())
+            ]
+        )
+    )
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        best["cid"].alias("centroid_id"),
+        F.round(best["d2"], 4).alias("dist2"),
+    )
+
+
+def seed_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> dict[int, list[float]]:
+    """Deterministic seeds: the k vectors with the lowest md5(id) — a
+    seeded shuffle of the ids, so any rerun picks the same k. Collect is
+    O(k·dim)."""
+    rows = (
+        emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(k)
+        .collect()
+    )
+    return {int(r["cid"]): [float(x) for x in r["v"]] for r in rows}
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Lloyd's algorithm. Returns (assignments, centroids); assignments
+    is ``assign_to_centroids`` output for the final centroids.
+
+    Raises RuntimeError if assignments are still changing after
+    ``max_iter`` iterations — unconverged clusters are never returned
+    silently."""
+    centroids = seed_centroids(emb, k, id_col, vec_col)
+    prev: DataFrame | None = None
+    for _ in range(max_iter):
+        assigned = assign_to_centroids(emb, centroids, id_col, vec_col)
+        if prev is not None:
+            moved = (
+                assigned.alias("a")
+                .join(prev.alias("p"), id_col)
+                .where(F.col("a.centroid_id") != F.col("p.centroid_id"))
+                .limit(1)
+                .count()
+            )
+            if moved == 0:
+                return assigned, centroids
+        # pin this round's labels so the next comparison is against the
+        # materialized truth, not a recomputation under new centroids
+        prev = assigned.select(id_col, "centroid_id").localCheckpoint()
+        means = (
+            emb.join(prev, id_col)
+            .select("centroid_id", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("centroid_id", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+            .collect()
+        )
+        centroids = {
+            int(r["centroid_id"]): [float(s["m"]) for s in r["ms"]] for r in means
+        }
+    raise RuntimeError(
+        f"k-means did not converge within {max_iter} iterations"
+    )

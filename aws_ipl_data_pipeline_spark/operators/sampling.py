@@ -45,3 +45,33 @@ def weighted_sample(
     (no sampled-twice/never rows under task retry)."""
     bucket = (F.col(id_col) * F.lit(2654435761)) % buckets
     return df.where(bucket < keep_prob * buckets)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-corpus
+    recipe: sampling share ∝ (natural share)^alpha). Per-row keep
+    probability is (n_s / n_min)^(alpha-1) — 1.0 for the rarest source,
+    shrinking toward it for dominant sources as alpha → 0 — decided by
+    the same deterministic id hash as ``weighted_sample``.
+
+    Plan shape: one map-side-combinable count per source (k rows), a
+    1-row global min, both broadcast back — the fact table is touched by
+    exactly one map-only filter pass. Adds a ``keep_prob`` column so
+    downstream mixture audits don't recompute shares."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n_s"))
+    n_min = counts.agg(F.min("_n_s").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.pow(
+            F.col("_n_s").cast("double") / F.col("_n_min"), F.lit(alpha - 1.0)
+        ).alias("keep_prob"),
+    )
+    return weighted_sample(
+        df.join(F.broadcast(rates), source_col), F.col("keep_prob"), id_col, buckets
+    )

@@ -46,11 +46,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet → read as long nanos
-        # (nanosAsLong) and truncate to micros exactly like DuckDB does.
-        # `div` keeps the division on int64 (a double round-trip would
-        # lose precision on epoch-nanos magnitudes).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts has shipped as TIMESTAMP(NANOS) (reads as long under
+        # nanosAsLong — truncate to micros exactly like DuckDB, with `div`
+        # so the division stays on int64) and as TIMESTAMP(MICROS) (reads
+        # as TIMESTAMP_NTZ — same wall-clock values under the UTC session,
+        # just cast to the session-zoned type the battery expects).
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -2847,6 +2852,162 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Document chunking (LLM prep: clean/dedup → CHUNK → pack)
+# --------------------------------------------------------------------------
+
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 16, 4
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "document_chunking",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE {_NORM_SQL} <> ''
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+             CAST(ceil(greatest(len(toks) - {_CHUNK_OVERLAP}, 1)
+                       / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) AS nc
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, toks, n_tokens, unnest(range(0, nc)) AS chunk_id FROM s
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(
+             toks[chunk_id * {_CHUNK_STRIDE} + 1
+                  : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
+             AS chunk_text,
+           CAST(least({_CHUNK_TOKENS},
+                      n_tokens - chunk_id * {_CHUNK_STRIDE}) AS BIGINT)
+             AS chunk_n_tokens,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking with overlap (operators/chunking.py)
+    — map-only split/sequence/explode/slice, no shuffle, no Python per
+    row; the step between dedup and sequence_packing when documents
+    exceed the training context."""
+    from aws_ipl_data_pipeline_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding clustering (k-means assignment + Lloyd iterations)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_assign",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 4
+    ),
+    ex0 AS (
+      SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(embedding) AS x0
+      FROM embeddings
+    ),
+    ex AS (SELECT vec_id, i, CAST(x0 AS DOUBLE) AS x FROM ex0),
+    cx0 AS (
+      SELECT centroid_id, unnest(range(1, len(cvec) + 1)) AS i,
+             unnest(cvec) AS c0
+      FROM seeds
+    ),
+    cx AS (SELECT centroid_id, i, CAST(c0 AS DOUBLE) AS c FROM cx0),
+    d AS (
+      SELECT e.vec_id, cx.centroid_id,
+             SUM((e.x - cx.c) * (e.x - cx.c)) AS d2
+      FROM ex e JOIN cx ON e.i = cx.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(centroid_id AS BIGINT) AS centroid_id,
+           round(d2, 4) AS dist2
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, centroid_id) = 1
+    """,
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (operators/clustering.py): centroids
+    are the k=4 deterministic hash-seeded vectors, distances unroll to
+    JVM column expressions — the map-only hot path a 100 TB k-means
+    iteration or IVF partitioner runs per pass."""
+    from aws_ipl_data_pipeline_spark.operators.clustering import (
+        assign_to_centroids,
+        seed_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return assign_to_centroids(emb, seed_centroids(emb, 4))
+
+
+@register("kmeans_lloyd")  # rows-only: iterative fixpoint, not SQL-expressible
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means (operators/clustering.py): assign → skinny
+    (cluster, dim) mean shuffle → O(k·dim) driver collect per round,
+    convergence-gated with a hard raise on non-convergence."""
+    from aws_ipl_data_pipeline_spark.operators.clustering import kmeans_fit
+
+    assigned, _ = kmeans_fit(t(spark, sf_dir, "embeddings"), k=8, max_iter=50)
+    return assigned
+
+
+# --------------------------------------------------------------------------
+# Temperature-based source mixing (multilingual-corpus rebalancing)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_mixing_temperature",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_s) AS n_min FROM c),
+    r AS (
+      SELECT lang, POWER(CAST(n_s AS DOUBLE) / n_min, -0.5) AS keep_prob
+      FROM c, m
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source,
+           round(r.keep_prob, 6) AS keep_prob
+    FROM documents d JOIN r USING (lang)
+    WHERE (d.doc_id * 2654435761) % 1000 < r.keep_prob * 1000
+    """,
+)
+def source_mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing on the imbalanced `lang` stratum
+    (operators/sampling.temperature_mix, alpha=0.5): keep probability
+    (n_s/n_min)^(alpha-1) via the deterministic id hash — rarest
+    language kept whole, dominant ones downsampled toward uniform. One
+    k-row count agg + broadcast back; the fact table sees a single
+    map-only filter."""
+    from aws_ipl_data_pipeline_spark.operators.sampling import temperature_mix
+
+    mixed = temperature_mix(
+        t(spark, sf_dir, "documents"), source_col="lang", alpha=0.5, buckets=1000
+    )
+    return mixed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.round("keep_prob", 6).alias("keep_prob"),
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
@@ -2910,11 +3071,16 @@ _DRIVER_FIRST = [
     "sequence_packing_sharded",
     "dedup_simhash",
     "ann_lsh_topk",
+    "document_chunking",
+    "embedding_centroid_assign",
+    "source_mixing_temperature",
+    "kmeans_lloyd",
     # rows-only queries that have never had a driver run recorded
     "fuzzy_name_match",
     "multimodal_features",
     "ann_ivf_topk",
-    # flagship re-checks filling the remaining window slots
+    # flagship re-checks filling the remaining window slots (the ones
+    # past slot 50 here already have ≥1 green driver row from r1/r2)
     "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_minhash_lsh",

@@ -1,0 +1,169 @@
+"""Chunking and k-means clustering operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.operators.chunking import chunk_documents
+from aws_ipl_data_pipeline_spark.operators.clustering import (
+    assign_to_centroids,
+    kmeans_fit,
+    seed_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ chunking
+
+
+@pytest.fixture(scope="module")
+def chunked(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = chunk_documents(docs, chunk_tokens=16, overlap=4).cache()
+    yield docs, out, 16, 4
+    out.unpersist()
+
+
+def test_chunks_cover_every_token_once_minus_overlap(spark, chunked):
+    docs, out, chunk_tokens, overlap = chunked
+    # stripping the first `overlap` tokens of every chunk after the
+    # first and concatenating must rebuild the normalized document
+    rebuilt = (
+        out.withColumn(
+            "part",
+            F.when(F.col("chunk_id") == 0, F.col("chunk_text")).otherwise(
+                F.concat_ws(
+                    " ", F.slice(F.split("chunk_text", " "), overlap + 1, chunk_tokens)
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "part"))),
+                    lambda s: s["part"],
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("norm"),
+    ).where(F.col("norm") != "")
+    bad = (
+        rebuilt.join(norm, "doc_id")
+        .where(F.col("rebuilt") != F.col("norm"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chunk_sizes_and_overlap_contract(spark, chunked):
+    _, out, chunk_tokens, overlap = chunked
+    stride = chunk_tokens - overlap
+    rows = out.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        "chunk_n_tokens",
+        F.size(F.split("chunk_text", " ")).alias("actual"),
+    ).collect()
+    assert rows
+    for r in rows:
+        start = r["chunk_id"] * stride
+        expect = min(chunk_tokens, r["n_tokens"] - start)
+        assert expect >= 1  # no empty chunks ever emitted
+        assert r["chunk_n_tokens"] == expect
+        assert r["actual"] == expect
+    # chunk counts per doc match the ceil contract
+    for d in out.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n"), F.count("*").alias("c")
+    ).collect():
+        assert d["c"] == math.ceil(max(d["n"] - overlap, 1) / stride)
+
+
+def test_single_token_doc_yields_one_chunk(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello"), Row(doc_id=2, text="   "), Row(doc_id=3, text="a b")]
+    )
+    got = {
+        r["doc_id"]: (r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    assert got == {1: (0, "hello"), 3: (0, "a b")}  # whitespace-only doc dropped
+
+
+# ----------------------------------------------------------------- clustering
+
+
+def test_assignment_matches_numpy_brute_force(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = seed_centroids(emb, 4)
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_to_centroids(emb, cents).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    cids = sorted(cents)
+    cmat = np.array([cents[c] for c in cids], dtype=np.float64)
+    for r in rows:
+        d2 = ((np.array(r["embedding"], dtype=np.float64) - cmat) ** 2).sum(axis=1)
+        assert got[r["vec_id"]] == cids[int(np.argmin(d2))]
+
+
+def test_kmeans_converges_and_is_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a1, c1 = kmeans_fit(emb, k=4, max_iter=30)
+    a2, c2 = kmeans_fit(emb, k=4, max_iter=30)
+    assert c1.keys() == c2.keys()
+    for cid in c1:
+        assert c1[cid] == pytest.approx(c2[cid])
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    # every vector is assigned and cluster count is as requested
+    assert a1.count() == emb.count()
+    assert a1.select("centroid_id").distinct().count() <= 4
+
+
+def test_kmeans_raises_when_not_converged(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kmeans_fit(emb, k=4, max_iter=0)
+
+
+# ------------------------------------------------------------ temperature mix
+
+
+def test_temperature_mix_keeps_rarest_source_whole(spark):
+    from aws_ipl_data_pipeline_spark.operators.sampling import temperature_mix
+
+    # mix on `lang`, the imbalanced stratum of the synthetic corpus
+    # (`source` is uniform by construction, a no-op for rebalancing)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mixed = temperature_mix(docs, source_col="lang", alpha=0.5).cache()
+    try:
+        before = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+        after = {r["lang"]: r["c"] for r in mixed.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+        rarest = min(before, key=before.get)
+        assert after[rarest] == before[rarest]  # keep_prob exactly 1.0
+        # dominant sources shed rows; relative share moves toward uniform
+        dominant = max(before, key=before.get)
+        assert after[dominant] < before[dominant]
+        assert (after[dominant] / after[rarest]) < (before[dominant] / before[rarest])
+    finally:
+        mixed.unpersist()
+
+
+def test_temperature_mix_alpha_one_is_identity(spark):
+    from aws_ipl_data_pipeline_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert temperature_mix(docs, alpha=1.0).count() == docs.count()
