@@ -55,6 +55,13 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     return spark.read.format(fmt).load(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (beyond the reference's formats — ships in-box with
+    Spark). Columnar like parquet: column pruning and predicate pushdown
+    reach the stripe reader, so the same 100 TB scan discipline holds."""
+    return spark.read.orc(path)
+
+
 def with_source_file(df: DataFrame, col: str = "source_file") -> DataFrame:
     """P6-style provenance: the reference derives the match id from the
     S3 key path (ex_match_rb.py:170); Spark exposes the same via

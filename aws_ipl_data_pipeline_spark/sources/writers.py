@@ -169,6 +169,13 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (in-box columnar alternative to parquet; same
+    partitioned-write semantics apply via ``write_partitioned(...,
+    fmt='orc')``)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False
 ) -> None:

@@ -277,3 +277,44 @@ def test_zorder_write_narrows_stats_on_both_dims(spark, tmp_path_factory):
         == spark.read.parquet(f"{base}/plain").agg({"payload": "sum"}).head()[0]
     )
     assert sorted(spark.read.parquet(f"{base}/z").columns) == ["payload", "x", "y"]
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    """ORC sink/scan round-trips losslessly and pushes filters and
+    column pruning to the stripe reader like parquet does."""
+    from aws_ipl_data_pipeline_spark.sources.readers import read_orc
+    from aws_ipl_data_pipeline_spark.sources.writers import write_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    assert (
+        back.agg(F.sum("o_totalprice")).first()[0]
+        == src.agg(F.sum("o_totalprice")).first()[0]
+    )
+    filtered = back.where(F.col("o_orderkey") == 1).select("o_orderkey")
+    explained = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(o_orderkey,1)" in explained  # pushed to the scan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in explained  # pruned
+
+
+def test_orc_partitioned_dynamic_overwrite(spark, tmp_path):
+    """write_partitioned(fmt='orc') keeps the replaceWhere-equivalent
+    semantics: rewriting one partition leaves the others intact."""
+    from aws_ipl_data_pipeline_spark.sources.readers import read_orc
+
+    df = spark.createDataFrame(
+        [(1, "m1", "a"), (2, "m1", "b"), (3, "m2", "c")],
+        "id INT, match STRING, v STRING",
+    )
+    path = str(tmp_path / "orc_part")
+    write_partitioned(df, path, partition_by=["match"], fmt="orc")
+    upd = spark.createDataFrame([(9, "m2", "z")], "id INT, match STRING, v STRING")
+    write_partitioned(upd, path, partition_by=["match"], fmt="orc", mode="overwrite")
+    got = sorted(
+        map(tuple, read_orc(spark, path).select("id", "match", "v").collect())
+    )
+    assert got == [(1, "m1", "a"), (2, "m1", "b"), (9, "m2", "z")]
