@@ -164,6 +164,38 @@ def cmd_maintain(args) -> None:
         print(f"rewrote {args.path} z-ordered by {args.by}")
 
 
+def cmd_prep(args) -> None:
+    """Training-data prep over an arbitrary parquet table: chunk long
+    documents, temperature-rebalance a source mixture, or k-means
+    cluster an embedding column."""
+    spark = _spark(f"prep-{args.action}")
+    df = spark.read.parquet(args.path)
+    if args.action == "chunk":
+        from aws_ipl_data_pipeline_spark.operators.chunking import chunk_documents
+
+        out = chunk_documents(
+            df,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            chunk_tokens=args.chunk_tokens,
+            overlap=args.overlap,
+        )
+    elif args.action == "mix":
+        from aws_ipl_data_pipeline_spark.operators.sampling import temperature_mix
+
+        out = temperature_mix(
+            df, source_col=args.by, alpha=args.alpha, id_col=args.id_col
+        )
+    else:  # kmeans
+        from aws_ipl_data_pipeline_spark.operators.clustering import kmeans_fit
+
+        out, _ = kmeans_fit(
+            df, k=args.k, id_col=args.id_col, vec_col=args.vec_col
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"{args.action}: wrote {args.out}")
+
+
 def cmd_query(args) -> None:
     """Run any registered operator query over a table directory; write
     parquet with --out, else show. ``--name list`` prints the registry
@@ -241,6 +273,22 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--min-chars", type=int, default=1)
     co.add_argument("--continuous", action="store_true")
     co.set_defaults(fn=cmd_corpus)
+
+    pr = sub.add_parser(
+        "prep", help="training-data prep: chunk | mix (temperature) | kmeans"
+    )
+    pr.add_argument("action", choices=["chunk", "mix", "kmeans"])
+    pr.add_argument("--path", required=True, help="input parquet table")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--chunk-tokens", type=int, default=512)
+    pr.add_argument("--overlap", type=int, default=64)
+    pr.add_argument("--by", default="source", help="mix: stratum column")
+    pr.add_argument("--alpha", type=float, default=0.5, help="mix: temperature")
+    pr.add_argument("--k", type=int, default=8, help="kmeans: clusters")
+    pr.add_argument("--vec-col", default="embedding")
+    pr.set_defaults(fn=cmd_prep)
 
     qq = sub.add_parser(
         "query", help="run a registered operator query ('query list' to enumerate)"

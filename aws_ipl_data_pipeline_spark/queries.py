@@ -2903,6 +2903,87 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_then_pack",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE {_NORM_SQL} <> ''
+    ),
+    s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(ceil(greatest(len(toks) - {_CHUNK_OVERLAP}, 1)
+                       / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) AS nc
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, unnest(range(0, nc)) AS chunk_id FROM s
+    ),
+    u AS (
+      SELECT doc_id, chunk_id,
+             least({_CHUNK_TOKENS}, n_tokens - chunk_id * {_CHUNK_STRIDE})
+               AS chunk_n_tokens,
+             doc_id * 1000 + chunk_id AS chunk_uid,
+             CAST(doc_id % 8 AS VARCHAR) AS shard
+      FROM c
+    ),
+    o AS (
+      SELECT *, SUM(chunk_n_tokens) OVER (
+               PARTITION BY shard
+               ORDER BY md5(CAST(chunk_uid AS VARCHAR)), chunk_uid
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM u
+    ),
+    ns AS (
+      SELECT *,
+             list_sum(list_transform(range(1, 6), i ->
+               (strpos('0123456789abcdef', substr(md5(shard), i, 1)) - 1)
+               * CAST(pow(16, 5 - i) AS BIGINT))) AS shard_ns
+      FROM o
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_n_tokens AS BIGINT) AS chunk_n_tokens,
+           CAST(shard_ns * 4294967296
+                + FLOOR((cum - chunk_n_tokens) / 64) AS BIGINT) AS pack_id,
+           CAST((cum - chunk_n_tokens) % 64 AS BIGINT) AS pack_offset
+    FROM ns
+    """,
+)
+def chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end prep layout: chunk long documents into overlapping
+    token windows, then lay the chunks head-to-tail into token-budget
+    packs sharded by data-worker id (doc_id mod 8). One declarative
+    plan: map-only chunk explode flows straight into the single
+    shard-key shuffle of the sharded packing window — the composition a
+    100 TB corpus run executes between dedup and the sorted write."""
+    from aws_ipl_data_pipeline_spark.operators.chunking import chunk_documents
+    from aws_ipl_data_pipeline_spark.operators.packing import pack_sequences
+
+    ch = chunk_documents(
+        t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_n_tokens",
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_uid"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("string").alias("shard"),
+    )
+    packed = pack_sequences(
+        ch,
+        budget=64,
+        id_col="chunk_uid",
+        tokens_col="chunk_n_tokens",
+        shard_col="shard",
+    )
+    return packed.select(
+        "doc_id", "chunk_id", "chunk_n_tokens", "pack_id", "pack_offset"
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding clustering (k-means assignment + Lloyd iterations)
 # --------------------------------------------------------------------------
@@ -3072,6 +3153,7 @@ _DRIVER_FIRST = [
     "dedup_simhash",
     "ann_lsh_topk",
     "document_chunking",
+    "chunk_then_pack",
     "embedding_centroid_assign",
     "source_mixing_temperature",
     "kmeans_lloyd",

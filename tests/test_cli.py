@@ -155,3 +155,38 @@ def test_cli_maintain_compact_and_sort(spark, tmp_path_factory, capsys):
     main(["maintain", "sort", "--path", path, "--by", "k"])
     got = spark.read.parquet(path)
     assert got.count() == 5000 and set(got.columns) == {"id", "k"}
+
+
+def test_cli_prep_chunk_and_mix(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("prep"))
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    main(
+        [
+            "prep", "chunk", "--path", docs, "--out", f"{base}/chunks",
+            "--chunk-tokens", "16", "--overlap", "4",
+        ]
+    )
+    chunks = spark.read.parquet(f"{base}/chunks")
+    assert chunks.count() > 0
+    assert set(chunks.columns) == {
+        "doc_id", "chunk_id", "chunk_text", "chunk_n_tokens", "n_tokens"
+    }
+    main(
+        ["prep", "mix", "--path", docs, "--out", f"{base}/mixed", "--by", "lang"]
+    )
+    mixed = spark.read.parquet(f"{base}/mixed")
+    assert 0 < mixed.count() < spark.read.parquet(docs).count()
+
+
+def test_cli_prep_kmeans(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("prepk"))
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    main(
+        [
+            "prep", "kmeans", "--path", emb, "--out", f"{base}/clusters",
+            "--k", "4", "--id-col", "vec_id",
+        ]
+    )
+    out = spark.read.parquet(f"{base}/clusters")
+    assert out.count() == spark.read.parquet(emb).count()
+    assert out.select("centroid_id").distinct().count() <= 4
