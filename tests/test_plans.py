@@ -232,3 +232,38 @@ def test_tfidf_idf_join_broadcasts(spark):
     p = formatted_plan(spark, "tfidf_top_terms")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_chunking_is_map_only(spark):
+    """Chunking must be a zero-shuffle map pass: split/sequence/explode/
+    slice pipeline straight from the scan, no Python per row."""
+    p = formatted_plan(spark, "document_chunking")
+    assert _nodes(p, "Exchange") == 0
+    assert "EvalPython" not in p
+
+
+def test_chunk_then_pack_single_shard_shuffle(spark):
+    """The composition shuffles exactly once — on the shard key for the
+    packing window; a global-window plan (single partition) or a second
+    shuffle is a 100 TB regression."""
+    p = formatted_plan(spark, "chunk_then_pack")
+    assert _nodes(p, "Exchange") == 1
+    assert "SinglePartition" not in p
+
+
+def test_centroid_assign_is_map_only(spark):
+    """Literal-centroid argmin is pure projection: no Exchange, no
+    Python, distances unrolled to JVM expressions. (The O(k·dim) seed
+    collect happens before the plan under test.)"""
+    p = formatted_plan(spark, "embedding_centroid_assign")
+    assert _nodes(p, "Exchange") == 0
+    assert "EvalPython" not in p
+
+
+def test_temperature_mix_fact_table_single_pass(spark):
+    """The fact table is read once and filtered map-side; the per-lang
+    rates come back via broadcast joins (k-row dims), never a fact
+    shuffle."""
+    p = formatted_plan(spark, "source_mixing_temperature")
+    assert _nodes(p, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in p
