@@ -1716,6 +1716,33 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           round(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — an arbitrary set list that is neither a
+    ROLLUP prefix chain nor a full CUBE, via the DataFrame groupingSets
+    API (same single-scan Expand operator underneath)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+@register(
     "cube_pricing",
     """
     SELECT l_returnflag, l_linestatus,
@@ -2149,6 +2176,67 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_ipl_data_pipeline_spark.operators.text import repetition_metrics
 
     return repetition_metrics(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "bigram_counts",
+    f"""
+    WITH d AS (
+      SELECT string_split({_NORM_SQL}, ' ') AS tk
+      FROM documents WHERE {_NORM_SQL} <> ''
+    ),
+    d2 AS (SELECT tk FROM d WHERE len(tk) >= 2),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                    i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS s
+      FROM d2
+    ),
+    c AS (SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    o AS (
+      SELECT w1, w2, CAST(n AS BIGINT) AS n,
+             round(n / SUM(n) OVER (PARTITION BY w1), 4) AS p_cond
+      FROM c
+    )
+    SELECT * FROM o ORDER BY n DESC, w1, w2 LIMIT 50
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram model: top-50 bigrams with conditional probability
+    P(w2|w1). Explode stays map-side (pure transform over the token
+    array); the (w1,w2) count is a map-side-combinable hash agg; the
+    conditional denominator reuses the tiny post-agg frame (window over
+    w1), then TakeOrderedAndProject — no full sort of the bigram space."""
+    from aws_ipl_data_pipeline_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    norm_nonempty = F.length(F.trim(F.col("text"))) > 0
+    tk = tokens("text")
+    pairs = (
+        docs.where(norm_nonempty)
+        .select(tk.alias("tk"))
+        .where(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tk", i).alias("w1"),
+                        F.element_at("tk", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("w1")
+    return (
+        counts.withColumn(
+            "p_cond", F.round(F.col("n") / F.sum("n").over(w), 4)
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(50)
+    )
 
 
 # deterministic synthetic PII (the word-salad corpus has none): an email
@@ -3157,6 +3245,8 @@ _DRIVER_FIRST = [
     "embedding_centroid_assign",
     "source_mixing_temperature",
     "kmeans_lloyd",
+    "grouping_sets_pricing",
+    "bigram_counts",
     # rows-only queries that have never had a driver run recorded
     "fuzzy_name_match",
     "multimodal_features",
