@@ -5,4 +5,5 @@ from aws_ipl_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
 )
 from aws_ipl_data_pipeline_spark.streaming.stateful import (  # noqa: F401
     running_totals_stateful,
+    running_totals_tws,
 )

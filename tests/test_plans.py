@@ -267,3 +267,38 @@ def test_temperature_mix_fact_table_single_pass(spark):
     p = formatted_plan(spark, "source_mixing_temperature")
     assert _nodes(p, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in p
+
+
+def test_runtime_bloom_filter_on_selective_fact_join(spark):
+    """Spark's runtime bloom-filter join filtering prunes the fact side
+    of a selective fact⋈fact join before the shuffle. The size
+    thresholds (creation side small enough, application side big
+    enough) are what gate it in production; locally the application
+    floor is dropped to show the rewrite fires — the conf posture a
+    100 TB deployment inherits with defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # applied on the fact scan side
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

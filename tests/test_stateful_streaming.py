@@ -77,3 +77,72 @@ def test_stateful_totals_across_microbatches(spark, tmp_path_factory):
     assert final[1][1] == 3
     # and the memory sink saw user 1 twice (once per micro-batch)
     assert out.where("key = 1").count() == 2
+
+
+@pytest.mark.slow
+def test_transform_with_state_matches_v1_semantics(spark, tmp_path_factory):
+    """The Spark 4 transformWithState form of the running fold produces
+    the same cross-batch totals as the applyInPandasWithState form.
+
+    Auto-activates when protobuf is importable: the TWS Python driver
+    worker needs google.protobuf (environment-blocked in this sandbox,
+    like delta-spark/rapidfuzz/pillow)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState python runner requires protobuf",
+    )
+    from aws_ipl_data_pipeline_spark.streaming import running_totals_tws
+
+    base = str(tmp_path_factory.mktemp("tws"))
+    src = f"{base}/src"
+    for i, rows in enumerate(ROWS):
+        _write_batch(src, i, rows)
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            running_totals_tws(stream, "user_id", "value")
+            .writeStream.format("memory")
+            .queryName("totals_tws")
+            .outputMode("update")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+    out = spark.table("totals_tws")
+    final = {
+        r["key"]: (r["total_value"], r["n_events"])
+        for r in out.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(F.desc("n_events"))
+            ),
+        )
+        .where("_rk = 1")
+        .collect()
+    }
+    flat = [(u, v) for batch in ROWS for u, v in batch]
+    expect = {}
+    for u, v in flat:
+        tot, n = expect.get(u, (0.0, 0))
+        expect[u] = (tot + v, n + 1)
+    assert {k: (round(v[0], 9), v[1]) for k, v in final.items()} == {
+        k: (round(v[0], 9), v[1]) for k, v in expect.items()
+    }
+    assert final[1][1] == 3  # state crossed micro-batches
