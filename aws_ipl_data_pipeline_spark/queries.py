@@ -3126,6 +3126,41 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_to_centroids(emb, seed_centroids(emb, 4))
 
 
+@register("datasketches_battery")  # rows-only: approximate by design
+def datasketches_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch battery per return flag: percentile_approx,
+    KLL quantiles (median/p95), theta-sketch distinct parts, HLL
+    distinct orders. Sketches are THE 100 TB path for quantiles and
+    cardinality — each partition builds a bounded-size sketch and the
+    combiner merges them, so no sort or exact-distinct shuffle of raw
+    rows ever happens; accuracy bounds are pytest-checked against the
+    exact answers (tests/test_operators.py)."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx(price, 0.5), 2).alias("approx_median_price"),
+        F.round(
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_agg_double(price), F.lit(0.5)
+            ),
+            2,
+        ).alias("kll_median_price"),
+        F.round(
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_agg_double(price), F.lit(0.95)
+            ),
+            2,
+        ).alias("kll_p95_price"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("l_partkey")).alias(
+            "theta_distinct_parts"
+        ),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
+            "hll_distinct_orders"
+        ),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
 @register("kmeans_lloyd")  # rows-only: iterative fixpoint, not SQL-expressible
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Lloyd k-means (operators/clustering.py): assign → skinny
@@ -3251,6 +3286,8 @@ _DRIVER_FIRST = [
     "fuzzy_name_match",
     "multimodal_features",
     "ann_ivf_topk",
+    # past slot 50 from here — first in line for the next rotation
+    "datasketches_battery",
     # flagship re-checks filling the remaining window slots (the ones
     # past slot 50 here already have ≥1 green driver row from r1/r2)
     "q1_pricing_summary",

@@ -499,3 +499,35 @@ def test_global_packing_matches_registered_query(spark):
         for r in pack_sequences(docs, budget=2048).collect()
     }
     assert got == want
+
+
+def test_datasketches_accuracy_bounds(spark):
+    """Every sketch estimate lands within its published error bound of
+    the exact answer (KLL default k: ~1.7% rank error; theta/HLL
+    default lgK: a few % relative error on cardinality)."""
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["l_returnflag"]: r for r in REGISTRY["datasketches_battery"].fn(spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            F.countDistinct("l_partkey").alias("nd_parts"),
+            F.countDistinct("l_orderkey").alias("nd_orders"),
+        )
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for flag, e in exact.items():
+        g = got[flag]
+        # quantile sketches: value at a slightly-off rank — allow 5% of
+        # the exact value as a generous envelope on this distribution
+        assert abs(g["approx_median_price"] - e["p50"]) <= 0.05 * e["p50"]
+        assert abs(g["kll_median_price"] - e["p50"]) <= 0.05 * e["p50"]
+        assert abs(g["kll_p95_price"] - e["p95"]) <= 0.05 * e["p95"]
+        assert abs(g["theta_distinct_parts"] - e["nd_parts"]) <= 0.05 * e["nd_parts"]
+        assert abs(g["hll_distinct_orders"] - e["nd_orders"]) <= 0.05 * e["nd_orders"]

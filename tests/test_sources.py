@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_ipl_data_pipeline_spark.schemas import MATCH_META, PLAYERS, RAW_DELIVERIES
@@ -318,3 +320,65 @@ def test_orc_partitioned_dynamic_overwrite(spark, tmp_path):
         map(tuple, read_orc(spark, path).select("id", "match", "v").collect())
     )
     assert got == [(1, "m1", "a"), (2, "m1", "b"), (9, "m2", "z")]
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    """Versioned snapshots: readers resolve the committed version, old
+    versions stay queryable until vacuumed, vacuum keeps the newest."""
+    from aws_ipl_data_pipeline_spark.sources.versioned import (
+        current_version,
+        list_versions,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "versioned")
+    v1_df = spark.range(5).withColumnRenamed("id", "k")
+    v2_df = spark.range(8).withColumnRenamed("id", "k")
+
+    assert current_version(spark, path) is None
+    assert write_snapshot(v1_df, path) == 1
+    assert write_snapshot(v2_df, path) == 2
+    assert current_version(spark, path) == 2
+    assert list_versions(spark, path) == [1, 2]
+
+    assert read_snapshot(spark, path).count() == 8  # committed
+    assert read_snapshot(spark, path, version=1).count() == 5  # time travel
+
+    v3_df = spark.range(2).withColumnRenamed("id", "k")
+    write_snapshot(v3_df, path)
+    assert vacuum_snapshots(spark, path, keep_last=2) == [1]
+    assert list_versions(spark, path) == [2, 3]
+    assert read_snapshot(spark, path).count() == 2
+    with pytest.raises(Exception):
+        read_snapshot(spark, path, version=1).count()
+
+
+def test_snapshot_pointer_flip_is_crash_safe(spark, tmp_path):
+    """A version directory with no marker (crashed pre-flip writer)
+    never wins resolution; a duplicate marker (crashed mid-retire)
+    resolves to the newer snapshot."""
+    from aws_ipl_data_pipeline_spark.sources.maintenance import _fs_and_path
+    from aws_ipl_data_pipeline_spark.sources.versioned import (
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "crashy")
+    write_snapshot(spark.range(3).withColumnRenamed("id", "k"), path)
+
+    # simulate a writer that died after materializing v2 but before the
+    # pointer flip: data dir exists, no marker
+    spark.range(9).withColumnRenamed("id", "k").write.parquet(f"{path}/v=00000002")
+    assert current_version(spark, path) == 1
+    assert read_snapshot(spark, path).count() == 3
+
+    # simulate a crash mid-flip on v3: both markers present
+    fs, _ = _fs_and_path(spark, path)
+    spark.range(4).withColumnRenamed("id", "k").write.parquet(f"{path}/v=00000003")
+    _, jm = _fs_and_path(spark, f"{path}/_latest_v00000003")
+    fs.create(jm, True).close()
+    assert current_version(spark, path) == 3
+    assert read_snapshot(spark, path).count() == 4
