@@ -83,7 +83,18 @@ def cmd_gold(args) -> None:
         ("gold_team_stats", team_stats),
         ("gold_tournament_standings", tournament_standings),
     ):
-        builder(silver).write.mode("overwrite").parquet(f"{args.out_dir}/{name}")
+        out = f"{args.out_dir}/{name}"
+        if getattr(args, "versioned", False):
+            # snapshot-isolated full overwrite (the Delta-table property
+            # of the reference's gold layer) with native time travel
+            from aws_ipl_data_pipeline_spark.sources.versioned import (
+                write_snapshot,
+            )
+
+            v = write_snapshot(builder(silver), out)
+            print(f"{name}: snapshot v{v}")
+        else:
+            builder(silver).write.mode("overwrite").parquet(out)
 
 
 def cmd_stream(args) -> None:
@@ -237,6 +248,11 @@ def build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("gold", help="silver -> four gold tables")
     g.add_argument("--silver", required=True)
     g.add_argument("--out-dir", required=True)
+    g.add_argument(
+        "--versioned",
+        action="store_true",
+        help="write snapshot-isolated versions with time travel",
+    )
     g.set_defaults(fn=cmd_gold)
 
     st = sub.add_parser("stream", help="incremental raw->bronze->silver->gold")

@@ -44,6 +44,19 @@ HEADLINE = [
     "ipl_gold_e2e",
 ]
 
+# round-3 additions: timed and recorded separately so the headline
+# total stays comparable round-over-round (the 24-query set above is
+# frozen; these graduate into HEADLINE only if the set is ever re-based)
+EXTENDED = [
+    "document_chunking",
+    "chunk_then_pack",
+    "embedding_centroid_assign",
+    "source_mixing_temperature",
+    "bigram_counts",
+    "grouping_sets_pricing",
+    "datasketches_battery",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,6 +116,17 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = REGISTRY[name].fn
+        runs = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        extended[name] = round(min(runs), 3)
+        print(f"  [extended] {name}: best {extended[name]}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -112,6 +136,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "queries_extended": extended,
                 "iters": iters,
                 "sf": sf,
             }

@@ -190,3 +190,30 @@ def test_cli_prep_kmeans(spark, tmp_path_factory):
     out = spark.read.parquet(f"{base}/clusters")
     assert out.count() == spark.read.parquet(emb).count()
     assert out.select("centroid_id").distinct().count() <= 4
+
+
+def test_cli_gold_versioned_snapshots(spark, tmp_path_factory):
+    """gold --versioned writes snapshot-isolated tables: a second run
+    creates v2 while v1 stays time-travel-readable."""
+    from aws_ipl_data_pipeline_spark.plans import to_bronze, to_silver
+    from aws_ipl_data_pipeline_spark.sources.versioned import (
+        current_version,
+        read_snapshot,
+    )
+
+    base = str(tmp_path_factory.mktemp("goldv"))
+    silver = to_silver(to_bronze(raw_deliveries(spark)), match_meta(spark))
+    silver.write.parquet(f"{base}/silver")
+
+    for _ in range(2):
+        main(
+            [
+                "gold", "--silver", f"{base}/silver",
+                "--out-dir", f"{base}/gold", "--versioned",
+            ]
+        )
+    tbl = f"{base}/gold/gold_tournament_standings"
+    assert current_version(spark, tbl) == 2
+    v1 = read_snapshot(spark, tbl, version=1)
+    v2 = read_snapshot(spark, tbl)
+    assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))

@@ -101,3 +101,56 @@ def test_ivf_full_probe_equals_exact(spark):
     ]
     assert len(part) == 10
     assert len(set(exact) & set(part)) >= 3
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew handling: a join where 95% of left rows share
+    one key gets its hot partition split into multiple tasks (the
+    executed plan shows SortMergeJoin(skew=true) and a skewed
+    AQEShuffleRead) — the no-code-change half of the skew story, next
+    to the explicit salting operator. forceOptimizeSkewedJoin is on
+    because the downstream agg would otherwise veto the extra-shuffle
+    rewrite; the size thresholds are floored to make the local fixture
+    cross them."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # incompressible pad so shuffle bytes reflect the row skew
+        pad = F.concat(
+            *[
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit(i)), 256)
+                for i in range(4)
+            ]
+        )
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("v")
+        )
+        j = (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.sum(F.length("pad")).alias("s"))  # keeps pad un-pruned
+        )
+        assert j.collect()[0]["s"] == 49_280_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin(skew=true)" in final
+        assert "skewed" in final  # the AQEShuffleRead split the hot partition
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
