@@ -1716,6 +1716,42 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_measures",
+    """
+    WITH u AS (
+      UNPIVOT (SELECT l_quantity, l_discount, l_tax FROM lineitem)
+      ON l_quantity, l_discount, l_tax
+      INTO NAME measure VALUE value
+    )
+    SELECT measure,
+           round(SUM(value), 2)  AS sum_value,
+           round(AVG(value), 4)  AS avg_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM u GROUP BY measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native unpivot (melt) operator —
+    an Expand projection, map-only (no shuffle until the per-measure
+    agg, which map-side combines the 3× row growth)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ids=[],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .groupBy("measure")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
     "grouping_sets_pricing",
     """
     SELECT l_returnflag, l_linestatus,
@@ -3288,6 +3324,7 @@ _DRIVER_FIRST = [
     "ann_ivf_topk",
     # past slot 50 from here — first in line for the next rotation
     "datasketches_battery",
+    "unpivot_measures",
     # flagship re-checks filling the remaining window slots (the ones
     # past slot 50 here already have ≥1 green driver row from r1/r2)
     "q1_pricing_summary",

@@ -17,17 +17,36 @@ EVENTS = [
 ]
 
 _spark = None
+_prev_shuffle_partitions = None
 
 
 def _get_spark():
     # hypothesis drives many examples; reuse one session (pytest fixture
     # injection doesn't compose with @given)
-    global _spark
+    global _spark, _prev_shuffle_partitions
     if _spark is None:
+        from pyspark.sql import SparkSession
+
         from aws_ipl_data_pipeline_spark.session import get_spark
 
+        active = SparkSession.getActiveSession()
+        if active is not None:  # getOrCreate will mutate, not create
+            _prev_shuffle_partitions = active.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
         _spark = get_spark(app_name="props", master="local[2]", shuffle_partitions=2)
     return _spark
+
+
+def teardown_module():
+    # getOrCreate applied shuffle_partitions=2 to the SHARED session's
+    # runtime conf — restore it so later test modules (e.g. the AQE skew
+    # gate, whose median-size math needs real partition counts) see the
+    # suite default again
+    if _spark is not None and _prev_shuffle_partitions is not None:
+        _spark.conf.set(
+            "spark.sql.shuffle.partitions", _prev_shuffle_partitions
+        )
 
 
 @st.composite

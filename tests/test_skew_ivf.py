@@ -119,6 +119,10 @@ def test_aqe_splits_skewed_join_partition(spark):
         "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # skew detection compares against the MEDIAN partition size —
+        # pin the partition count so a leaked low setting (or future
+        # default change) can't collapse the median into the hot key
+        "spark.sql.shuffle.partitions": "8",
     }
     old = {k: spark.conf.get(k, None) for k in confs}
     try:
