@@ -1979,6 +1979,40 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN CAST(props->>'$.k' AS BIGINT) < 50
+                           THEN 1 END) AS BIGINT)              AS n_low,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)  AS max_k,
+           round(AVG(CAST(props->>'$.k' AS BIGINT)), 4)        AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: parse the JSON props column ONCE with
+    parse_json into the binary variant encoding, then read typed paths
+    with variant_get — the scale answer to repeated get_json_object
+    string re-parsing (one parse per row feeds every extraction; the
+    variant also round-trips through shuffles/writes as a typed
+    column). Same aggregate contract as json_props_extract's oracle
+    family, different engine path."""
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k") < 50, 1)).cast("long").alias("n_low"),
+            F.max("k").cast("long").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
     "training_data_prep",
     f"""
     WITH toks AS (
@@ -3325,6 +3359,7 @@ _DRIVER_FIRST = [
     # past slot 50 from here — first in line for the next rotation
     "datasketches_battery",
     "unpivot_measures",
+    "variant_props_extract",
     # flagship re-checks filling the remaining window slots (the ones
     # past slot 50 here already have ≥1 green driver row from r1/r2)
     "q1_pricing_summary",
