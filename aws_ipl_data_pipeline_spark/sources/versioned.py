@@ -107,7 +107,13 @@ def vacuum_snapshots(
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(spark, path)
-    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    committed = current_version(spark, path)
+    keep = set(versions[-keep_last:])
+    if committed is not None:
+        # an unmarked higher dir (crashed pre-flip writer) must never
+        # crowd the committed snapshot out of the keep set
+        keep.add(committed)
+    doomed = [v for v in versions if v not in keep]
     fs, _ = _fs_and_path(spark, path)
     for v in doomed:
         _, jdir = _fs_and_path(spark, f"{path.rstrip('/')}/v={v:08d}")

@@ -382,3 +382,28 @@ def test_snapshot_pointer_flip_is_crash_safe(spark, tmp_path):
     fs.create(jm, True).close()
     assert current_version(spark, path) == 3
     assert read_snapshot(spark, path).count() == 4
+
+
+def test_vacuum_never_deletes_committed_version(spark, tmp_path):
+    """keep_last=1 with a crashed writer's unmarked HIGHER version dir
+    present: vacuum must keep the committed snapshot, not just the
+    newest directory."""
+    from aws_ipl_data_pipeline_spark.sources.versioned import (
+        current_version,
+        list_versions,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vac")
+    write_snapshot(spark.range(3).withColumnRenamed("id", "k"), path)
+    write_snapshot(spark.range(5).withColumnRenamed("id", "k"), path)
+    # crashed pre-flip writer: v3 data exists, no marker → not committed
+    spark.range(9).withColumnRenamed("id", "k").write.parquet(f"{path}/v=00000003")
+    assert current_version(spark, path) == 2
+
+    removed = vacuum_snapshots(spark, path, keep_last=1)
+    assert removed == [1]  # v2 committed, v3 newest — both survive
+    assert sorted(list_versions(spark, path)) == [2, 3]
+    assert read_snapshot(spark, path).count() == 5
