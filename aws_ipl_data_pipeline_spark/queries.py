@@ -3081,7 +3081,7 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, chunk_id,
              least({_CHUNK_TOKENS}, n_tokens - chunk_id * {_CHUNK_STRIDE})
                AS chunk_n_tokens,
-             doc_id * 1000 + chunk_id AS chunk_uid,
+             doc_id * 1048576 + chunk_id AS chunk_uid,
              CAST(doc_id % 8 AS VARCHAR) AS shard
       FROM c
     ),
@@ -3127,7 +3127,9 @@ def chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "chunk_id",
         "chunk_n_tokens",
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_uid"),
+        # 2^20 chunk namespace per doc: unique up to ~1M chunks/doc and
+        # ~8.8e12 docs before long overflow — both far past corpus scale
+        (F.col("doc_id") * 1048576 + F.col("chunk_id")).alias("chunk_uid"),
         F.pmod(F.col("doc_id"), F.lit(8)).cast("string").alias("shard"),
     )
     packed = pack_sequences(
