@@ -197,6 +197,23 @@ def cmd_prep(args) -> None:
         out = temperature_mix(
             df, source_col=args.by, alpha=args.alpha, id_col=args.id_col
         )
+    elif args.action == "pack":
+        from pyspark.sql import functions as F
+
+        from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+        from aws_ipl_data_pipeline_spark.operators.packing import pack_sequences
+
+        if "n_tokens" not in df.columns:
+            df = df.withColumn(
+                "n_tokens",
+                F.size(F.split(normalized_text(args.text_col), " ")).cast("long"),
+            )
+        out = pack_sequences(
+            df,
+            budget=args.budget,
+            id_col=args.id_col,
+            shard_col=args.shard_col,
+        )
     else:  # kmeans
         from aws_ipl_data_pipeline_spark.operators.clustering import kmeans_fit
 
@@ -291,9 +308,10 @@ def build_parser() -> argparse.ArgumentParser:
     co.set_defaults(fn=cmd_corpus)
 
     pr = sub.add_parser(
-        "prep", help="training-data prep: chunk | mix (temperature) | kmeans"
+        "prep",
+        help="training-data prep: chunk | pack | mix (temperature) | kmeans",
     )
-    pr.add_argument("action", choices=["chunk", "mix", "kmeans"])
+    pr.add_argument("action", choices=["chunk", "pack", "mix", "kmeans"])
     pr.add_argument("--path", required=True, help="input parquet table")
     pr.add_argument("--out", required=True)
     pr.add_argument("--id-col", default="doc_id")
@@ -302,6 +320,12 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--overlap", type=int, default=64)
     pr.add_argument("--by", default="source", help="mix: stratum column")
     pr.add_argument("--alpha", type=float, default=0.5, help="mix: temperature")
+    pr.add_argument("--budget", type=int, default=2048, help="pack: token budget")
+    pr.add_argument(
+        "--shard-col",
+        default=None,
+        help="pack: shard column (omit = global single-sequence layout)",
+    )
     pr.add_argument("--k", type=int, default=8, help="kmeans: clusters")
     pr.add_argument("--vec-col", default="embedding")
     pr.set_defaults(fn=cmd_prep)

@@ -167,3 +167,48 @@ def test_temperature_mix_alpha_one_is_identity(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert temperature_mix(docs, alpha=1.0).count() == docs.count()
+
+
+def test_chunking_runs_unchanged_on_a_stream(spark, tmp_path_factory):
+    """chunk_documents is a stateless map — the exact same operator
+    runs on a streaming frame in append mode (the corpus-ingest path
+    can chunk on the way in, no batch/stream code fork)."""
+    import json
+    import os
+
+    base = str(tmp_path_factory.mktemp("chunkstream"))
+    src = f"{base}/src"
+    os.makedirs(src)
+    docs = [
+        {"doc_id": 1, "text": "a b c d e f"},
+        {"doc_id": 2, "text": "one two three"},
+    ]
+    with open(f"{src}/docs.json", "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = (
+        chunk_documents(stream, chunk_tokens=4, overlap=1)
+        .writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        map(tuple, spark.table("chunk_stream").select("doc_id", "chunk_id", "chunk_text").collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            chunk_documents(
+                spark.createDataFrame([(1, "a b c d e f"), (2, "one two three")], "doc_id long, text string"),
+                chunk_tokens=4,
+                overlap=1,
+            ).select("doc_id", "chunk_id", "chunk_text").collect(),
+        )
+    )
+    assert got == batch and len(got) > 2

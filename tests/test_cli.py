@@ -217,3 +217,19 @@ def test_cli_gold_versioned_snapshots(spark, tmp_path_factory):
     v1 = read_snapshot(spark, tbl, version=1)
     v2 = read_snapshot(spark, tbl)
     assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))
+
+
+def test_cli_prep_pack(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("prepp"))
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    main(
+        [
+            "prep", "pack", "--path", docs, "--out", f"{base}/packed",
+            "--budget", "256", "--shard-col", "source",
+        ]
+    )
+    out = spark.read.parquet(f"{base}/packed")
+    assert out.count() == spark.read.parquet(docs).count()
+    assert {"pack_id", "pack_offset", "n_tokens"} <= set(out.columns)
+    # offsets stay inside the budget
+    assert out.where("pack_offset >= 256 or pack_offset < 0").count() == 0
