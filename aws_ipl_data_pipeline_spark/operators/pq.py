@@ -1,0 +1,174 @@
+"""Product quantization for embedding columns (the ANN memory path).
+
+At 100 TB an `array<float>` embedding column is the storage and shuffle
+cost center: 64 floats = 256 bytes/row. PQ splits each vector into
+``m`` subvectors and replaces every subvector with the id of its
+nearest per-subspace centroid — ``m`` bytes per row (here 32×
+compression at m=8) — while asymmetric-distance (ADC) scoring against
+a query needs only a tiny lookup table.
+
+Scale design mirrors similarity.py:
+
+* training (``train_pq_codebooks``): per-subspace k-means on a
+  deterministic hash-ordered SAMPLE collected to the driver — the
+  standard PQ recipe (faiss trains codebooks on a sample too); the
+  collect is O(sample·dim), the codebooks O(m·k·dim/m) — both tiny and
+  independent of corpus size. numpy Lloyd with fixed seeds: reruns
+  produce identical codebooks.
+* encoding (``encode_pq``): one Arrow-batched pandas UDF over the
+  corpus — vectorized argmin per subspace, map-only, no shuffle; the
+  output codes column is what gets stored/shuffled from then on.
+* search (``pq_topk``): the query builds an m×k ADC lookup table
+  driver-side; scoring is a pure JVM fold (zip_with codes against the
+  literal LUT) + TakeOrderedAndProject — no Python per row, no
+  shuffle, and the scan reads only the m-byte codes, never the raw
+  vectors.
+
+Approximation contract: PQ is lossy; recall against exact brute force
+is pytest-bounded (tests/test_chunking_clustering.py) rather than
+oracle-checked, same as the LSH/IVF rows-only paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of k centroids each on a
+    deterministic sample. Returns codebooks[m][k][dim/m]."""
+    rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: first k distinct sample rows of this slice
+        cents = Xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def encode_pq(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to m uint8 codes (nearest centroid per
+    subspace). Map-only Arrow pass; output (id_col, codes array<int>)."""
+    m = len(codebooks)
+    cents = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = cents[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col), _codes(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k: per-subspace squared distances from the query to every
+    centroid form an m×n_centroids LUT; each row's approximate distance
+    is a JVM fold of LUT lookups over its codes. Returns
+    (id_col, pq_dist2) ascending."""
+    q = np.array(query_vec, dtype=np.float64)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = [
+        [
+            float(((q[s * dsub : (s + 1) * dsub] - np.array(c)) ** 2).sum())
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lut_col = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"), lut_col, lambda c, row: F.element_at(row, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = codes_df
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return (
+        out.select(id_col, F.round(dist, 4).alias("pq_dist2"))
+        .orderBy("pq_dist2", id_col)
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    overfetch: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """The production ANN pattern: ADC over the m-byte codes prunes the
+    corpus to k·overfetch candidates, then ONLY those rows' raw vectors
+    are read back (semi-join against the tiny candidate set — at scale
+    this is a broadcast of k·overfetch ids, not a corpus scan) and
+    re-ranked with exact cosine. Returns (id_col, cos_sim) desc."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import cosine_to_query
+
+    cands = pq_topk(
+        codes_df, codebooks, query_vec, k=k * overfetch,
+        id_col=id_col, exclude_id=exclude_id,
+    ).select(id_col)
+    exact = cosine_to_query(emb.join(F.broadcast(cands), id_col), query_vec, vec_col)
+    return (
+        exact.select(F.col(id_col).cast("long").alias(id_col), "cos_sim")
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -212,3 +212,64 @@ def test_chunking_runs_unchanged_on_a_stream(spark, tmp_path_factory):
         )
     )
     assert got == batch and len(got) > 2
+
+
+# -------------------------------------------------------------- PQ ANN
+
+
+def test_pq_codes_recall_and_determinism(spark):
+    import numpy as np
+
+    from aws_ipl_data_pipeline_spark.operators.pq import (
+        encode_pq,
+        pq_topk,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+    from aws_ipl_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("embedding"),
+    )
+    qraw = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    qn = (np.array(qraw) / np.linalg.norm(qraw)).tolist()
+
+    books = train_pq_codebooks(unit, m=16, k=64)
+    assert books == train_pq_codebooks(unit, m=16, k=64)  # deterministic
+    codes = encode_pq(unit, books).cache()
+    try:
+        rng = codes.select(
+            F.min(F.array_min("codes")), F.max(F.array_max("codes")), F.count("*")
+        ).first()
+        assert rng[0] >= 0 and rng[1] < 64 and rng[2] == emb.count()
+
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(emb, qraw, k=10, exclude_id=0).collect()
+        }
+        adc = {r["vec_id"] for r in pq_topk(codes, books, qn, k=10, exclude_id=0).collect()}
+        # pure ADC on worst-case random gaussians: coarse but useful
+        assert len(adc & exact) / 10 >= 0.3
+        # the production path (ADC prune -> exact rerank) recovers the
+        # exact top-k on this corpus
+        rr = {
+            r["vec_id"]
+            for r in pq_topk_rerank(
+                codes, emb, books, qn, k=10, overfetch=5, exclude_id=0
+            ).collect()
+        }
+        assert len(rr & exact) / 10 >= 0.9
+    finally:
+        codes.unpersist()
