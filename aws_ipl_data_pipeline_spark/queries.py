@@ -3232,7 +3232,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qn = math.sqrt(sum(x * x for x in q))
     books = train_pq_codebooks(unit, m=16, k=64)
-    codes = encode_pq(unit, books)
+    # pin the encoded table: both the ADC candidate scan and the rerank
+    # read it, and in production the codes are a materialized table
+    # anyway — without this the Arrow encode pass would run twice
+    codes = encode_pq(unit, books).localCheckpoint(eager=True)
     return pq_topk_rerank(
         codes, emb, books, [x / qn for x in q], k=10, exclude_id=0
     )

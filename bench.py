@@ -55,6 +55,9 @@ EXTENDED = [
     "bigram_counts",
     "grouping_sets_pricing",
     "datasketches_battery",
+    "unpivot_measures",
+    "variant_props_extract",
+    "ann_pq_topk",
 ]
 
 

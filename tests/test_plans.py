@@ -77,6 +77,10 @@ def test_no_python_udf_in_relational_core(spark):
         "ann_ivf_topk",
         "ann_lsh_topk",
         "dedup_simhash",
+        # PQ encoding: vectorized numpy argmin over m subspaces — the
+        # JVM form would be m×k unrolled distance exprs per row (huge
+        # codegen); ADC *scoring* stays JVM-side (pq_topk LUT fold)
+        "ann_pq_topk",
     }
     for name in REGISTRY:
         if name in python_ok:
