@@ -15,10 +15,67 @@ flow, never unrelated payload columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+
+def chunk_by_separator(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 64,
+    sep: str = r"\. ",
+    joiner: str = ". ",
+) -> DataFrame:
+    """Semantic chunking: split on a separator (default: sentence
+    boundaries), then assign each segment to the chunk its running
+    token total STARTS in (the same contract as sequence packing) and
+    reassemble. Unlike the fixed-window ``chunk_documents``, boundaries
+    never fall mid-sentence; a chunk may exceed ``budget`` only by the
+    tail of its last segment.
+
+    Plan shape: segment explode is map-side; the running total is one
+    window partitioned by the document key — a single shuffle on
+    ``id_col``, no global window; reassembly is a groupBy on the same
+    key (same partitioning → no second Exchange).
+
+    Output: (doc_id, chunk_id, chunk_text, n_segments, chunk_n_tokens).
+    """
+    norm = normalized_text(text_col)
+    segs = (
+        docs.where(norm != "")
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.posexplode(F.split(norm, sep)).alias("_pos", "_seg"),
+        )
+        .where(F.col("_seg") != "")
+    )
+    seg_tokens = F.size(F.split(F.col("_seg"), " "))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = segs.withColumn("_n", seg_tokens).withColumn(
+        "chunk_id",
+        F.floor((F.sum("_n").over(w) - F.col("_n")) / budget).cast("long"),
+    )
+    return (
+        assigned.groupBy(id_col, "chunk_id")
+        .agg(
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                    lambda s: s["_seg"],
+                ),
+            ).alias("chunk_text"),
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("_n").cast("long").alias("chunk_n_tokens"),
+        )
+    )
 
 
 def chunk_documents(

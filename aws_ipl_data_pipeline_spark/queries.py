@@ -3062,6 +3062,47 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_chunking",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex({_NORM_SQL}, '\\. ') AS segs
+      FROM documents WHERE {_NORM_SQL} <> ''
+    ),
+    e AS (
+      SELECT doc_id, unnest(range(1, len(segs) + 1)) AS i,
+             unnest(segs) AS seg
+      FROM d
+    ),
+    f AS (
+      SELECT doc_id, i, seg, len(string_split(seg, ' ')) AS n
+      FROM e WHERE seg <> ''
+    ),
+    a AS (
+      SELECT doc_id, i, seg, n,
+             CAST(FLOOR((SUM(n) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS UNBOUNDED PRECEDING) - n)
+                        / 64) AS BIGINT) AS chunk_id
+      FROM f
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_id,
+           string_agg(seg, '. ' ORDER BY i) AS chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(n) AS BIGINT) AS chunk_n_tokens
+    FROM a GROUP BY doc_id, chunk_id
+    """,
+)
+def semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separator-aware chunking (operators/chunking.chunk_by_separator):
+    split on sentence boundaries, assign each segment to the chunk its
+    running token total starts in (the packing contract), reassemble —
+    boundaries never fall mid-sentence. One shuffle on the doc key;
+    the reassembly groupBy reuses the window's partitioning."""
+    from aws_ipl_data_pipeline_spark.operators.chunking import chunk_by_separator
+
+    return chunk_by_separator(t(spark, sf_dir, "documents"), budget=64)
+
+
+@register(
     "chunk_then_pack",
     f"""
     WITH d AS (
@@ -3406,6 +3447,7 @@ _DRIVER_FIRST = [
     "unpivot_measures",
     "variant_props_extract",
     "ann_pq_topk",
+    "semantic_chunking",
     # flagship re-checks filling the remaining window slots (the ones
     # past slot 50 here already have ≥1 green driver row from r1/r2)
     "q1_pricing_summary",

@@ -273,3 +273,28 @@ def test_pq_codes_recall_and_determinism(spark):
         assert len(rr & exact) / 10 >= 0.9
     finally:
         codes.unpersist()
+
+
+def test_chunk_by_separator_contract(spark):
+    from aws_ipl_data_pipeline_spark.operators.chunking import chunk_by_separator
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three. four five six seven. eight nine. ten"),
+            (2, "single sentence only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_by_separator(docs, budget=5).collect()
+    }
+    # doc 1: segs of 3, 4, 2, 1 tokens; running starts 0,3,7,9 ->
+    # chunks floor(0/5)=0, 0, 1, 1
+    assert got[(1, 0)]["chunk_text"] == "one two three. four five six seven"
+    assert got[(1, 0)]["n_segments"] == 2 and got[(1, 0)]["chunk_n_tokens"] == 7
+    assert got[(1, 1)]["chunk_text"] == "eight nine. ten"
+    assert got[(1, 1)]["chunk_n_tokens"] == 3
+    # boundaries never split a sentence
+    assert got[(2, 0)]["chunk_text"] == "single sentence only"
+    assert len(got) == 3

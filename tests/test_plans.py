@@ -306,3 +306,12 @@ def test_runtime_bloom_filter_on_selective_fact_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_semantic_chunking_single_doc_shuffle(spark):
+    """Segment explode is map-side; the running-total window and the
+    reassembly groupBy share one doc-key partitioning — exactly one
+    Exchange, never a global window."""
+    p = formatted_plan(spark, "semantic_chunking")
+    assert _nodes(p, "Exchange") == 1
+    assert "SinglePartition" not in p
