@@ -182,15 +182,27 @@ def cmd_prep(args) -> None:
     spark = _spark(f"prep-{args.action}")
     df = spark.read.parquet(args.path)
     if args.action == "chunk":
-        from aws_ipl_data_pipeline_spark.operators.chunking import chunk_documents
-
-        out = chunk_documents(
-            df,
-            id_col=args.id_col,
-            text_col=args.text_col,
-            chunk_tokens=args.chunk_tokens,
-            overlap=args.overlap,
+        from aws_ipl_data_pipeline_spark.operators.chunking import (
+            chunk_by_separator,
+            chunk_documents,
         )
+
+        if args.sep:
+            out = chunk_by_separator(
+                df,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                budget=args.chunk_tokens,
+                sep=args.sep,
+            )
+        else:
+            out = chunk_documents(
+                df,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                chunk_tokens=args.chunk_tokens,
+                overlap=args.overlap,
+            )
     elif args.action == "mix":
         from aws_ipl_data_pipeline_spark.operators.sampling import temperature_mix
 
@@ -318,6 +330,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--chunk-tokens", type=int, default=512)
     pr.add_argument("--overlap", type=int, default=64)
+    pr.add_argument(
+        "--sep",
+        default=None,
+        help="chunk: separator regex for semantic (sentence-aware) chunking",
+    )
     pr.add_argument("--by", default="source", help="mix: stratum column")
     pr.add_argument("--alpha", type=float, default=0.5, help="mix: temperature")
     pr.add_argument("--budget", type=int, default=2048, help="pack: token budget")

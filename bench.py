@@ -58,6 +58,7 @@ EXTENDED = [
     "unpivot_measures",
     "variant_props_extract",
     "ann_pq_topk",
+    "semantic_chunking",
 ]
 
 

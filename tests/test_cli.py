@@ -233,3 +233,17 @@ def test_cli_prep_pack(spark, tmp_path_factory):
     assert {"pack_id", "pack_offset", "n_tokens"} <= set(out.columns)
     # offsets stay inside the budget
     assert out.where("pack_offset >= 256 or pack_offset < 0").count() == 0
+
+
+def test_cli_prep_chunk_semantic(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("prepsem"))
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    main(
+        [
+            "prep", "chunk", "--path", docs, "--out", f"{base}/sem",
+            "--chunk-tokens", "32", "--sep", r"\. ",
+        ]
+    )
+    out = spark.read.parquet(f"{base}/sem")
+    assert out.count() > 0
+    assert {"chunk_id", "chunk_text", "n_segments", "chunk_n_tokens"} <= set(out.columns)
