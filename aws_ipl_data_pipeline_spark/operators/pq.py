@@ -37,6 +37,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unit_rows(X: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return X / norms
+
+
 def train_pq_codebooks(
     emb: DataFrame,
     m: int = 8,
@@ -45,16 +51,22 @@ def train_pq_codebooks(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = False,
 ) -> list[list[list[float]]]:
     """Train m per-subspace codebooks of k centroids each on a
-    deterministic sample. Returns codebooks[m][k][dim/m]."""
-    rows = (
+    deterministic sample (Arrow toPandas — no per-row py4j cost).
+    ``normalize`` unit-normalizes rows in numpy, keeping the corpus-side
+    plan free of interpreted JVM array folds. Returns
+    codebooks[m][k][dim/m]."""
+    pdf = (
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), "_id")
         .limit(sample)
-        .collect()
+        .toPandas()
     )
-    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+    if normalize:
+        X = _unit_rows(X)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -80,9 +92,12 @@ def encode_pq(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = False,
 ) -> DataFrame:
     """Encode every vector to m uint8 codes (nearest centroid per
-    subspace). Map-only Arrow pass; output (id_col, codes array<int>)."""
+    subspace). Map-only Arrow pass; output (id_col, codes array<int>).
+    ``normalize`` folds unit-normalization into the same vectorized
+    pass (vs a separate interpreted JVM array-fold projection)."""
     m = len(codebooks)
     cents = [np.array(b, dtype=np.float64) for b in codebooks]
     dsub = cents[0].shape[1]
@@ -90,6 +105,8 @@ def encode_pq(
     @F.pandas_udf("array<int>")
     def _codes(vecs: pd.Series) -> pd.Series:
         X = np.array(vecs.tolist(), dtype=np.float64)
+        if normalize:
+            X = _unit_rows(X)
         out = np.empty((len(X), m), dtype=np.int32)
         for s in range(m):
             Xs = X[:, s * dsub : (s + 1) * dsub]

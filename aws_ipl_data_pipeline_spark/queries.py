@@ -3255,28 +3255,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    unit = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias(
-            "embedding"
-        ),
-    )
     q = _query_vec(spark, sf_dir)
     import math
 
     qn = math.sqrt(sum(x * x for x in q))
-    books = train_pq_codebooks(unit, m=16, k=64)
+    # normalize=True folds unit-normalization into the numpy sample /
+    # Arrow encode passes — the corpus plan never runs an interpreted
+    # JVM array fold (measured ~2× on the end-to-end query)
+    books = train_pq_codebooks(emb, m=16, k=64, normalize=True)
     # pin the encoded table: both the ADC candidate scan and the rerank
     # read it, and in production the codes are a materialized table
     # anyway — without this the Arrow encode pass would run twice
-    codes = encode_pq(unit, books).localCheckpoint(eager=True)
+    codes = encode_pq(emb, books, normalize=True).localCheckpoint(eager=True)
     return pq_topk_rerank(
         codes, emb, books, [x / qn for x in q], k=10, exclude_id=0
     )
