@@ -2200,6 +2200,30 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CORRELATED_SQL)
 
 
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+"""
+
+
+@register("lateral_topn_per_key", _LATERAL_SQL)
+def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) through
+    the SQL front door — identical text on both engines. Catalyst
+    decorrelates the per-row LIMIT into a window/join plan, never
+    re-executing the subquery per customer row."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
 # --------------------------------------------------------------------------
 # Training-data extensions: repetition quality metrics + PII redaction
 # --------------------------------------------------------------------------
@@ -3438,6 +3462,7 @@ _DRIVER_FIRST = [
     "variant_props_extract",
     "ann_pq_topk",
     "semantic_chunking",
+    "lateral_topn_per_key",
     # flagship re-checks filling the remaining window slots (the ones
     # past slot 50 here already have ≥1 green driver row from r1/r2)
     "q1_pricing_summary",
