@@ -2200,6 +2200,64 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CORRELATED_SQL)
 
 
+@register(
+    "token_entropy",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents WHERE {_NORM_SQL} <> ''
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY 1)
+    SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(-SUM((c / CAST(n AS DOUBLE))
+                      * log2(c / CAST(n AS DOUBLE))), 4) AS token_entropy
+    FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+    GROUP BY tf.doc_id, tot.n
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    lexical-diversity signal quality pipelines threshold on (low
+    entropy ⇒ repetitive/templated text). Explode → (doc, tok) hash agg
+    (map-side combinable) → per-doc entropy over the tiny tf frame; the
+    per-doc total rides the same partitioning via a window, so the
+    whole query is two combinable aggregations on one doc-key
+    exchange."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    tf = (
+        docs.where(norm != "")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.split(norm, " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / n.cast("double")
+    return (
+        tf.withColumn("n", n)
+        .withColumn("_h", p * F.log2(p))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(-F.sum("_h"), 4).alias("token_entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            "n_distinct",
+            "token_entropy",
+        )
+    )
+
+
 _LATERAL_SQL = """
     SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
     FROM customer c,
@@ -3463,6 +3521,7 @@ _DRIVER_FIRST = [
     "ann_pq_topk",
     "semantic_chunking",
     "lateral_topn_per_key",
+    "token_entropy",
     # flagship re-checks filling the remaining window slots (the ones
     # past slot 50 here already have ≥1 green driver row from r1/r2)
     "q1_pricing_summary",
