@@ -67,6 +67,14 @@ def train_pq_codebooks(
     X = np.array(pdf["_v"].tolist(), dtype=np.float64)
     if normalize:
         X = _unit_rows(X)
+    return _train_books(X, m, k, iters)
+
+
+def _train_books(
+    X: np.ndarray, m: int, k: int, iters: int
+) -> list[list[list[float]]]:
+    """numpy Lloyd per subspace on an in-memory sample (deterministic
+    init: the first k sample rows of each slice)."""
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -74,7 +82,6 @@ def train_pq_codebooks(
     books: list[list[list[float]]] = []
     for s in range(m):
         Xs = X[:, s * dsub : (s + 1) * dsub]
-        # deterministic init: first k distinct sample rows of this slice
         cents = Xs[:k].copy()
         for _ in range(iters):
             d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -183,6 +190,135 @@ def pq_topk_rerank(
         codes_df, codebooks, query_vec, k=k * overfetch,
         id_col=id_col, exclude_id=exclude_id,
     ).select(id_col)
+    exact = cosine_to_query(emb.join(F.broadcast(cands), id_col), query_vec, vec_col)
+    return (
+        exact.select(F.col(id_col).cast("long").alias(id_col), "cos_sim")
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def train_ivfpq(
+    emb: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    k: int = 64,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ index parameters: a coarse quantizer (the deterministic
+    IVF cell centroids from similarity.select_centroids) plus PQ
+    codebooks trained on the RESIDUALS (x − cell_centroid) of a
+    driver-side sample — residual magnitudes are what PQ has to encode
+    once the coarse cell explains the bulk of the vector, the standard
+    IVFPQ construction. Returns (centroids, codebooks)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import select_centroids
+
+    cents = select_centroids(emb, n_cells, id_col, vec_col, seed)
+    C = np.array(cents, dtype=np.float64)
+    pdf = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(sample)
+        .toPandas()
+    )
+    X = _unit_rows(np.array(pdf["_v"].tolist(), dtype=np.float64))
+    assign = np.argmax(X @ C.T, axis=1)
+    return cents, _train_books(X - C[assign], m, k, iters)
+
+
+def encode_ivfpq(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One vectorized Arrow pass: unit-normalize, coarse-assign the
+    cell (dot argmax), PQ-encode the residual. Output
+    (id_col, cell, codes) — the m+4-byte row the index stores; `cell`
+    doubles as the storage partition key so probes prune partitions."""
+    C = np.array(centroids, dtype=np.float64)
+    m = len(codebooks)
+    cents = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = cents[0].shape[1]
+
+    @F.pandas_udf("struct<cell: int, codes: array<int>>")
+    def _enc(vecs: pd.Series) -> pd.DataFrame:
+        X = _unit_rows(np.array(vecs.tolist(), dtype=np.float64))
+        cell = np.argmax(X @ C.T, axis=1)
+        R = X - C[cell]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Rs = R[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Rs[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.DataFrame({"cell": cell.astype("int32"), "codes": list(codes)})
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col), _enc(F.col(vec_col)).alias("_e")
+    ).select(id_col, F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes"))
+
+
+def ivfpq_topk_rerank(
+    codes_df: DataFrame,
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    overfetch: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search: probe the ``n_probe`` cells nearest the query;
+    within each, ADC-score residual codes against that cell's own LUT
+    (built from q − cell_centroid — the exact IVFPQ decomposition
+    ‖q−x‖² = ‖(q−c)−r‖²); take the best k·overfetch candidates and
+    exact-rerank them. Only the probed cells' code rows are ever
+    scanned — with `cell` as partition key that is partition pruning,
+    not a filter."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import cosine_to_query
+
+    q = np.array(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    C = np.array(centroids, dtype=np.float64)
+    probes = np.argsort(-(C @ q))[:n_probe]
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    per_cell = []
+    for c in probes:
+        r = q - C[c]
+        lut = [
+            [
+                float(((r[s * dsub : (s + 1) * dsub] - np.array(cent)) ** 2).sum())
+                for cent in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+        lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+        dist = F.aggregate(
+            F.zip_with(F.col("codes"), lut_col, lambda cd, row: F.element_at(row, cd + 1)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        per_cell.append(
+            codes_df.where(F.col("cell") == int(c)).select(
+                id_col, F.round(dist, 4).alias("pq_dist2")
+            )
+        )
+    cands = per_cell[0]
+    for frame in per_cell[1:]:
+        cands = cands.unionByName(frame)
+    if exclude_id is not None:
+        cands = cands.where(F.col(id_col) != exclude_id)
+    cands = cands.orderBy("pq_dist2", id_col).limit(k * overfetch).select(id_col)
     exact = cosine_to_query(emb.join(F.broadcast(cands), id_col), query_vec, vec_col)
     return (
         exact.select(F.col(id_col).cast("long").alias(id_col), "cos_sim")

@@ -3354,6 +3354,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivfpq_topk")  # rows-only: approximate (IVF-PQ composed index)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ (operators/pq.py): coarse cells prune the scan to
+    n_probe partitions, residual PQ codes ADC-score with per-cell
+    lookup tables (the exact ‖q−x‖² = ‖(q−c)−r‖² decomposition), and
+    the k·overfetch survivors exact-rerank. Recall is the n_probe
+    dial; full probe recovers the exact ranking (tested)."""
+    from aws_ipl_data_pipeline_spark.operators.pq import (
+        encode_ivfpq,
+        ivfpq_topk_rerank,
+        train_ivfpq,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    cents, books = train_ivfpq(emb, n_cells=16, m=16, k=64)
+    codes = encode_ivfpq(emb, cents, books).localCheckpoint(eager=True)
+    return ivfpq_topk_rerank(
+        codes, emb, cents, books, q, k=10, n_probe=8, exclude_id=0
+    )
+
+
 @register("datasketches_battery")  # rows-only: approximate by design
 def datasketches_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch battery per return flag: percentile_approx,
@@ -3522,6 +3544,7 @@ _DRIVER_FIRST = [
     "semantic_chunking",
     "lateral_topn_per_key",
     "token_entropy",
+    "ann_ivfpq_topk",
     # flagship re-checks filling the remaining window slots (the ones
     # past slot 50 here already have ≥1 green driver row from r1/r2)
     "q1_pricing_summary",

@@ -298,3 +298,38 @@ def test_chunk_by_separator_contract(spark):
     # boundaries never split a sentence
     assert got[(2, 0)]["chunk_text"] == "single sentence only"
     assert len(got) == 3
+
+
+def test_ivfpq_monotone_recall_and_full_probe_exact(spark):
+    import numpy as np
+
+    from aws_ipl_data_pipeline_spark.operators.pq import (
+        encode_ivfpq,
+        ivfpq_topk_rerank,
+        train_ivfpq,
+    )
+    from aws_ipl_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents, books = train_ivfpq(emb, n_cells=16, m=16, k=64)
+    assert (cents, books) == train_ivfpq(emb, n_cells=16, m=16, k=64)
+    codes = encode_ivfpq(emb, cents, books).localCheckpoint(eager=True)
+    assert codes.count() == emb.count()
+    assert codes.select(F.countDistinct("cell")).first()[0] <= 16
+
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10, exclude_id=0).collect()]
+    recalls = []
+    for n_probe in (4, 8, 16):
+        got = {
+            r["vec_id"]
+            for r in ivfpq_topk_rerank(
+                codes, emb, cents, books, q,
+                k=10, n_probe=n_probe, overfetch=10, exclude_id=0,
+            ).collect()
+        }
+        recalls.append(len(got & set(exact)) / 10)
+    # recall grows with probes (random-gaussian corpus scatters true
+    # neighbors uniformly across cells, so partial probes are coarse)
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # full probe degrades gracefully to exact

@@ -81,6 +81,7 @@ def test_no_python_udf_in_relational_core(spark):
         # JVM form would be m×k unrolled distance exprs per row (huge
         # codegen); ADC *scoring* stays JVM-side (pq_topk LUT fold)
         "ann_pq_topk",
+        "ann_ivfpq_topk",
     }
     for name in REGISTRY:
         if name in python_ok:
