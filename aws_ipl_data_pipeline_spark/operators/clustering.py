@@ -123,9 +123,13 @@ def kmeans_fit(
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
             .collect()
         )
-        centroids = {
-            int(r["centroid_id"]): [float(s["m"]) for s in r["ms"]] for r in means
-        }
+        # a cluster with no members emits no mean rows; keep its previous
+        # centroid instead of silently shrinking k (it can re-acquire
+        # members as other centroids move)
+        centroids = dict(centroids)
+        centroids.update(
+            (int(r["centroid_id"]), [float(s["m"]) for s in r["ms"]]) for r in means
+        )
     raise RuntimeError(
         f"k-means did not converge within {max_iter} iterations"
     )

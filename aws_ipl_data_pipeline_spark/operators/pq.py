@@ -78,6 +78,10 @@ def _train_books(
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if len(X) < k:
+        # a silent shrink would change code semantics: codes would index
+        # a smaller codebook than callers building k-wide LUTs expect
+        raise ValueError(f"PQ training sample has {len(X)} rows < k={k}")
     dsub = dim // m
     books: list[list[list[float]]] = []
     for s in range(m):

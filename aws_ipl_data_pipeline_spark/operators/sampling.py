@@ -67,11 +67,15 @@ def temperature_mix(
     counts = df.groupBy(source_col).agg(F.count("*").alias("_n_s"))
     n_min = counts.agg(F.min("_n_s").alias("_n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
-        source_col,
+        F.col(source_col).alias("_src_key"),
         F.pow(
             F.col("_n_s").cast("double") / F.col("_n_min"), F.lit(alpha - 1.0)
         ).alias("keep_prob"),
     )
-    return weighted_sample(
-        df.join(F.broadcast(rates), source_col), F.col("keep_prob"), id_col, buckets
-    )
+    # eqNullSafe: a NULL source is a legitimate stratum (groupBy produced
+    # a NULL-keyed rate row); a plain equality join would silently drop
+    # every NULL-stratum row from the output
+    joined = df.join(
+        F.broadcast(rates), F.col(source_col).eqNullSafe(F.col("_src_key"))
+    ).drop("_src_key")
+    return weighted_sample(joined, F.col("keep_prob"), id_col, buckets)

@@ -72,10 +72,17 @@ def current_version(spark: SparkSession, path: str) -> int | None:
 
 def write_snapshot(df: DataFrame, path: str) -> int:
     """Materialize ``df`` as the next snapshot version and flip the
-    pointer. Returns the new version number."""
+    pointer. Returns the new version number.
+
+    The next version is allocated above EVERY existing version
+    directory, not just the committed marker: a crashed pre-flip writer
+    leaves an unmarked v=N+1 dir, and allocating committed+1 would
+    collide with it forever (errorifexists), wedging the table for all
+    future writers. Readers never see such dirs (markers win), and
+    ``vacuum_snapshots`` reclaims them."""
     spark = df.sparkSession
     cur = current_version(spark, path)
-    nxt = (cur or 0) + 1
+    nxt = max(cur or 0, *list_versions(spark, path), 0) + 1
     df.write.mode("errorifexists").parquet(f"{path.rstrip('/')}/v={nxt:08d}")
     fs, _ = _fs_and_path(spark, path)
     _, jmarker = _fs_and_path(spark, f"{path.rstrip('/')}/_latest_v{nxt:08d}")
@@ -103,17 +110,24 @@ def vacuum_snapshots(
     spark: SparkSession, path: str, keep_last: int = 2
 ) -> list[int]:
     """Delete all but the newest ``keep_last`` snapshots (the committed
-    version is always kept). Returns the versions removed."""
+    version is always kept). Unmarked version dirs ABOVE the committed
+    version — debris from crashed pre-flip writers — can never become
+    the committed snapshot (new writers allocate past them), so they are
+    always reclaimed rather than occupying keep slots. Returns the
+    versions removed."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(spark, path)
     committed = current_version(spark, path)
-    keep = set(versions[-keep_last:])
     if committed is not None:
-        # an unmarked higher dir (crashed pre-flip writer) must never
-        # crowd the committed snapshot out of the keep set
+        orphans = [v for v in versions if v > committed]
+        live = [v for v in versions if v <= committed]
+    else:
+        orphans, live = [], versions
+    keep = set(live[-keep_last:])
+    if committed is not None:
         keep.add(committed)
-    doomed = [v for v in versions if v not in keep]
+    doomed = orphans + [v for v in live if v not in keep]
     fs, _ = _fs_and_path(spark, path)
     for v in doomed:
         _, jdir = _fs_and_path(spark, f"{path.rstrip('/')}/v={v:08d}")

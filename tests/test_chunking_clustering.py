@@ -139,6 +139,41 @@ def test_kmeans_raises_when_not_converged(spark):
         kmeans_fit(emb, k=4, max_iter=0)
 
 
+def test_kmeans_keeps_centroid_when_cluster_empties(spark):
+    """A centroid that loses every member keeps its previous position
+    instead of silently vanishing (k must never shrink mid-fit): two
+    tight groups plus one far-away seed point — the far seed's cluster
+    captures only itself; but a seed placed between the groups empties
+    out as both groups pull toward their own seeds."""
+    from pyspark.sql import Row
+
+    # 4 points, k=3: seeds are the lowest-3 md5(id) draw; with ids 0..3
+    # the geometry guarantees at least one seed converges onto the same
+    # mean as another, leaving some cluster empty or near-empty — the
+    # invariant under test is only |centroids| == k throughout.
+    rows = [
+        Row(vec_id=0, embedding=[0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.05, 0.0]),
+        Row(vec_id=3, embedding=[10.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows)
+    assigned, cents = kmeans_fit(emb, k=3, max_iter=20)
+    assert len(cents) == 3  # no silent shrink even if a cluster empties
+    assert assigned.count() == 4
+
+
+def test_pq_training_raises_on_sample_smaller_than_k(spark):
+    """_train_books must refuse a sample with fewer rows than k rather
+    than silently training a smaller codebook than callers' LUTs."""
+    import numpy as np
+
+    from aws_ipl_data_pipeline_spark.operators.pq import _train_books
+
+    with pytest.raises(ValueError, match="rows < k"):
+        _train_books(np.zeros((5, 8)), m=2, k=16, iters=2)
+
+
 # ------------------------------------------------------------ temperature mix
 
 
@@ -167,6 +202,21 @@ def test_temperature_mix_alpha_one_is_identity(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert temperature_mix(docs, alpha=1.0).count() == docs.count()
+
+
+def test_temperature_mix_null_stratum_rows_survive(spark):
+    """A NULL source is a legitimate stratum: the rates join is
+    null-safe, so NULL-stratum rows are rebalanced like any other
+    stratum instead of vanishing from the output."""
+    from pyspark.sql import Row
+
+    from aws_ipl_data_pipeline_spark.operators.sampling import temperature_mix
+
+    rows = [Row(doc_id=i, source=("a" if i % 2 else None)) for i in range(40)]
+    docs = spark.createDataFrame(rows)
+    mixed = temperature_mix(docs, alpha=1.0)  # identity rates: all kept
+    assert mixed.count() == 40
+    assert mixed.where(F.col("source").isNull()).count() == 20
 
 
 def test_chunking_runs_unchanged_on_a_stream(spark, tmp_path_factory):

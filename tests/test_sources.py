@@ -404,6 +404,31 @@ def test_vacuum_never_deletes_committed_version(spark, tmp_path):
     assert current_version(spark, path) == 2
 
     removed = vacuum_snapshots(spark, path, keep_last=1)
-    assert removed == [1]  # v2 committed, v3 newest — both survive
-    assert sorted(list_versions(spark, path)) == [2, 3]
+    # v2 committed — survives; v1 aged out; the unmarked orphan v3 can
+    # never become committed (writers allocate past it) so it is debris
+    # and is reclaimed rather than occupying a keep slot
+    assert sorted(removed) == [1, 3]
+    assert sorted(list_versions(spark, path)) == [2]
     assert read_snapshot(spark, path).count() == 5
+
+
+def test_writer_stays_live_after_pre_flip_crash(spark, tmp_path):
+    """A crashed writer's unmarked v=N+1 dir must not wedge the table:
+    the next writer allocates ABOVE it (max of dirs and markers + 1)
+    instead of colliding with errorifexists forever."""
+    from aws_ipl_data_pipeline_spark.sources.versioned import (
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "wedge")
+    write_snapshot(spark.range(3).withColumnRenamed("id", "k"), path)
+    # crashed pre-flip writer left v2 materialized but unmarked
+    spark.range(9).withColumnRenamed("id", "k").write.parquet(f"{path}/v=00000002")
+    assert current_version(spark, path) == 1
+
+    # liveness: the write allocates v3, does not collide with v2
+    assert write_snapshot(spark.range(7).withColumnRenamed("id", "k"), path) == 3
+    assert current_version(spark, path) == 3
+    assert read_snapshot(spark, path).count() == 7
