@@ -42,7 +42,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -175,6 +175,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     persist_shingles: bool = False,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding + exact verification.
 
@@ -182,6 +183,21 @@ def minhash_lsh_pairs(
     ≈ (1/16)^(1/4) ≈ 0.5 jaccard; candidates are then verified with the
     exact shingle jaccard, so precision is exact and only recall depends
     on the banding. Returns (id_a, id_b, jaccard).
+
+    Hot-bucket ceiling: a degenerate band bucket (thousands of
+    boilerplate-identical docs — common in real web corpora) would emit
+    O(b²) candidate pairs concentrated in ONE task. Buckets larger than
+    ``max_bucket_size`` therefore fall back to STAR candidates — every
+    member pairs only with the bucket's pivot (min id), O(b) per bucket.
+    Precision is untouched (every candidate still passes exact jaccard
+    verification); pair-level recall inside a hot bucket degrades
+    gracefully, but cluster connectivity — what near_dup_groups
+    consumes — is preserved exactly in the case hot buckets actually
+    represent (mutually near-identical docs: all members verify against
+    the pivot, so the component stays connected). Small buckets are
+    unaffected, so below the ceiling results are bit-identical to the
+    unguarded plan; audit oversized buckets with ``lsh_hot_buckets``.
+    ``None`` disables the guard.
 
     Single-pass shingle design: one aggregation per document computes
     the k min-hashes, the distinct-shingle count AND the shingle set —
@@ -234,14 +250,31 @@ def minhash_lsh_pairs(
     banded = agg.select("_id", F.explode(band_structs).alias("bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    ca = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
-    cb = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    if max_bucket_size is not None:
+        # one (band,bucket) shuffle computes size + pivot; the band join
+        # below re-uses that partitioning. Hot buckets leave the join.
+        w = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn("_bn", F.count("*").over(w)).withColumn(
+            "_pivot", F.min("_id").over(w)
+        )
+        cold = banded.where(F.col("_bn") <= max_bucket_size)
+        star = (
+            banded.where(F.col("_bn") > max_bucket_size)
+            .where(F.col("_id") != F.col("_pivot"))  # pivot = min → pivot < id
+            .select(F.col("_pivot").alias("id_a"), F.col("_id").alias("id_b"))
+        )
+    else:
+        cold, star = banded, None
+    ca = cold.select(F.col("_id").alias("id_a"), "band", "bucket")
+    cb = cold.select(F.col("_id").alias("id_b"), "band", "bucket")
     candidates = (
         ca.join(cb, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates()
     )
+    if star is not None:
+        candidates = candidates.unionByName(star)
+    candidates = candidates.dropDuplicates()
 
     # exact verification on candidates only: set intersection per pair
     va = agg.select(
@@ -267,6 +300,51 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_hot_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Audit companion to ``minhash_lsh_pairs``: the (band, bucket)
+    cells whose size exceeds ``max_bucket_size`` — i.e. exactly the
+    buckets the star fallback fired on — with their sizes, descending.
+    Run this when the ceiling triggers to see what boilerplate cluster
+    caused it (at scale: feed the members to exact_dedup, which handles
+    identical content in one hash-agg without any pair explosion)."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(docs, id_col, text_col, n).select(
+        "_id", F.xxhash64("shingle").alias("_hs")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("_id").agg(*mins)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        agg.select("_id", F.explode(band_structs).alias("bb"))
+        .groupBy(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket_size)
+        .orderBy(F.desc("bucket_size"))
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -274,6 +352,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs via 64-bit SimHash + block-pigeonhole banding.
 
@@ -293,6 +372,13 @@ def simhash_pairs(
     (big-endian) — stable across processes AND reproducible in ANSI
     SQL (both DuckDB and Spark expose md5 hex), so a SQL oracle can
     hash-match the candidate pairs instead of a rows-only check.
+
+    ``max_bucket_size`` is the same hot-bucket ceiling as
+    ``minhash_lsh_pairs``: a (block, key) cell larger than the ceiling
+    emits STAR candidates against the cell's min-id pivot (O(b), not
+    O(b²)); Hamming verification still applies, so precision is exact
+    and identical-doc clusters stay fully connected through the pivot.
+    Below the ceiling results are bit-identical to the unguarded plan.
     """
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -347,18 +433,38 @@ def simhash_pairs(
     blocked = sigs.select("_id", "simhash", F.explode(block_structs).alias("bk")).select(
         "_id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key")
     )
-    a = blocked.select(
+    if max_bucket_size is not None:
+        w = Window.partitionBy("block", "key")
+        # struct min orders by _id first: the pivot row carries its own
+        # simhash along for the verification step
+        blocked = blocked.withColumn("_bn", F.count("*").over(w)).withColumn(
+            "_pivot", F.min(F.struct("_id", "simhash")).over(w)
+        )
+        cold = blocked.where(F.col("_bn") <= max_bucket_size)
+        star = (
+            blocked.where(F.col("_bn") > max_bucket_size)
+            .where(F.col("_id") != F.col("_pivot._id"))
+            .select(
+                F.col("_pivot._id").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.col("_pivot.simhash").alias("_sa"),
+                F.col("simhash").alias("_sb"),
+            )
+        )
+    else:
+        cold, star = blocked, None
+    a = cold.select(
         F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"), "block", "key"
     )
-    b = blocked.select(
+    b = cold.select(
         F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"), "block", "key"
     )
-    cand = (
-        a.join(b, ["block", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = a.join(b, ["block", "key"]).where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "_sa", "_sb"
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
     return (
         cand.withColumn("hamming", hamming)

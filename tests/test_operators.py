@@ -95,6 +95,88 @@ def test_minhash_recall_equals_exact(spark):
     assert lsh == exact  # precision exact by construction; recall on this corpus
 
 
+def test_minhash_hot_bucket_star_fallback(spark):
+    """Degenerate corpus (1k boilerplate-identical docs): every band
+    bucket blows past the ceiling, so candidates come from the O(b)
+    star fallback, not an O(b²) self-join — and because the docs are
+    true duplicates, exact verification keeps every star pair: the
+    whole cluster stays connected through the pivot."""
+    txt = "the same boilerplate sentence repeated across the whole crawl"
+    rows = [(i, txt) for i in range(1000)] + [
+        (2000, "a genuinely unique document about something else entirely"),
+        (2001, "another unique document with its own words and phrasing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, max_bucket_size=64).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exactly the star: pivot 0 paired with each of the other 999 dups
+    assert got == {(0, i) for i in range(1, 1000)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        lsh_hot_buckets,
+        near_dup_groups,
+    )
+
+    # audit surface reports the oversized cells (one per band: 16)
+    hot = lsh_hot_buckets(docs, max_bucket_size=64).collect()
+    assert len(hot) == 16 and all(r["bucket_size"] == 1000 for r in hot)
+
+    # downstream clustering sees ONE component covering all 1000 dups
+    groups = near_dup_groups(
+        docs,
+        pairs=minhash_lsh_pairs(docs, threshold=0.8, max_bucket_size=64),
+    )
+    sizes = {
+        r["group_id"]: r["n"]
+        for r in groups.groupBy("group_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes[0] == 1000
+
+
+def test_simhash_hot_bucket_star_fallback(spark):
+    """Same ceiling contract for the SimHash block join: identical docs
+    collapse to one fingerprint, all four block cells go hot, and the
+    star keeps every member Hamming-0-connected to the pivot."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    txt = "copy of the exact same page text served from every mirror"
+    rows = [(i, txt) for i in range(500)] + [
+        (9000, "some totally different words in this one document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(docs, max_bucket_size=64).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, i) for i in range(1, 500)}
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_hot_bucket_ceiling_inert_below_threshold(spark):
+    """On the real corpus no bucket approaches the default ceiling, so
+    the guarded plan returns bit-identical pairs to the unguarded one
+    (this is what keeps the SQL oracles exact); also pins that the
+    driver corpus stays far from the ceiling."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        lsh_hot_buckets,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    guarded = {
+        tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    unguarded = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs, threshold=0.8, max_bucket_size=None).collect()
+    }
+    assert guarded == unguarded
+    sg = {tuple(r) for r in simhash_pairs(docs).collect()}
+    su = {tuple(r) for r in simhash_pairs(docs, max_bucket_size=None).collect()}
+    assert sg == su
+    # margin check: biggest real bucket is nowhere near the 256 default
+    assert lsh_hot_buckets(docs, max_bucket_size=64).count() == 0
+
+
 def test_lsh_ann_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
