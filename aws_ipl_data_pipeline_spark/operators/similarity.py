@@ -151,14 +151,20 @@ def select_centroids(
     seed: int = 42,
 ) -> list[list[float]]:
     """Deterministic centroid sample: the ``n_cells`` rows with the
-    smallest ``xxhash64(seed, id)`` — a uniform pseudo-random draw that
-    is stable across runs/partitionings. The collect is n_cells rows
-    (the one legitimate driver-side step of IVF index build; a k-means
-    refinement would slot in here without changing the query path).
-    Returns unit-normalized centroid vectors."""
+    smallest ``md5(f"{seed}:{id}")`` — a uniform pseudo-random draw that
+    is stable across runs/partitionings. md5 over xxhash64 deliberately:
+    both engines of the correctness gate expose md5 hex, so a SQL
+    oracle can reproduce the exact centroid pick (the ann_lsh_topk
+    VALUES recipe, applied to data-dependent centroids). The collect is
+    n_cells rows (the one legitimate driver-side step of IVF index
+    build; a k-means refinement would slot in here without changing the
+    query path). Returns unit-normalized centroid vectors."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
     rows = (
-        emb.select(F.col(vec_col).alias("_v"), F.xxhash64(F.lit(seed), id_col).alias("_h"))
-        .orderBy("_h")
+        emb.select(F.col(vec_col).alias("_v"), h.alias("_h"), F.col(id_col).alias("_i"))
+        .orderBy("_h", "_i")
         .limit(n_cells)
         .collect()
     )

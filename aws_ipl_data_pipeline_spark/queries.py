@@ -2101,11 +2101,71 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")  # rows-only: approximate by design
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_EMB_EXPAND},
+    cent_ids AS (
+      SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM embeddings
+      ) WHERE rn <= 16
+    ),
+    cn AS (
+      SELECT c.cell, e.i,
+             e.x / sqrt(SUM(e.x * e.x) OVER (PARTITION BY c.cell)) AS cx
+      FROM cent_ids c JOIN exd e ON e.vec_id = c.vec_id
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cell, SUM(e.x * c.cx) AS dot
+      FROM exd e JOIN cn c ON e.i = c.i
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dot DESC, cell ASC
+               ) AS rn
+        FROM assign
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cell FROM assign WHERE vec_id = 0
+      ORDER BY dot DESC, cell ASC LIMIT 4
+    ),
+    q AS (SELECT i, x AS qx FROM exd WHERE vec_id = 0),
+    qn AS (SELECT sqrt(SUM(qx * qx)) AS qnorm FROM q),
+    s AS (
+      SELECT e.vec_id, SUM(e.x * q.qx) AS dot, sqrt(SUM(e.x * e.x)) AS nrm
+      FROM exd e JOIN q ON e.i = q.i
+      WHERE e.vec_id IN (
+              SELECT vec_id FROM cells
+              WHERE cell IN (SELECT cell FROM probes)
+            )
+        AND e.vec_id <> 0
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           round(dot / (nrm * (SELECT qnorm FROM qn)), 4) AS cos_sim
+    FROM s ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell-probed approximate top-10 — the clustered-index scale
     path (scan n_probe/n_cells of the table; cell id doubles as the
-    storage partition key)."""
+    storage partition key).
+
+    Oracle-backed like ann_lsh_topk: the centroid pick is a
+    deterministic md5-ordered draw (similarity.select_centroids), so
+    the oracle re-derives the SAME 16 centroids from the table itself,
+    unit-normalizes them, reproduces the dot-argmax cell assignment
+    (ties to the lowest cell, matching numpy argmax), probes the 4
+    cells nearest the query, and ranks the probed candidates by exact
+    rounded cosine — the identical contract, checked by hash."""
     from aws_ipl_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")

@@ -521,7 +521,42 @@ def ipl_team_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ipl_gold_e2e")  # rows-only: throughput probe, summary output
+@register(
+    "ipl_gold_e2e",
+    f"""
+    WITH base AS (
+      SELECT s.*,
+             CASE WHEN match = 'M1' THEN 'AA' ELSE 'CC' END AS batting_team,
+             CASE WHEN match = 'M1' THEN 'BB' ELSE 'AA' END AS bowling_team,
+             CASE WHEN runs >= 4 THEN 'Powerplay' ELSE 'Middle Overs' END AS innings_phase
+      FROM {_player_values_sql()}
+    ),
+    reps AS (SELECT CAST(r AS VARCHAR) AS rep FROM (SELECT unnest(range(0, 3000)) AS r)),
+    silver AS (
+      SELECT base.* REPLACE (match || '_' || rep AS match) FROM base CROSS JOIN reps
+    )
+    SELECT 'gold_batsman_stats' AS "table",
+           CAST(COUNT(DISTINCT batsman) AS BIGINT) AS n_rows
+    FROM silver WHERE batsman IS NOT NULL AND batsman <> 'N/A'
+    UNION ALL
+    SELECT 'gold_bowler_stats',
+           CAST(COUNT(DISTINCT bowler) AS BIGINT)
+    FROM silver WHERE bowler IS NOT NULL AND bowler <> 'N/A'
+    UNION ALL
+    SELECT 'gold_team_stats',
+           CAST(COUNT(DISTINCT batting_team) AS BIGINT)
+    FROM silver WHERE batting_team IS NOT NULL AND batting_team <> 'N/A'
+    UNION ALL
+    -- standings universe is BATTING teams (every real team bats; a
+    -- bowl-only label like the synthetic BB is out of universe), rows
+    -- where either team label is the N/A sentinel are dropped first
+    SELECT 'gold_tournament_standings',
+           CAST(COUNT(DISTINCT batting_team) AS BIGINT)
+    FROM silver
+    WHERE batting_team IS NOT NULL AND batting_team <> 'N/A'
+      AND bowling_team IS NOT NULL AND bowling_team <> 'N/A'
+    """,
+)
 def ipl_gold_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole gold job (all four tables, reference
     ex_match_sg.py:323-347) over a deterministic ~45k-delivery corpus
@@ -529,7 +564,14 @@ def ipl_gold_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic matches via crossJoin(range) — zero driver-side data
     generation. Returns one summary row per gold table. The reference's
     implied budget is ≤45 s for silver+gold per match event; this runs
-    the full-league recompute in one pass."""
+    the full-league recompute in one pass.
+
+    Oracle-backed: the replication is SQL-expressible (range(0,3000)
+    cross join + match renaming), and each gold table's output
+    cardinality is an independent COUNT(DISTINCT grain-key) over that
+    replicated silver — batsman/bowler/team grain for the player
+    tables, the bat∪bowl team universe for standings — so the four
+    summary rows hash-match instead of a rows-only check."""
     from aws_ipl_data_pipeline_spark.plans.gold import (
         batsman_stats,
         bowler_stats,
