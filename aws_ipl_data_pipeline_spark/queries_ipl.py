@@ -326,10 +326,10 @@ def _player_df(spark: SparkSession) -> DataFrame:
     )
 
 
-@register(
-    "ipl_batsman_stats",
-    f"""
-    WITH silver AS (SELECT * FROM {_player_values_sql()}),
+# the gold_batsman_stats SQL derivation, parameterized only by a
+# `silver` CTE that must precede it (shared by the fixture-grain and
+# replicated-volume registrations)
+_BATSMAN_SQL_BODY = """
     bat AS (SELECT * FROM silver WHERE batsman IS NOT NULL AND batsman <> 'N/A'),
     highest AS (
       SELECT batsman, MAX(mr) AS highest_score FROM (
@@ -359,6 +359,14 @@ def _player_df(spark: SparkSession) -> DataFrame:
     FROM stats s
     LEFT JOIN highest h ON h.batsman = s.batsman
     LEFT JOIN outs o ON o.batsman = s.batsman
+"""
+
+
+@register(
+    "ipl_batsman_stats",
+    f"""
+    WITH silver AS (SELECT * FROM {_player_values_sql()}),
+    {_BATSMAN_SQL_BODY}
     """,
 )
 def ipl_batsman_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,6 +378,62 @@ def ipl_batsman_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     out = batsman_stats(_player_df(spark))
+    return out.select(
+        "batsman",
+        F.col("matches").cast("long"),
+        F.col("total_runs").cast("long"),
+        F.col("legal_balls").cast("long"),
+        F.col("fours").cast("long"),
+        F.col("sixes").cast("long"),
+        F.col("dot_balls").cast("long"),
+        F.col("highest_score").cast("long"),
+        F.col("times_out").cast("long"),
+        "strike_rate",
+        "batting_avg",
+        "dot_ball_pct",
+    )
+
+
+@register(
+    "ipl_batsman_stats_big",
+    f"""
+    WITH base AS (SELECT * FROM {_player_values_sql()}),
+    silver AS (
+      SELECT base.* REPLACE (
+        base.match || '_' || CAST(r.r AS VARCHAR) AS match,
+        CAST(base.runs + r.r % 3 AS INT) AS runs)
+      FROM base CROSS JOIN (SELECT unnest(range(0, 4999)) AS r) r
+    ),
+    {_BATSMAN_SQL_BODY}
+    """,
+)
+def ipl_batsman_stats_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold_batsman_stats at ~2-season volume (49,990 deliveries — the
+    reference processes ~20k/season, BASELINE.md): the delivery fixture
+    replicated across 4999 synthetic matches with per-replica run
+    variation (runs + rep mod 3), all SQL-expressible, so the driver
+    hash-checks the medallion aggregation at volume — matches,
+    highest-score max-of-sums, times_out attribution, and the three
+    rounded rates — not just fixture-grain quirks.
+
+    4999 replicas deliberately (prime): per-batsman denominators like
+    legal_balls = 4 x 4999 have a non-dyadic factor, so the rounded
+    rate quotients never terminate at exactly 3 decimal digits — the
+    .xx5 double-rounding boundary where Spark (shortest-decimal
+    HALF_UP) and DuckDB (binary round) legitimately disagree cannot
+    occur."""
+    from aws_ipl_data_pipeline_spark.plans.gold import batsman_stats
+
+    tune_session(spark)
+    reps = spark.range(4999).select(F.col("id").alias("_rep"))
+    silver = (
+        _player_df(spark)
+        .crossJoin(reps)
+        .withColumn("match", F.concat_ws("_", "match", F.col("_rep").cast("string")))
+        .withColumn("runs", (F.col("runs") + F.pmod("_rep", F.lit(3))).cast("int"))
+        .drop("_rep")
+    )
+    out = batsman_stats(silver)
     return out.select(
         "batsman",
         F.col("matches").cast("long"),
