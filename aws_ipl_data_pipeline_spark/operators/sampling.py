@@ -47,6 +47,54 @@ def weighted_sample(
     return df.where(bucket < keep_prob * buckets)
 
 
+def token_budget_mix(
+    df: DataFrame,
+    budget_tokens: float,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Fill a global token budget with a temperature-balanced source
+    mix — the "assemble a B-token training set" op: each source gets a
+    target of ``budget_tokens · T_s^alpha / Σ T_t^alpha`` tokens (T_s =
+    the source's total tokens; alpha < 1 upweights rare sources exactly
+    like ``temperature_mix``), then docs are admitted per source in
+    deterministic md5(id) order while the running token sum stays
+    within target. A pure function of the data — reruns and task
+    retries admit the identical document set.
+
+    Plan shape: one k-row totals agg + a 1-row normalizer, broadcast
+    back; the fact table is touched by one per-source window pass (the
+    ranking shuffle) and the admit filter. At 100 TB the window
+    partitions by source — salt dominant sources upstream if one
+    source exceeds a task (the admit rule composes: budget the salted
+    sub-sources, then cap once more).
+
+    Returns admitted rows plus ``cum_tokens`` and ``target_tokens``.
+    """
+    totals = df.groupBy(source_col).agg(F.sum(token_col).alias("_t_s"))
+    denom = totals.agg(
+        F.sum(F.pow(F.col("_t_s").cast("double"), F.lit(alpha))).alias("_z")
+    )
+    targets = totals.crossJoin(F.broadcast(denom)).select(
+        F.col(source_col).alias("_src_key"),
+        (
+            F.lit(float(budget_tokens))
+            * F.pow(F.col("_t_s").cast("double"), F.lit(alpha))
+            / F.col("_z")
+        ).alias("target_tokens"),
+    )
+    ranked = df.join(
+        F.broadcast(targets), F.col(source_col).eqNullSafe(F.col("_src_key"))
+    ).drop("_src_key")
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = ranked.withColumn("cum_tokens", F.sum(token_col).over(w))
+    return ranked.where(F.col("cum_tokens") <= F.col("target_tokens"))
+
+
 def temperature_mix(
     df: DataFrame,
     source_col: str = "source",

@@ -3522,6 +3522,108 @@ def source_mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_budget_mix",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT source, SUM(n_tokens) AS t_s FROM toks GROUP BY source),
+    z AS (SELECT SUM(POWER(CAST(t_s AS DOUBLE), 0.5)) AS z FROM tot),
+    tgt AS (
+      SELECT source,
+             20000.0 * POWER(CAST(t_s AS DOUBLE), 0.5) / z.z AS target_tokens
+      FROM tot, z
+    ),
+    ranked AS (
+      SELECT t.source, t.n_tokens, g.target_tokens,
+             SUM(t.n_tokens) OVER (
+               PARTITION BY t.source
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM toks t JOIN tgt g USING (source)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           round(ANY_VALUE(target_tokens), 4) AS target_tokens
+    FROM ranked WHERE cum <= target_tokens
+    GROUP BY source
+    """,
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a fixed token budget (20k) from the corpus with a
+    temperature-balanced source mix (operators/sampling.
+    token_budget_mix, alpha=0.5): per-source targets ∝ √(source token
+    mass), documents admitted in deterministic md5(id) order until the
+    running sum hits target. The end-to-end "build a B-token training
+    set" op — budget math, admission, and the per-source audit are all
+    one declarative plan (k-row aggs broadcast back, one per-source
+    window pass over the fact table)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.sampling import token_budget_mix as _tbm
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalized_text("text"), " ")).alias("n_tokens"),
+    )
+    kept = _tbm(docs, budget_tokens=20000.0, alpha=0.5)
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.round(F.any_value("target_tokens"), 4).alias("target_tokens"),
+    )
+
+
+@register(
+    "stats_aggregates_battery",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_s_disc_tax,
+           round(covar_pop(l_discount, l_tax), 6) + 0.0 AS covar_p_disc_tax,
+           round(stddev_samp(l_quantity), 4) + 0.0 AS stddev_s_qty,
+           round(stddev_pop(l_quantity), 4) + 0.0 AS stddev_p_qty,
+           round(var_samp(l_quantity), 4) + 0.0 AS var_s_qty,
+           round(var_pop(l_quantity), 4) + 0.0 AS var_p_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope_price_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept_price_qty,
+           round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2_price_qty,
+           round(median(l_quantity), 1) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_aggregates_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate surface (SURVEY §2.4 widened): correlation,
+    sample/population covariance and variance, linear-regression
+    slope/intercept/R², exact interpolated median — all single-pass
+    combinable JVM aggregates (one hash-agg exchange; the moment sums
+    merge map-side like any SUM, which is what makes them 100 TB-safe
+    vs a sort-based exact quantile). Outputs bounded-magnitude and
+    rounded so double moment accumulation order can't move the hash."""
+    li = t(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.round(F.corr(qty, price), 4) + 0.0).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias("covar_s_disc_tax"),
+        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + 0.0).alias("covar_p_disc_tax"),
+        (F.round(F.stddev_samp(qty), 4) + 0.0).alias("stddev_s_qty"),
+        (F.round(F.stddev_pop(qty), 4) + 0.0).alias("stddev_p_qty"),
+        (F.round(F.var_samp(qty), 4) + 0.0).alias("var_s_qty"),
+        (F.round(F.var_pop(qty), 4) + 0.0).alias("var_p_qty"),
+        (F.round(F.regr_slope(price, qty), 4) + 0.0).alias("slope_price_qty"),
+        (F.round(F.regr_intercept(price, qty), 4) + 0.0).alias("intercept_price_qty"),
+        (F.round(F.regr_r2(price, qty), 6) + 0.0).alias("r2_price_qty"),
+        F.round(F.median(qty), 1).alias("median_qty"),
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401

@@ -204,6 +204,47 @@ def test_temperature_mix_alpha_one_is_identity(spark):
     assert temperature_mix(docs, alpha=1.0).count() == docs.count()
 
 
+def test_token_budget_mix_respects_targets_and_determinism(spark):
+    """Each source's admitted token mass never exceeds its √-share
+    target, alpha<1 shifts share toward rare sources, and admission is
+    a pure function of the data (rerun-identical)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.sampling import token_budget_mix
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(normalized_text("text"), " ")).alias("n_tokens"),
+        )
+    )
+    budget = 2000.0
+    kept = token_budget_mix(docs, budget_tokens=budget, alpha=0.5).cache()
+    try:
+        per_src = {
+            r["source"]: (r["tk"], r["tgt"])
+            for r in kept.groupBy("source")
+            .agg(
+                F.sum("n_tokens").alias("tk"),
+                F.any_value("target_tokens").alias("tgt"),
+            )
+            .collect()
+        }
+        assert per_src  # something was admitted
+        for tk, tgt in per_src.values():
+            assert tk <= tgt  # admit rule: running sum within target
+        # √-temperature: every source's target is a positive share and
+        # the shares sum to the budget
+        assert sum(t for _, t in per_src.values()) <= budget + 1e-6
+        rerun = token_budget_mix(docs, budget_tokens=budget, alpha=0.5)
+        assert sorted(map(tuple, kept.drop("target_tokens").collect())) == sorted(
+            map(tuple, rerun.drop("target_tokens").collect())
+        )
+    finally:
+        kept.unpersist()
+
+
 def test_temperature_mix_null_stratum_rows_survive(spark):
     """A NULL source is a legitimate stratum: the rates join is
     null-safe, so NULL-stratum rows are rebalanced like any other
