@@ -3643,62 +3643,8 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # six IPL medallion queries (the reference's actual semantics) —
-    # never driver-checked in r1/r2
-    "ipl_bronze_fold",
-    "ipl_standings",
-    "ipl_batsman_stats",
-    "ipl_bowler_stats",
-    "ipl_team_stats",
-    "ipl_gold_e2e",
-    # oracle-backed, outside the window both prior rounds
-    "window_battery",
-    "correlated_subquery",
-    "rollup_pricing",
-    "cube_pricing",
-    "pivot_status_qty",
-    "except_customers",
-    "intersect_customers",
-    "json_props_extract",
-    "percentiles_by_segment",
-    "explode_token_counts",
-    "array_functions_battery",
-    "skew_salted_agg",
-    "training_data_prep",
-    "regional_revenue_rollup",
-    "text_quality",
-    "text_language_id",
-    "text_fingerprint",
-    "text_repetition",
-    "text_pii_redaction",
-    "decontamination_overlap",
-    "stratified_sample_by_source",
-    "vocab_top_terms",
-    "sequence_packing",
-    "quality_weighted_sample",
-    "incremental_dedup",
-    "canonical_selection",
-    "funnel_analysis",
-    "retention_cohorts",
-    "data_quality_report",
-    "event_rate_anomalies",
-    "tfidf_top_terms",
-    # newly oracle-backed / newly registered this round
-    "sequence_packing_sharded",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "document_chunking",
-    "chunk_then_pack",
-    "embedding_centroid_assign",
-    "source_mixing_temperature",
-    "kmeans_lloyd",
-    "grouping_sets_pricing",
-    "bigram_counts",
-    # rows-only queries that have never had a driver run recorded
-    "fuzzy_name_match",
-    "multimodal_features",
-    "ann_ivf_topk",
-    # past slot 50 from here — first in line for the next rotation
+    # r4 slots 1-8: the only queries that have never earned a driver
+    # row in any round (registered late in r3, seated past slot 50)
     "datasketches_battery",
     "unpivot_measures",
     "variant_props_extract",
@@ -3707,15 +3653,75 @@ _DRIVER_FIRST = [
     "lateral_topn_per_key",
     "token_entropy",
     "ann_ivfpq_topk",
-    # flagship re-checks filling the remaining window slots (the ones
-    # past slot 50 here already have ≥1 green driver row from r1/r2)
+    # newly oracle-backed / newly registered this round
+    "ann_ivf_topk",
+    "ipl_gold_e2e",
+    "ipl_batsman_stats_big",
+    "token_budget_mix",
+    "stats_aggregates_battery",
+    # semantics touched this round (hot-bucket ceiling; null-safe rates
+    # join; empty-cluster centroid retention) — driver re-proof
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "source_mixing_temperature",
+    "kmeans_lloyd",
+    # the IPL medallion core: keep continuously driver-green
+    "ipl_bronze_fold",
+    "ipl_standings",
+    "ipl_batsman_stats",
+    "ipl_bowler_stats",
+    "ipl_team_stats",
+    # refresh rotation: r1/r2-only rows, none re-checked in r3 —
+    # oldest driver signal in the registry
     "q1_pricing_summary",
     "top_customers_by_revenue",
-    "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "near_dup_clusters",
     "asof_join_events",
     "session_window",
+    "max_of_order_revenue",
+    "group_sizes",
+    "conditional_agg",
+    "composite_key_agg",
+    "winner_per_group",
+    "standings_points",
+    "distinct_pairs",
+    "distinct_counts",
+    "approx_distinct_counts",
+    "left_join_coalesce",
+    "outer_join_composite",
+    "renamed_key_join",
+    "broadcast_dim_revenue",
+    "semi_join_customers",
+    "anti_join_customers",
+    "scalar_battery",
+    "string_battery",
+    "date_battery",
+    "range_join_events",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "near_dup_groups",
+    # past slot 50 from here — every remaining query holds a green row
+    # from r1/r2 (refreshed in turn) or r3; first in line next round:
+    "filter_not_na",
+    "filter_in_list",
+    "filter_pattern",
+    "deterministic_sample",
+    "slice_rows",
+    "running_totals",
+    "lag_lookback",
+    "rank_topk",
+    "multi_key_sort_limit",
+    "union_distinct",
+    "keyed_dedupe_first",
+    "date_functions_battery",
+    "time_rollup_hierarchy",
+    "tumbling_window",
+    "sliding_window",
+    "leakage_safe_split",
+    "source_mixing",
+    "ann_brute_force_topk",
+    "text_token_stats",
 ]
 
 
