@@ -781,3 +781,78 @@ def decontaminate(
             F.col("n_overlap").cast("long"),
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-wide duplicate-segment removal — the C4/RefinedWeb line-
+    dedup op (boilerplate paragraphs repeated across pages are excised
+    once the corpus has seen them). Documents are cut into fixed
+    ``seg_tokens``-token segments (chunk_documents with overlap=0, so
+    segmentation itself is map-only); each segment keeps only its FIRST
+    occurrence corpus-wide, first = lowest (doc_id, segment index); the
+    surviving segments are stitched back per document.
+
+    Plan shape: two shuffles total — one window partitioned by the
+    segment digest (hash-distributed; no key concentrates because the
+    digest is uniform, and a degenerate corpus of one repeated
+    boilerplate segment puts O(dups) rows in ONE rank partition but the
+    window computes row_number in a single streaming pass, not a
+    pairwise blowup), then one groupBy on the document key for
+    reassembly. No similarity math, no candidate pairs — this is the
+    cheap exact pass that runs BEFORE MinHash in a real pipeline.
+
+    Output: (doc_id, text_kept, n_segments_kept, n_segments,
+    n_tokens_kept) — docs whose every segment was already seen
+    elsewhere surface with empty text_kept rather than vanishing, so
+    downstream accounting sees the removal.
+    """
+    from aws_ipl_data_pipeline_spark.operators.chunking import chunk_documents
+
+    segs = chunk_documents(
+        docs, id_col=id_col, text_col=text_col, chunk_tokens=seg_tokens, overlap=0
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy(
+        F.col(id_col), F.col("chunk_id")
+    )
+    kept = segs.withColumn("_rk", F.row_number().over(w))
+    n_segs_total = F.ceil(
+        F.greatest(F.max("n_tokens"), F.lit(1)) / F.lit(seg_tokens)
+    ).cast("long")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_rk") == 1,
+                                    F.struct("chunk_id", "chunk_text"),
+                                )
+                            )
+                        ),
+                        lambda s: F.array(s["chunk_text"]),
+                    )
+                ),
+            ).alias("text_kept"),
+            F.sum((F.col("_rk") == 1).cast("long")).alias("n_segments_kept"),
+            n_segs_total.alias("_n_segments"),
+            F.sum(
+                F.when(F.col("_rk") == 1, F.col("chunk_n_tokens")).otherwise(0)
+            ).alias("n_tokens_kept"),
+        )
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            "text_kept",
+            F.col("n_segments_kept").cast("long"),
+            F.col("_n_segments").alias("n_segments"),
+            F.col("n_tokens_kept").cast("long"),
+        )
+    )

@@ -61,3 +61,64 @@ def expectation_report(
         F.col("_p.n_violations").alias("n_violations"),
         "n_rows",
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier detection via median/MAD — the quality
+    gate that survives heavy-tailed web data where mean/stddev is
+    dragged by the very outliers it should catch. A row is an outlier
+    when |x - median| > k * 1.4826 * MAD (1.4826 scales MAD to sigma
+    under normality; MAD=0 groups — constant-valued — flag nothing).
+
+    Plan shape: two grouped EXACT percentile aggregations (median, then
+    median of absolute deviations — the second needs the first, so two
+    passes is the floor for exact MAD) plus one counting pass; group
+    results are k-row side tables broadcast back, and the flagging pass
+    is a map-side-combinable conditional count — partial aggregates per
+    partition, only k rows per task cross the wire. At
+    100 TB swap `percentile` for `approx_percentile` (t-digest,
+    map-side combinable, one pass per stage, bounded memory) — exact
+    percentile sorts each group's values and is the small-data spec.
+
+    Output: (group, n_docs, median, mad, n_outliers).
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).alias("_med")
+    )
+    dev = (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col).cast("double") - F.col("_med")), F.lit(0.5)
+            ).alias("_mad"),
+            F.any_value("_med").alias("_med2"),
+        )
+    )
+    thresh = F.lit(k * 1.4826) * F.col("_mad")
+    return (
+        df.join(F.broadcast(dev), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.any_value("_med2"), 4).alias("median"),
+            F.round(F.any_value("_mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("_mad") > 0)
+                    & (
+                        F.abs(F.col(value_col).cast("double") - F.col("_med2"))
+                        > thresh
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

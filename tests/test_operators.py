@@ -613,3 +613,132 @@ def test_datasketches_accuracy_bounds(spark):
         assert abs(g["kll_p95_price"] - e["p95"]) <= 0.05 * e["p95"]
         assert abs(g["theta_distinct_parts"] - e["nd_parts"]) <= 0.05 * e["nd_parts"]
         assert abs(g["hll_distinct_orders"] - e["nd_orders"]) <= 0.05 * e["nd_orders"]
+
+
+# ---------------------------------------------------------------------------
+# round 4: segment dedup / domain cap / robust outliers / batched ANN
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_first_wins_and_full_removal(spark):
+    from aws_ipl_data_pipeline_spark.operators.dedup import segment_dedup
+
+    boiler = " ".join(f"w{i}" for i in range(4))  # one whole 4-token segment
+    uniq = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq}"),          # first occurrence keeps both segs
+            (2, boiler),                       # exact repeat -> fully excised
+            (3, f"{boiler} epsilon zeta eta theta"),  # repeat + novel tail
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_tokens=4).collect()
+    }
+    assert out[1]["text_kept"] == f"{boiler} {uniq}"
+    assert out[1]["n_segments_kept"] == 2 and out[1]["n_segments"] == 2
+    # doc 2 survives as a row but with every segment removed
+    assert out[2]["text_kept"] == ""
+    assert out[2]["n_segments_kept"] == 0 and out[2]["n_tokens_kept"] == 0
+    assert out[3]["text_kept"] == "epsilon zeta eta theta"
+    assert out[3]["n_segments_kept"] == 1 and out[3]["n_segments"] == 2
+
+
+def test_segment_dedup_short_tail_segment(spark):
+    from aws_ipl_data_pipeline_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )  # 5 tokens, seg=4 -> segments of 4 and 1
+    row = segment_dedup(docs, seg_tokens=4).collect()[0]
+    assert row["n_segments"] == 2
+    assert row["n_tokens_kept"] == 5
+    assert row["text_kept"] == "a b c d e"
+
+
+def test_domain_cap_paths_and_null_domain(spark):
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.sampling import domain_cap
+
+    rows = [(i, "hot") for i in range(40)] + [(100 + i, "cold") for i in range(3)]
+    rows += [(200, None), (201, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(docs, domain_col="source", cap=5)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["hot"] == 5            # over-cap domain capped exactly
+    assert counts["cold"] == 3           # under-cap domain untouched
+    assert counts[None] == 2             # NULL domain kept (eqNullSafe join)
+    # determinism: same admitted set on rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in domain_cap(docs, "source", 5).collect())
+    assert a == b
+
+
+def test_robust_outlier_stats_constant_group_and_spike(spark):
+    from aws_ipl_data_pipeline_spark.operators.quality import robust_outlier_stats
+
+    rows = [(i, "flat", 100) for i in range(9)]
+    rows += [(100 + i, "spiky", v) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 500])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["source"]: r for r in robust_outlier_stats(df, "n_chars", "source").collect()}
+    # constant group: MAD = 0 -> nothing flagged (not everything)
+    assert out["flat"]["mad"] == 0.0 and out["flat"]["n_outliers"] == 0
+    # the 500 spike is far beyond 3 * 1.4826 * MAD of the tight group
+    assert out["spiky"]["n_outliers"] == 1
+    assert abs(out["spiky"]["median"] - 10.5) < 1e-9
+
+
+def test_batch_topk_matches_per_query_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        batch_topk,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double_vec("embedding").alias("query_vec"),
+    )
+    got = batch_topk(emb, queries, k=5)
+    by_q = {
+        qid: [(r["vec_id"], r["cos_sim"]) for r in got.where(F.col("query_id") == qid)
+              .orderBy("rk").collect()]
+        for qid in (0, 7)
+    }
+    for qid in (0, 7):
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]]
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in brute_force_topk(emb, qvec, k=5, exclude_id=qid).collect()
+        ]
+        assert by_q[qid] == want
+
+
+def test_batch_topk_single_corpus_scan(spark):
+    """The whole point of batching: Q queries, ONE parquet scan."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        batch_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double_vec("embedding").alias("query_vec"),
+    )
+    plan = batch_topk(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    # corpus side: exactly one non-broadcast-side scan of the parquet.
+    # the broadcast (query) side scans it once more; anything beyond two
+    # means the corpus is being re-read per query.
+    assert plan.count("Scan parquet") <= 2, plan
