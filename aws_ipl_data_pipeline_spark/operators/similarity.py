@@ -277,3 +277,42 @@ def batch_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce embeddings to
+    ``out_dim`` dimensions with a seeded Gaussian matrix — the cheap
+    distance-preserving pre-step before clustering/ANN when the source
+    dimension is wasteful. Reuses the seeded `random_hyperplanes`
+    generator, so the matrix is a pure function of (dim, out_dim, seed)
+    and an oracle can re-derive it as SQL VALUES.
+
+    Map-only: each output component is one JVM fold over the input
+    vector against a literal plane — no shuffle, no Python, embarrass-
+    ingly parallel over 100 TB of vectors. Output is LONG format
+    (vec_id, j, val) so downstream consumers regroup as they please and
+    value hashing is flat.
+    """
+    planes = random_hyperplanes(in_dim, out_dim, seed)
+    v = _as_double_vec(vec_col)
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.round(
+                    _dot(v, F.array(*[F.lit(float(x)) for x in plane])), 4
+                ).alias("val"),
+            )
+            for j, plane in enumerate(planes)
+        ]
+    )
+    return emb.select(
+        F.col(id_col).cast("long"), F.explode(comps).alias("_c")
+    ).select(id_col, F.col("_c.j").alias("j"), F.col("_c.val").alias("val"))

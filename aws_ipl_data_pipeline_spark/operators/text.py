@@ -6,7 +6,7 @@ the 100 TB design constraint is simply "no Python per row".
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
@@ -209,4 +209,111 @@ def fingerprints(
         F.xxhash64(F.concat_ws(" ", tokens(text_col))).cast("long").alias(
             "fingerprint_x64"
         ),
+    )
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: tuple[float, float, float, float, float] = (0.35, 2.0, -3.0, -0.15, 1.2),
+    bias: float = -1.0,
+) -> DataFrame:
+    """Linear quality-classifier scoring — the fastText/DCLM-style
+    "model-based quality filter" stand-in: a logistic model over cheap
+    deterministic text features, scored inline as pure column
+    expressions. In production the weights come from a trained
+    classifier; the SCORING path — the part that must touch all 100 TB
+    — is exactly this map-only pass (no Python, no shuffle), so the
+    engine-side cost model is identical with learned weights.
+
+    Features: ln(1+tokens), stopword ratio, punctuation ratio, mean
+    token length, type-token ratio. score = sigmoid(b + w·x); keep at
+    score >= 0.5. Feature values and score round to 4dp so the SQL
+    oracle hash-matches across float formatting.
+
+    Output: (doc_id, log_n_tokens, stopword_ratio, punct_ratio,
+    mean_token_len, type_token_ratio, score, keep).
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    safe_n = F.greatest(n_tok, F.lit(1))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
+    punct = F.length(F.regexp_replace(text_col, r"[^.!?,;:]", ""))
+    feats = {
+        "log_n_tokens": F.log(F.lit(1.0) + n_tok),
+        "stopword_ratio": n_stop / safe_n,
+        "punct_ratio": punct / F.greatest(F.length(text_col), F.lit(1)),
+        "mean_token_len": F.aggregate(
+            t, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        / safe_n,
+        "type_token_ratio": F.size(F.array_distinct(t)) / safe_n,
+    }
+    z = F.lit(float(bias))
+    for w, expr in zip(weights, feats.values()):
+        z = z + F.lit(float(w)) * expr
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        F.col(id_col).cast("long"),
+        *[F.round(e, 4).alias(n) for n, e in feats.items()],
+        F.round(score, 4).alias("score"),
+        (F.round(score, 4) >= 0.5).cast("long").alias("keep"),
+    )
+
+
+def bigram_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document bigram-LM perplexity — the CCNet/KenLM corpus
+    filter: score every document under a language model estimated from
+    the corpus itself; improbable token sequences (gibberish, boiler-
+    plate soup) surface as high perplexity. The model here is the MLE
+    bigram conditional P(w2|w1) = c(w1,w2)/c(w1) — every scored bigram
+    is by construction in the counts, so no smoothing is needed.
+
+    Plan shape: the bigram explode is one map-side transform; model
+    estimation is a combinable (w1,w2) hash agg with the conditional
+    denominator taken as a window over the POST-agg frame (model-sized,
+    not corpus-sized); scoring joins doc bigrams to the model on
+    (w1,w2) — model tables are vocab-bounded, so broadcast when they
+    fit (AQE decides here) and shuffle-join on the bigram key when a
+    100 TB corpus's vocabulary doesn't; the per-doc average is another
+    combinable agg. ppl derives from the ROUNDED avg logprob on both
+    engine and oracle so exp() can't amplify last-ulp differences.
+
+    Output: (doc_id, n_bigrams, avg_logp, ppl).
+    """
+    tk = tokens(text_col)
+    pairs = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).cast("long").alias(id_col), tk.alias("_tk"))
+        .where(F.size("_tk") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_tk", i).alias("w1"),
+                        F.element_at("_tk", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "s.w1", "s.w2")
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    w1_win = Window.partitionBy("w1")
+    model = counts.withColumn(
+        "_logp", F.log(F.col("_c12") / F.sum("_c12").over(w1_win))
+    ).select("w1", "w2", "_logp")
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("_logp"), 4).alias("avg_logp"),
+        )
+        .withColumn("ppl", F.round(F.exp(-F.col("avg_logp")), 2))
     )

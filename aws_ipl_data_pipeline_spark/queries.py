@@ -3822,6 +3822,196 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_topk(emb, queries, k=5)
 
 
+# --------------------------------------------------------------------------
+# Model-based quality scoring (fastText/DCLM-style classifier stand-in)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             ln(1.0 + len(tk)) AS x1,
+             len(list_filter(tk,
+                 x -> x IN ('the','a','and','of','to','is','in'))) * 1.0
+               / greatest(len(tk), 1) AS x2,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+               / greatest(length(text), 1) AS x3,
+             list_sum(list_transform(tk, x -> length(x))) * 1.0
+               / greatest(len(tk), 1) AS x4,
+             len(list_distinct(tk)) * 1.0 / greatest(len(tk), 1) AS x5
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, x1, x2, x3, x4, x5,
+             1.0 / (1.0 + exp(-(-1.0 + 0.35 * x1 + 2.0 * x2 - 3.0 * x3
+                                - 0.15 * x4 + 1.2 * x5))) AS sc
+      FROM f
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           round(x1, 4) AS log_n_tokens,
+           round(x2, 4) AS stopword_ratio,
+           round(x3, 4) AS punct_ratio,
+           round(x4, 4) AS mean_token_len,
+           round(x5, 4) AS type_token_ratio,
+           round(sc, 4) AS score,
+           CAST(CASE WHEN round(sc, 4) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM s
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/text.
+    quality_classifier_score): logistic scorer over five cheap text
+    features — the fastText-classifier curation shape with literal
+    weights; the 100 TB-relevant scoring path is this map-only
+    column-expression pass regardless of where the weights came from."""
+    from aws_ipl_data_pipeline_spark.operators.text import quality_classifier_score
+
+    return quality_classifier_score(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity filter (CCNet/KenLM corpus-filter shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bigram_perplexity",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk
+      FROM documents WHERE {_NORM_SQL} <> ''
+    ),
+    d2 AS (SELECT doc_id, tk FROM d WHERE len(tk) >= 2),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                     i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS s
+      FROM d2
+    ),
+    p AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+    c AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2),
+    m AS (
+      SELECT w1, w2, ln(c12 / SUM(c12) OVER (PARTITION BY w1)) AS logp
+      FROM c
+    ),
+    s AS (
+      SELECT p.doc_id, COUNT(*) AS n_bigrams, round(AVG(m.logp), 4) AS avg_logp
+      FROM p JOIN m USING (w1, w2) GROUP BY p.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           avg_logp,
+           round(exp(-avg_logp), 2) AS ppl
+    FROM s
+    """,
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM perplexity (operators/text.bigram_perplexity):
+    score every document under the corpus-estimated MLE bigram model —
+    the CCNet/KenLM perplexity-filter shape. Model estimation is a
+    combinable (w1,w2) hash agg + a POST-agg window; scoring joins doc
+    bigrams to the vocab-bounded model (broadcastable when it fits)."""
+    from aws_ipl_data_pipeline_spark.operators.text import bigram_perplexity as _bp
+
+    return _bp(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Random-projection dimensionality reduction (JL transform)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "random_projection_embed",
+    f"""
+    WITH {_EMB_EXPAND},
+    {_lsh_planes_values(dim=64, bits=8, seed=7)},
+    proj AS (
+      SELECT e.vec_id, pl.b AS j, round(SUM(e.x * pl.p), 4) AS val
+      FROM exd e JOIN planes pl ON e.i = pl.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(j AS BIGINT) AS j, val
+    FROM proj
+    """,
+)
+def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→8 dims
+    (operators/similarity.random_projection): seeded Gaussian matrix as
+    literal planes, one JVM fold per output component — map-only, no
+    shuffle, no Python. The oracle re-derives the identical matrix as
+    SQL VALUES (the ann_lsh_topk recipe, seed 7)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import random_projection
+
+    return random_projection(t(spark, sf_dir, "embeddings"), out_dim=8, in_dim=64, seed=7)
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE date spine (SQL surface: WITH RECURSIVE, Spark 4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "recursive_date_spine",
+    """
+    WITH RECURSIVE spine(m, mx) AS (
+      SELECT date_trunc('month', MIN(o_orderdate)),
+             date_trunc('month', MAX(o_orderdate))
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx
+    ),
+    agg AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             COUNT(*) AS n_orders, SUM(o_totalprice) AS rev
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    )
+    SELECT epoch_us(s.m) AS month_us,
+           CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(a.rev, 0), 2) AS revenue
+    FROM spine s LEFT JOIN agg a ON a.m = s.m
+    """,
+)
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly date spine via Spark 4's recursive CTE — the calendar-
+    fill pattern (every month appears even when a month has no orders,
+    so time series don't silently skip gaps). The recursion generates
+    one row per month from the data's own bounds (depth ≈ months, far
+    under the recursion limit); the revenue agg is an ordinary
+    combinable hash agg LEFT-JOINed onto the spine."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_spine_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m, mx) AS (
+          SELECT date_trunc('MONTH', MIN(o_orderdate)),
+                 date_trunc('MONTH', MAX(o_orderdate))
+          FROM _spine_orders
+          WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH, mx FROM spine WHERE m < mx
+        ),
+        agg AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS m,
+                 COUNT(*) AS n_orders, SUM(o_totalprice) AS rev
+          FROM _spine_orders
+          WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+          GROUP BY 1
+        )
+        SELECT unix_micros(CAST(s.m AS TIMESTAMP)) AS month_us,
+               CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders,
+               round(coalesce(a.rev, CAST(0 AS DOUBLE)), 2) AS revenue
+        FROM spine s LEFT JOIN agg a ON a.m = s.m
+        """
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
@@ -3861,6 +4051,10 @@ _DRIVER_FIRST = [
     "domain_cap",
     "robust_outlier_stats",
     "ann_batch_topk",
+    "quality_classifier",
+    "bigram_perplexity",
+    "random_projection_embed",
+    "recursive_date_spine",
     # semantics touched this round (hot-bucket ceiling; null-safe rates
     # join; empty-cluster centroid retention) — driver re-proof
     "dedup_minhash_lsh",
@@ -3896,11 +4090,11 @@ _DRIVER_FIRST = [
     "broadcast_dim_revenue",
     "semi_join_customers",
     "anti_join_customers",
+    # past slot 50 from here — every remaining query holds a green row
+    # from r1/r2 (refreshed in turn) or r3; first in line next round:
     "scalar_battery",
     "string_battery",
     "date_battery",
-    # past slot 50 from here — every remaining query holds a green row
-    # from r1/r2 (refreshed in turn) or r3; first in line next round:
     "range_join_events",
     "dedup_exact",
     "dedup_ngram_jaccard",

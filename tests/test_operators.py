@@ -742,3 +742,101 @@ def test_batch_topk_single_corpus_scan(spark):
     # the broadcast (query) side scans it once more; anything beyond two
     # means the corpus is being re-read per query.
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_quality_classifier_monotone_in_stopwords(spark):
+    """More stopword mass (w=+2.0) must raise the score, holding the
+    other features roughly fixed; score stays in (0,1)."""
+    from aws_ipl_data_pipeline_spark.operators.text import quality_classifier_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to is in the of"),   # all stopwords
+            (2, "xx yy zz qq rr ss tt uu"),      # none
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_classifier_score(docs).collect()}
+    assert out[1]["stopword_ratio"] == 1.0 and out[2]["stopword_ratio"] == 0.0
+    assert out[1]["score"] > out[2]["score"]
+    for r in out.values():
+        assert 0.0 < r["score"] < 1.0
+        assert r["keep"] in (0, 1)
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """Two docs: 'a b a b' and 'a b a c'. Corpus bigrams: ab x2+ab... =
+    (a,b):3 (b,a):2 (a,c):1 → P(b|a)=3/4, P(a|b)=1, P(c|a)=1/4."""
+    import math
+
+    from aws_ipl_data_pipeline_spark.operators.text import bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_perplexity(docs).collect()}
+    lp_ba, lp_ab, lp_ca = math.log(3 / 4), math.log(1.0), math.log(1 / 4)
+    want1 = round((lp_ba + lp_ab + lp_ba) / 3, 4)
+    want2 = round((lp_ba + lp_ab + lp_ca) / 3, 4)
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logp"] - want1) < 1e-9
+    assert abs(out[2]["avg_logp"] - want2) < 1e-9
+    # the doc with the rarer continuation is more perplexing
+    assert out[2]["ppl"] > out[1]["ppl"]
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        random_hyperplanes,
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = emb.where("vec_id = 3").collect()[0]
+    planes = np.asarray(random_hyperplanes(64, 8, seed=7))
+    want = planes @ np.asarray(row["embedding"], dtype=np.float64)
+    got = (
+        random_projection(emb.where("vec_id = 3"), out_dim=8, in_dim=64, seed=7)
+        .orderBy("j")
+        .collect()
+    )
+    assert [r["j"] for r in got] == list(range(8))
+    for r, w in zip(got, want):
+        assert abs(r["val"] - round(float(w), 4)) < 1e-9
+
+
+def test_recursive_spine_fills_gap_months(spark):
+    """The point of the date spine: a month with NO orders still gets a
+    row (zeros) instead of silently vanishing from the series."""
+    docs = spark.createDataFrame(
+        [
+            (1, "1996-01-15", 10.0),
+            (2, "1996-03-20", 30.0),  # february has no orders
+        ],
+        "o_orderkey long, d string, o_totalprice double",
+    ).selectExpr("o_orderkey", "CAST(d AS TIMESTAMP) AS o_orderdate", "o_totalprice")
+    docs.createOrReplaceTempView("_spine_orders")
+    out = spark.sql(
+        """
+        WITH RECURSIVE spine(m, mx) AS (
+          SELECT date_trunc('MONTH', MIN(o_orderdate)),
+                 date_trunc('MONTH', MAX(o_orderdate))
+          FROM _spine_orders
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH, mx FROM spine WHERE m < mx
+        ),
+        agg AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS m,
+                 COUNT(*) AS n_orders, SUM(o_totalprice) AS rev
+          FROM _spine_orders GROUP BY 1
+        )
+        SELECT s.m, coalesce(a.n_orders, 0) AS n_orders,
+               coalesce(a.rev, 0.0) AS revenue
+        FROM spine s LEFT JOIN agg a ON a.m = s.m ORDER BY s.m
+        """
+    ).collect()
+    assert len(out) == 3  # jan, feb, mar
+    assert out[1]["n_orders"] == 0 and out[1]["revenue"] == 0.0
+    assert out[0]["n_orders"] == 1 and out[2]["revenue"] == 30.0

@@ -1,0 +1,117 @@
+"""Scale-curve evidence for the dedup/ANN families (SCALE.md).
+
+Builds 1x/5x/10x corpora from sf0.1 by replicating documents into
+DISJOINT per-replica token spaces (every word prefixed `r<k>`, ids
+offset) — so each replica reproduces the base corpus's near-dup
+structure without creating cross-replica duplicates, and the candidate
+-pair workload grows linearly with the corpus instead of quadratically.
+Embeddings replicate with id offsets (ANN cost is corpus-size-driven).
+
+Times dedup_minhash_lsh / dedup_simhash / ann_pq_topk at each scale
+(noop sink, best-of-N after the bench-style warmup) and prints a
+markdown table for SCALE.md.
+
+Usage: python tools/scale_sweep.py [--iters 2] [--scales 1,5,10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.queries import REGISTRY
+from aws_ipl_data_pipeline_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+QUERIES = ["dedup_minhash_lsh", "dedup_simhash", "ann_pq_topk"]
+
+
+def build(spark, mult: int) -> str:
+    out = os.path.join(SCRATCH, f"scale{mult}x")
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    reps = spark.range(mult).select(F.col("id").cast("int").alias("rep"))
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep").cast("long") * 100_000_000).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"), r"([a-z0-9]+)", F.concat(F.lit("r"), F.col("rep"), F.lit("$1"))
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep").cast("long") * 100_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--scales", default="1,5,10")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    spark = get_spark(app_name="scale-sweep")
+    spark.read.parquet(f"{BASE}/region.parquet").count()  # JIT warmup
+
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    for mult in scales:
+        sf_dir = build(spark, mult)
+        for name in QUERIES:
+            fn = REGISTRY[name].fn
+            runs = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            results[name][mult] = round(min(runs), 2)
+            print(f"  {mult}x {name}: {results[name][mult]}s  {runs}", file=sys.stderr)
+
+    base_docs = spark.read.parquet(f"{BASE}/documents.parquet").count()
+    print(f"\n| query | " + " | ".join(f"{m}x ({m * base_docs / 1000:.0f}k docs)" for m in scales) + " | growth vs data |")
+    print("|---|" + "---|" * (len(scales) + 1))
+    for name in QUERIES:
+        row = results[name]
+        lo, hi = scales[0], scales[-1]
+        growth = row[hi] / row[lo] if row[lo] else float("inf")
+        print(
+            f"| `{name}` | "
+            + " | ".join(f"{row[m]} s" for m in scales)
+            + f" | {growth:.1f}x time on {hi // lo}x data |"
+        )
+
+
+if __name__ == "__main__":
+    main()
