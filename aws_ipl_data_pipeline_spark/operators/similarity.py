@@ -316,3 +316,68 @@ def random_projection(
     return emb.select(
         F.col(id_col).cast("long"), F.explode(comps).alias("_c")
     ).select(id_col, F.col("_c.j").alias("j"), F.col("_c.val").alias("val"))
+
+
+def batch_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched IVF retrieval: Q queries, each scanning only its
+    ``n_probe`` nearest cells — the composition of the two scale
+    levers (batch amortization from `batch_topk` + cell pruning from
+    `ivf_topk`), and the shape of a production offline-retrieval job.
+
+    Fully relational — no per-query driver loop: probe selection is a
+    (Q × n_cells) literal-centroid cross score ranked per query; the
+    candidate set is then an EQUI-join of the celled corpus to the
+    broadcast (query, cell) probe table, so each corpus row meets only
+    the queries that probe its cell. On a cell-partitioned store the
+    same join prunes IO to the probed partitions; here it prunes the
+    scored pairs from Q·N to ~Q·N·n_probe/n_cells. Final ranking is
+    the same skinny per-query window as batch_topk.
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    centroids = select_centroids(emb, n_cells, id_col, vec_col, seed)
+    celled = add_ivf_cell(emb, centroids, vec_col)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, _cvec array<double>",
+    )
+    qv = F.col(query_vec_col)
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_cdot"), F.asc("cell")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("_cdot", _dot(qv, F.col("_cvec")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select(query_id_col, query_vec_col, "cell")
+    )
+    v = _as_double_vec(vec_col)
+    scored = celled.join(F.broadcast(probes), "cell").withColumn(
+        "cos_sim", F.round(_dot(v, qv) / (_norm(v) * _norm(qv)), 4)
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.select(
+            F.col(query_id_col).cast("long"),
+            F.col(id_col).cast("long"),
+            "cos_sim",
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

@@ -4012,6 +4012,217 @@ def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Batched IVF retrieval (batch amortization × cell pruning)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_batch_ivf_topk",
+    f"""
+    WITH {_EMB_EXPAND},
+    cent_ids AS (
+      SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM embeddings
+      ) WHERE rn <= 16
+    ),
+    cn AS (
+      SELECT c.cell, e.i,
+             e.x / sqrt(SUM(e.x * e.x) OVER (PARTITION BY c.cell)) AS cx
+      FROM cent_ids c JOIN exd e ON e.vec_id = c.vec_id
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cell, SUM(e.x * c.cx) AS dot
+      FROM exd e JOIN cn c ON e.i = c.i
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dot DESC, cell ASC
+               ) AS rn
+        FROM assign
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dot DESC, cell ASC
+               ) AS rn
+        FROM assign WHERE vec_id IN (0, 1, 2, 3)
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id
+      FROM probes p JOIN cells c USING (cell)
+      WHERE c.vec_id <> p.query_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, i, x AS qx
+      FROM exd WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    qn AS (SELECT query_id, sqrt(SUM(qx * qx)) AS qnorm FROM q GROUP BY query_id),
+    s AS (
+      SELECT cd.query_id, cd.vec_id,
+             SUM(e.x * q.qx) AS dot, sqrt(SUM(e.x * e.x)) AS nrm
+      FROM cand cd
+      JOIN exd e ON e.vec_id = cd.vec_id
+      JOIN q ON q.query_id = cd.query_id AND q.i = e.i
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT s.query_id, s.vec_id,
+             round(s.dot / (s.nrm * qn.qnorm), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY round(s.dot / (s.nrm * qn.qnorm), 4) DESC, s.vec_id ASC
+             ) AS rk
+      FROM s JOIN qn USING (query_id)
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10
+    """,
+)
+def ann_batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF retrieval (operators/similarity.batch_ivf_topk):
+    four queries, each scanning only its 4 probed cells of 16 — batch
+    amortization composed with cell pruning, fully relational (probe
+    selection is a ranked literal-centroid cross score, candidates an
+    equi-join on cell). Oracle re-derives the same seeded centroids as
+    ann_ivf_topk and replays probe selection per query."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        batch_ivf_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double_vec("embedding").alias("query_vec"),
+    )
+    return batch_ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+
+
+# --------------------------------------------------------------------------
+# Classic multi-join OLAP shapes (Catalyst join-order / broadcast proof)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           any_value(o.o_orderpriority) AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderdate_us ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (one market segment) drives
+    a 3-way join, revenue agg, top-10. The filtered customer side is
+    broadcast; both date predicates push to the parquet scans; top-k is
+    TakeOrderedAndProject — the plan Catalyst should pick unaided."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.any_value("o_orderpriority").alias("o_orderpriority"),
+        )
+        .select(
+            F.col("l_orderkey").cast("long"),
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderdate_us"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join where supplier and customer must
+    share a nation inside one region — the join-reordering stress
+    test. All four dimension sides (customer-with-nation, supplier,
+    nation, region) broadcast; the only shuffles left are the
+    lineitem⋈orders equi-join and the final k-row agg."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
@@ -4055,6 +4266,9 @@ _DRIVER_FIRST = [
     "bigram_perplexity",
     "random_projection_embed",
     "recursive_date_spine",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "ann_batch_ivf_topk",
     # semantics touched this round (hot-bucket ceiling; null-safe rates
     # join; empty-cluster centroid retention) — driver re-proof
     "dedup_minhash_lsh",
@@ -4086,12 +4300,12 @@ _DRIVER_FIRST = [
     "approx_distinct_counts",
     "left_join_coalesce",
     "outer_join_composite",
+    # past slot 50 from here — every remaining query holds a green row
+    # from r1/r2 (refreshed in turn) or r3; first in line next round:
     "renamed_key_join",
     "broadcast_dim_revenue",
     "semi_join_customers",
     "anti_join_customers",
-    # past slot 50 from here — every remaining query holds a green row
-    # from r1/r2 (refreshed in turn) or r3; first in line next round:
     "scalar_battery",
     "string_battery",
     "date_battery",

@@ -61,6 +61,24 @@ EXTENDED = [
     "semantic_chunking",
 ]
 
+# round-4 additions: same policy as EXTENDED (recorded separately; the
+# 24-query headline and the 11-query extended sets stay frozen)
+ROUND4 = [
+    "segment_dedup",
+    "domain_cap",
+    "robust_outlier_stats",
+    "ann_batch_topk",
+    "quality_classifier",
+    "bigram_perplexity",
+    "random_projection_embed",
+    "recursive_date_spine",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "ann_batch_ivf_topk",
+    "token_budget_mix",
+    "stats_aggregates_battery",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,6 +149,17 @@ def main() -> None:
         extended[name] = round(min(runs), 3)
         print(f"  [extended] {name}: best {extended[name]}s", file=sys.stderr)
 
+    round4: dict[str, float] = {}
+    for name in ROUND4:
+        fn = REGISTRY[name].fn
+        runs = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        round4[name] = round(min(runs), 3)
+        print(f"  [round4] {name}: best {round4[name]}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -141,6 +170,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "queries_extended": extended,
+                "queries_round4": round4,
                 "iters": iters,
                 "sf": sf,
             }

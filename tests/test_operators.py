@@ -840,3 +840,26 @@ def test_recursive_spine_fills_gap_months(spark):
     assert len(out) == 3  # jan, feb, mar
     assert out[1]["n_orders"] == 0 and out[1]["revenue"] == 0.0
     assert out[0]["n_orders"] == 1 and out[2]["revenue"] == 30.0
+
+
+def test_batch_ivf_full_probe_equals_batch_exact(spark):
+    """n_probe == n_cells degrades batched IVF to the exact batched
+    scan — same contract the single-query ivf_topk test proves."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        batch_ivf_topk,
+        batch_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id").isin([0, 5])).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double_vec("embedding").alias("query_vec"),
+    )
+    full = batch_ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8)
+    exact = batch_topk(emb, queries, k=5)
+    a = sorted(map(tuple, full.select("query_id", "vec_id", "cos_sim", "rk").collect()))
+    b = sorted(map(tuple, exact.select("query_id", "vec_id", "cos_sim", "rk").collect()))
+    assert a == b

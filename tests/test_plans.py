@@ -316,3 +316,19 @@ def test_semantic_chunking_single_doc_shuffle(spark):
     p = formatted_plan(spark, "semantic_chunking")
     assert _nodes(p, "Exchange") == 1
     assert "SinglePartition" not in p
+
+
+def test_q3_q5_join_shapes(spark):
+    """Q3: filtered dim broadcast, dates pushed, TakeOrdered top-k.
+    Q5: six-way join with every dimension side broadcast — at most the
+    lineitem⋈orders pair may shuffle; never a cartesian product."""
+    p3 = formatted_plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p3
+    assert "CartesianProduct" not in p3
+    assert p3.count("BroadcastHashJoin") >= 1
+    assert "PushedFilters" in p3 or "pushedfilters" in p3.lower()
+
+    p5 = formatted_plan(spark, "q5_local_supplier_volume")
+    assert "CartesianProduct" not in p5
+    assert p5.count("BroadcastHashJoin") >= 4
+    assert p5.count("SortMergeJoin") <= 1
