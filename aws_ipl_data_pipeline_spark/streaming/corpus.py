@@ -76,3 +76,99 @@ def run_corpus_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_segment_dedup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    seg_tokens: int = 8,
+    available_now: bool = True,
+):
+    """Streaming segment-level dedup (the C4 line-dedup flow run
+    continuously): each micro-batch's documents are cut into fixed
+    ``seg_tokens``-token segments; a segment survives only if it is
+    (a) first within the batch by (doc_id, position) and (b) never
+    admitted by ANY earlier batch — the admitted-segment digest table
+    is the only state (32 chars per unique segment; bucket by digest
+    at scale so the per-batch anti-join co-locates).
+
+    Batch-equivalence contract (tested): when files arrive in doc_id
+    order, streaming output == operators/dedup.segment_dedup over the
+    concatenated corpus. Crash posture mirrors run_corpus_ingest: doc
+    write precedes digest write, so a retry re-excises (never loses).
+
+    Output rows: (doc_id, text_kept, n_segments_kept, n_tokens_kept).
+    """
+    from aws_ipl_data_pipeline_spark.operators.chunking import chunk_documents
+    from pyspark.sql import Window
+
+    seg_digest_path = f"{out_path.rstrip('/')}_seg_digests"
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        segs = chunk_documents(
+            batch_df, chunk_tokens=seg_tokens, overlap=0
+        ).withColumn("_h", F.md5("chunk_text"))
+        try:
+            seen = spark.read.parquet(seg_digest_path).select(
+                F.col("seg_hash").alias("_h"), F.lit(True).alias("_seen")
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            seen = spark.createDataFrame([], "_h string, _seen boolean")
+        w = Window.partitionBy("_h").orderBy("doc_id", "chunk_id")
+        # plain left join on the digest (AQE broadcasts while it fits;
+        # at corpus scale the digest outgrows broadcast and this becomes
+        # the bucketed shuffle join the docstring prescribes)
+        marked = (
+            segs.withColumn("_rk", F.row_number().over(w))
+            .join(seen, "_h", "left")
+            .withColumn("_keep", (F.col("_rk") == 1) & F.col("_seen").isNull())
+        )
+        docs_out = marked.groupBy("doc_id").agg(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep"),
+                                    F.struct("chunk_id", "chunk_text"),
+                                )
+                            )
+                        ),
+                        lambda s: F.array(s["chunk_text"]),
+                    )
+                ),
+            ).alias("text_kept"),
+            F.sum(F.col("_keep").cast("long")).alias("n_segments_kept"),
+            F.sum(
+                F.when(F.col("_keep"), F.col("chunk_n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+        docs_out = docs_out.localCheckpoint(eager=True)
+        novel = (
+            marked.where(F.col("_keep"))
+            .select(F.col("_h").alias("seg_hash"))
+            .localCheckpoint(eager=True)
+        )
+        docs_out.write.mode("append").parquet(out_path)
+        novel.write.mode("append").parquet(seg_digest_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -863,3 +863,28 @@ def test_batch_ivf_full_probe_equals_batch_exact(spark):
     a = sorted(map(tuple, full.select("query_id", "vec_id", "cos_sim", "rk").collect()))
     b = sorted(map(tuple, exact.select("query_id", "vec_id", "cos_sim", "rk").collect()))
     assert a == b
+
+
+def test_segment_dedup_degenerate_boilerplate_corpus(spark):
+    """1000 identical docs (the adversarial hot-key case for near-dup
+    band joins) stays LINEAR here: one row_number partition per unique
+    segment, no candidate pairs. Exactly one doc keeps text."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import segment_dedup
+
+    text = " ".join(f"b{i}" for i in range(16))
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    )
+    t0 = time.perf_counter()
+    out = segment_dedup(docs, seg_tokens=8)
+    kept = out.agg(
+        F.sum("n_segments_kept").alias("k"), F.count("*").alias("n")
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert kept["n"] == 1000          # every doc surfaces
+    assert kept["k"] == 2             # only doc 0's two segments survive
+    assert elapsed < 30               # linear pass, not a pair blowup

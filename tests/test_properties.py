@@ -403,3 +403,36 @@ def test_funnel_matches_python_reference(events):
 
     for user in {u for (u, _, _) in events}:
         assert got[user] == ref(user), user
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5000),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda toks: tuple(toks),
+    )
+)
+def test_segment_dedup_identity_without_duplicates(token_lists):
+    """When no 4-token segment repeats anywhere in the corpus,
+    segment_dedup must be the identity: every doc reassembles to its
+    own normalized text, nothing excised. Docs are built from globally
+    unique tokens (doc index prefixed), so no segment can collide."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import segment_dedup
+
+    spark = _get_spark()
+    rows = [
+        (i, " ".join(f"d{i}w{j}x{v}" for j, v in enumerate(toks)))
+        for i, toks in enumerate(token_lists)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=4).collect()}
+    assert len(out) == len(rows)
+    for i, text in rows:
+        assert out[i]["text_kept"] == text
+        assert out[i]["n_segments_kept"] == out[i]["n_segments"]
