@@ -251,15 +251,25 @@ def minhash_lsh_pairs(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     if max_bucket_size is not None:
-        # one (band,bucket) shuffle computes size + pivot; the band join
-        # below re-uses that partitioning. Hot buckets leave the join.
-        w = Window.partitionBy("band", "bucket")
-        banded = banded.withColumn("_bn", F.count("*").over(w)).withColumn(
-            "_pivot", F.min("_id").over(w)
+        # the hot-bucket list is computed with a map-side-combinable
+        # count+min agg (NOT a window over the whole banded frame — a
+        # window forces a per-partition sort of every row; the agg
+        # moves one skinny row per (band,bucket) per task) and is then
+        # broadcast back. In the common case there are NO hot buckets
+        # and both broadcast joins are joins against an empty side —
+        # near-free — so the guard costs ~one cheap agg, the price of
+        # knowing the data isn't adversarial.
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bn"), F.min("_id").alias("_pivot"))
+            .where(F.col("_bn") > max_bucket_size)
+            .select("band", "bucket", "_pivot")
         )
-        cold = banded.where(F.col("_bn") <= max_bucket_size)
+        cold = banded.join(
+            F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+        )
         star = (
-            banded.where(F.col("_bn") > max_bucket_size)
+            banded.join(F.broadcast(hot), ["band", "bucket"])
             .where(F.col("_id") != F.col("_pivot"))  # pivot = min → pivot < id
             .select(F.col("_pivot").alias("id_a"), F.col("_id").alias("id_b"))
         )
@@ -434,15 +444,25 @@ def simhash_pairs(
         "_id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key")
     )
     if max_bucket_size is not None:
-        w = Window.partitionBy("block", "key")
-        # struct min orders by _id first: the pivot row carries its own
-        # simhash along for the verification step
-        blocked = blocked.withColumn("_bn", F.count("*").over(w)).withColumn(
-            "_pivot", F.min(F.struct("_id", "simhash")).over(w)
+        # map-side-combinable count+min agg, broadcast back — not a
+        # window, which would sort the entire blocked frame (see the
+        # identical rework in minhash_lsh_pairs). struct min orders by
+        # _id first: the pivot row carries its own simhash along for
+        # the verification step. No hot buckets → empty broadcasts.
+        hot = (
+            blocked.groupBy("block", "key")
+            .agg(
+                F.count("*").alias("_bn"),
+                F.min(F.struct("_id", "simhash")).alias("_pivot"),
+            )
+            .where(F.col("_bn") > max_bucket_size)
+            .select("block", "key", "_pivot")
         )
-        cold = blocked.where(F.col("_bn") <= max_bucket_size)
+        cold = blocked.join(
+            F.broadcast(hot.select("block", "key")), ["block", "key"], "left_anti"
+        )
         star = (
-            blocked.where(F.col("_bn") > max_bucket_size)
+            blocked.join(F.broadcast(hot), ["block", "key"])
             .where(F.col("_id") != F.col("_pivot._id"))
             .select(
                 F.col("_pivot._id").alias("id_a"),

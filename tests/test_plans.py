@@ -332,3 +332,33 @@ def test_q3_q5_join_shapes(spark):
     assert "CartesianProduct" not in p5
     assert p5.count("BroadcastHashJoin") >= 4
     assert p5.count("SortMergeJoin") <= 1
+
+
+def test_map_only_scoring_queries_zero_exchange(spark):
+    """quality_classifier and random_projection_embed are pure per-row
+    column expressions — the plan must contain NO Exchange at all (the
+    100 TB contract: scoring/projection touch every row exactly once,
+    embarrassingly parallel)."""
+    for q in ("quality_classifier", "random_projection_embed"):
+        p = formatted_plan(spark, q)
+        assert _nodes(p, "Exchange") == 0, q
+        assert "PythonUDF" not in p, q
+
+
+def test_segment_dedup_two_shuffles(spark):
+    """Segment dedup = one window on the segment digest + one doc-key
+    reassembly groupBy; anything more is a regression."""
+    p = formatted_plan(spark, "segment_dedup")
+    assert _nodes(p, "Exchange") <= 2
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_batch_ann_no_corpus_shuffle_before_rank(spark):
+    """Batched ANN: queries broadcast; the only shuffle is the skinny
+    per-query rank window (plus AQE bookkeeping) — the corpus is never
+    hash-repartitioned to score."""
+    p = formatted_plan(spark, "ann_batch_topk")
+    assert _nodes(p, "BroadcastNestedLoopJoin") + _nodes(p, "BroadcastHashJoin") >= 1
+    assert _nodes(p, "Exchange") <= 2
+    assert "CartesianProduct" not in p
