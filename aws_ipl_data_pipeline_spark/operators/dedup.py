@@ -116,16 +116,22 @@ def shingle_jaccard_pairs(
     # set-carrying must materialize wide arrays per doc (measured 3.5×
     # slower at sf0.1). With banding the candidates are few and the
     # trade flips — that's why the two operators verify differently.
-    sh = word_shingles(docs, id_col, text_col, n)
+    # the index joins on xxhash64(shingle), not the shingle string:
+    # 8-byte fixed keys through the self-join shuffle instead of
+    # variable ~20-40-byte strings (same accepted collision class as
+    # the minhash base hashes — ~|shingles|²/2⁶⁴)
+    sh = word_shingles(docs, id_col, text_col, n).select(
+        "_id", F.xxhash64("shingle").alias("_hs")
+    )
     if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)
-        sh = sh.join(keep.select("shingle"), "shingle")
+        keep = sh.groupBy("_hs").count().where(F.col("count") <= max_shingle_df)
+        sh = sh.join(keep.select("_hs"), "_hs")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
 
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    a = sh.select(F.col("_id").alias("id_a"), "_hs")
+    b = sh.select(F.col("_id").alias("id_b"), "_hs")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "_hs")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_common"))
