@@ -135,20 +135,24 @@ def repetition_metrics(
     # Spark array indexing in SQL exprs is 0-based: i in 2..n -> (i-2, i-1).
     # Guard n<2: sequence(2, 1) counts DOWN in Spark, which would index
     # out of bounds on single-token docs.
+    # count keys are 64-bit hashes, not the strings themselves: the
+    # two (doc_id, key) shuffles move fixed 8-byte keys (collision odds
+    # the accepted digest class; a collision could only merge two
+    # counts within one doc)
     bigrams = F.expr(
-        "IF(size(tk) < 2, CAST(array() AS array<string>), "
-        "transform(sequence(2, size(tk)), i -> concat(tk[i-2], ' ', tk[i-1])))"
+        "IF(size(tk) < 2, CAST(array() AS array<bigint>), "
+        "transform(sequence(2, size(tk)), i -> xxhash64(tk[i-2], tk[i-1])))"
     )
     top_tok = (
         base.select("doc_id", F.explode("tk").alias("tok"))
-        .groupBy("doc_id", "tok")
+        .groupBy("doc_id", F.xxhash64("tok").alias("_ht"))
         .count()
         .groupBy("doc_id")
         .agg(F.max("count").alias("top_tok"))
     )
     top_bg = (
-        base.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg")
+        base.select("doc_id", F.explode(bigrams).alias("_hb"))
+        .groupBy("doc_id", "_hb")
         .count()
         .groupBy("doc_id")
         .agg(F.max("count").alias("top_bg"))
