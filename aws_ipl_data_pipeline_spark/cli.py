@@ -226,6 +226,29 @@ def cmd_prep(args) -> None:
             id_col=args.id_col,
             shard_col=args.shard_col,
         )
+    elif args.action == "segdedup":
+        from aws_ipl_data_pipeline_spark.operators.dedup import segment_dedup
+
+        out = segment_dedup(
+            df,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            seg_tokens=args.chunk_tokens,
+        )
+    elif args.action == "domaincap":
+        from aws_ipl_data_pipeline_spark.operators.sampling import domain_cap
+
+        out = domain_cap(
+            df, domain_col=args.by, cap=args.cap, id_col=args.id_col
+        )
+    elif args.action == "score":
+        from aws_ipl_data_pipeline_spark.operators.text import (
+            quality_classifier_score,
+        )
+
+        out = quality_classifier_score(
+            df, id_col=args.id_col, text_col=args.text_col
+        )
     else:  # kmeans
         from aws_ipl_data_pipeline_spark.operators.clustering import kmeans_fit
 
@@ -321,9 +344,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     pr = sub.add_parser(
         "prep",
-        help="training-data prep: chunk | pack | mix (temperature) | kmeans",
+        help=(
+            "training-data prep: chunk | pack | mix (temperature) | kmeans"
+            " | segdedup (duplicate-segment excision) | domaincap"
+            " | score (quality classifier)"
+        ),
     )
-    pr.add_argument("action", choices=["chunk", "pack", "mix", "kmeans"])
+    pr.add_argument(
+        "action",
+        choices=["chunk", "pack", "mix", "kmeans", "segdedup", "domaincap", "score"],
+    )
+    pr.add_argument(
+        "--cap", type=int, default=1000, help="domaincap: max docs per domain"
+    )
     pr.add_argument("--path", required=True, help="input parquet table")
     pr.add_argument("--out", required=True)
     pr.add_argument("--id-col", default="doc_id")

@@ -247,3 +247,38 @@ def test_cli_prep_chunk_semantic(spark, tmp_path_factory):
     out = spark.read.parquet(f"{base}/sem")
     assert out.count() > 0
     assert {"chunk_id", "chunk_text", "n_segments", "chunk_n_tokens"} <= set(out.columns)
+
+
+def test_cli_prep_segdedup_domaincap_score(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("prep4"))
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    n_docs = spark.read.parquet(docs).count()
+
+    main(
+        [
+            "prep", "segdedup", "--path", docs, "--out", f"{base}/seg",
+            "--chunk-tokens", "8",
+        ]
+    )
+    seg = spark.read.parquet(f"{base}/seg")
+    assert seg.count() == n_docs
+    assert "text_kept" in seg.columns and "n_segments_kept" in seg.columns
+
+    main(
+        [
+            "prep", "domaincap", "--path", docs, "--out", f"{base}/capped",
+            "--by", "lang", "--cap", "50",
+        ]
+    )
+    capped = spark.read.parquet(f"{base}/capped")
+    assert 0 < capped.count() < n_docs
+    from pyspark.sql import functions as F
+
+    assert (
+        capped.groupBy("lang").count().agg(F.max("count")).collect()[0][0] <= 50
+    )
+
+    main(["prep", "score", "--path", docs, "--out", f"{base}/scored"])
+    scored = spark.read.parquet(f"{base}/scored")
+    assert scored.count() == n_docs
+    assert {"score", "keep"} <= set(scored.columns)
