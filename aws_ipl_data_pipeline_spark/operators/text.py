@@ -288,6 +288,14 @@ def bigram_perplexity(
 
     Output: (doc_id, n_bigrams, avg_logp, ppl).
     """
+    # every shuffled key is a 64-bit hash, never the token strings:
+    # _h12 identifies the bigram, _h1 its conditioning prefix (the
+    # accepted digest collision class — a collision merges two counts).
+    # Doc bigrams also pre-aggregate to (doc, bigram, n) BEFORE meeting
+    # the model, so a document repeating one bigram 1000× joins once
+    # and weights the average arithmetically — at corpus scale the
+    # model join moves one row per DISTINCT (doc, bigram), not one per
+    # token position.
     tk = tokens(text_col)
     pairs = (
         docs.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -299,25 +307,32 @@ def bigram_perplexity(
                 F.transform(
                     F.sequence(F.lit(1), F.size("_tk") - 1),
                     lambda i: F.struct(
-                        F.element_at("_tk", i).alias("w1"),
-                        F.element_at("_tk", i + 1).alias("w2"),
+                        F.xxhash64(
+                            F.element_at("_tk", i), F.element_at("_tk", i + 1)
+                        ).alias("_h12"),
+                        F.xxhash64(F.element_at("_tk", i)).alias("_h1"),
                     ),
                 )
             ).alias("s"),
         )
-        .select(id_col, "s.w1", "s.w2")
+        .select(id_col, "s._h12", "s._h1")
     )
-    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
-    w1_win = Window.partitionBy("w1")
+    doc_counts = pairs.groupBy(id_col, "_h12").agg(F.count("*").alias("_nd"))
+    counts = pairs.groupBy("_h12").agg(
+        F.count("*").alias("_c12"), F.max("_h1").alias("_h1")
+    )
+    w1_win = Window.partitionBy("_h1")
     model = counts.withColumn(
         "_logp", F.log(F.col("_c12") / F.sum("_c12").over(w1_win))
-    ).select("w1", "w2", "_logp")
+    ).select("_h12", "_logp")
     return (
-        pairs.join(model, ["w1", "w2"])
+        doc_counts.join(model, "_h12")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(F.avg("_logp"), 4).alias("avg_logp"),
+            F.sum("_nd").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_nd") * F.col("_logp")) / F.sum("_nd"), 4
+            ).alias("avg_logp"),
         )
         .withColumn("ppl", F.round(F.exp(-F.col("avg_logp")), 2))
     )

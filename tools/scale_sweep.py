@@ -77,11 +77,14 @@ def build(spark, mult: int) -> str:
 
 
 def main() -> None:
+    global QUERIES
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--scales", default="1,5,10")
+    ap.add_argument("--queries", default=",".join(QUERIES))
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    QUERIES = args.queries.split(",")
 
     spark = get_spark(app_name="scale-sweep")
     spark.read.parquet(f"{BASE}/region.parquet").count()  # JIT warmup
