@@ -432,6 +432,13 @@ def simhash_pairs(
     sigs = docs.select(
         F.col(id_col).alias("_id"), _simhash(F.col(text_col)).alias("simhash")
     )
+    if max_bucket_size is not None:
+        # the guard adds a third consumer of the fingerprint frame (hot
+        # agg + cold anti-join + star join); unlike the JVM minhash agg
+        # (ReuseExchange dedupes it), the Arrow pass would re-run per
+        # consumer — materialize it once. At index scale you'd persist
+        # signatures anyway; this is that policy in-plan.
+        sigs = sigs.localCheckpoint(eager=False)
 
     block_bits = 64 // blocks
     mask = (1 << block_bits) - 1
@@ -831,6 +838,14 @@ def segment_dedup(
     pairwise blowup), then one groupBy on the document key for
     reassembly. No similarity math, no candidate pairs — this is the
     cheap exact pass that runs BEFORE MinHash in a real pipeline.
+
+    The digest is md5 (128-bit), deliberately NOT the 64-bit xxhash64
+    used for join keys elsewhere: here a hash collision DROPS content
+    (two distinct segments treated as duplicates). At 100 TB segment
+    counts reach ~10^10, where 64-bit birthday collisions are expected
+    (>1) but 128-bit odds stay ~10^-19 — identity hashes that gate
+    deletion get 128 bits; join/count keys where a collision only
+    perturbs a statistic get 64.
 
     Output: (doc_id, text_kept, n_segments_kept, n_segments,
     n_tokens_kept) — docs whose every segment was already seen

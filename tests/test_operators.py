@@ -888,3 +888,30 @@ def test_segment_dedup_degenerate_boilerplate_corpus(spark):
     assert kept["n"] == 1000          # every doc surfaces
     assert kept["k"] == 2             # only doc 0's two segments survive
     assert elapsed < 30               # linear pass, not a pair blowup
+
+
+def test_observed_metrics_ride_the_action(spark, tmp_path_factory):
+    """Observation metrics come back from the SAME job that wrote the
+    output — pipeline telemetry with zero extra scans."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.quality import (
+        with_observed_metrics,
+    )
+
+    out = str(tmp_path_factory.mktemp("obs")) + "/t"
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    observed, obs = with_observed_metrics(
+        docs.where(F.col("n_chars") > 50),
+        "ingest",
+        {
+            "rows": F.count(F.lit(1)),
+            "null_text": F.sum(F.col("text").isNull().cast("long")),
+            "avg_chars": F.avg("n_chars"),
+        },
+    )
+    observed.write.mode("overwrite").parquet(out)
+    got = obs.get
+    assert got["rows"] == spark.read.parquet(out).count()
+    assert got["null_text"] == 0
+    assert got["avg_chars"] > 50
