@@ -4256,6 +4256,7 @@ _DRIVER_FIRST = [
     "ann_ivf_topk",
     "ipl_gold_e2e",
     "ipl_batsman_stats_big",
+    "ipl_standings_big",
     "token_budget_mix",
     "stats_aggregates_battery",
     "segment_dedup",
@@ -4299,9 +4300,9 @@ _DRIVER_FIRST = [
     "distinct_counts",
     "approx_distinct_counts",
     "left_join_coalesce",
-    "outer_join_composite",
     # past slot 50 from here — every remaining query holds a green row
     # from r1/r2 (refreshed in turn) or r3; first in line next round:
+    "outer_join_composite",
     "renamed_key_join",
     "broadcast_dim_revenue",
     "semi_join_customers",

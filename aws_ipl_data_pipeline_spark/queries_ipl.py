@@ -189,10 +189,7 @@ def _silver_df(spark: SparkSession) -> DataFrame:
     )
 
 
-@register(
-    "ipl_standings",
-    f"""
-    WITH silver AS (SELECT * FROM {_silver_values_sql()}),
+_STANDINGS_SQL_BODY = """
     bat AS (
       SELECT match, batting_team AS team, SUM(total_runs) AS runs_scored,
              SUM(is_legal_delivery) AS balls_batted
@@ -258,6 +255,14 @@ def _silver_df(spark: SparkSession) -> DataFrame:
            CAST(runs_against AS BIGINT) AS runs_against,
            round(CAST(balls_against // 6 + (balls_against % 6) / 10.0 AS DOUBLE), 1) AS overs_against
     FROM st
+"""
+
+
+@register(
+    "ipl_standings",
+    f"""
+    WITH silver AS (SELECT * FROM {_silver_values_sql()}),
+    {_STANDINGS_SQL_BODY}
     """,
 )
 def ipl_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,6 +274,62 @@ def ipl_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     st = tournament_standings(_silver_df(spark))
+    return st.select(
+        F.col("rank").cast("long"),
+        "team",
+        F.col("played").cast("long"),
+        F.col("won").cast("long"),
+        F.col("lost").cast("long"),
+        F.col("tied_nr").cast("long"),
+        F.col("points").cast("long"),
+        "net_run_rate",
+        "avg_run_rate",
+        "runs_for",
+        "overs_for",
+        "runs_against",
+        "overs_against",
+    )
+
+
+@register(
+    "ipl_standings_big",
+    f"""
+    WITH base AS (SELECT * FROM {_silver_values_sql()}),
+    silver AS (
+      SELECT base.* REPLACE (
+        base.match || '_' || CAST(r.r AS VARCHAR) AS match,
+        CAST(base.total_runs + r.r % 2 AS INT) AS total_runs)
+      FROM base CROSS JOIN (SELECT unnest(range(0, 3001)) AS r) r
+    ),
+    {_STANDINGS_SQL_BODY}
+    """,
+)
+def ipl_standings_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tournament_standings at league volume: the team-grain fixture
+    replicated across 3001 synthetic matches (prime, same non-dyadic
+    denominator rationale as ipl_batsman_stats_big) with a per-replica
+    total_runs shift (+ rep % 2). Because the two sides of a match bat
+    different delivery counts, odd replicas shift team totals unequally
+    — margins move, the fixture's tied match breaks its tie in half the
+    replicas — so the driver hash-checks the winner derivation, the
+    full-outer accumulation, and the rounded net-run-rates over ~60k
+    team-match rows with replica-varying outcomes, not one outcome
+    replayed 3001 times."""
+    from aws_ipl_data_pipeline_spark.plans.gold import tournament_standings
+
+    tune_session(spark)
+    reps = spark.range(3001).select(F.col("id").alias("_rep"))
+    silver = (
+        _silver_df(spark)
+        .crossJoin(reps)
+        .withColumn("match", F.concat_ws("_", "match", F.col("_rep").cast("string")))
+        .withColumn(
+            "total_runs",
+            (F.col("total_runs") + F.pmod("_rep", F.lit(2))).cast("int"),
+        )
+        .drop("_rep")
+    )
+    st = tournament_standings(silver)
     return st.select(
         F.col("rank").cast("long"),
         "team",

@@ -82,6 +82,8 @@ def test_no_python_udf_in_relational_core(spark):
         # codegen); ADC *scoring* stays JVM-side (pq_topk LUT fold)
         "ann_pq_topk",
         "ann_ivfpq_topk",
+        # same sanctioned numpy cell-assignment as ann_ivf_topk, batched
+        "ann_batch_ivf_topk",
     }
     for name in REGISTRY:
         if name in python_ok:
