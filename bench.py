@@ -77,6 +77,8 @@ ROUND4 = [
     "ann_batch_ivf_topk",
     "token_budget_mix",
     "stats_aggregates_battery",
+    "ipl_batsman_stats_big",
+    "ipl_standings_big",
 ]
 
 

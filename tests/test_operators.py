@@ -915,3 +915,37 @@ def test_observed_metrics_ride_the_action(spark, tmp_path_factory):
     assert got["rows"] == spark.read.parquet(out).count()
     assert got["null_text"] == 0
     assert got["avg_chars"] > 50
+
+
+def test_stat_surface_freqitems_sampleby_crosstab(spark):
+    """DataFrame stat surface: freqItems heavy hitters (single-pass,
+    bounded memory), sampleBy stratified fractions (seeded,
+    deterministic), crosstab contingency counts."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(exact.values())
+    # heavy hitters: every value with support >= 20% must be surfaced
+    hh = li.stat.freqItems(["l_returnflag"], support=0.2).collect()[0][0]
+    for flag, n in exact.items():
+        if n / total >= 0.2:
+            assert flag in hh
+    # stratified sample: seeded -> identical twice; fractions honored
+    fr = {flag: 0.1 for flag in exact}
+    s1 = li.sampleBy("l_returnflag", fractions=fr, seed=11)
+    s2 = li.sampleBy("l_returnflag", fractions=fr, seed=11)
+    assert s1.count() == s2.count()
+    got = {
+        r["l_returnflag"]: r["n"]
+        for r in s1.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(got.get(flag, 0) - 0.1 * n) <= 0.05 * n + 10
+    # crosstab: row sums must equal the per-flag exact counts
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus").collect()
+    for row in ct:
+        d = row.asDict()
+        flag = d.pop("l_returnflag_l_linestatus")
+        assert sum(int(v) for v in d.values()) == exact[flag]
