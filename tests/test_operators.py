@@ -949,3 +949,24 @@ def test_stat_surface_freqitems_sampleby_crosstab(spark):
         d = row.asDict()
         flag = d.pop("l_returnflag_l_linestatus")
         assert sum(int(v) for v in d.values()) == exact[flag]
+
+
+def test_prefix_filtered_jaccard_equals_plain(spark):
+    """PPJoin prefix filtering is a pure candidate-pruning step: the
+    surviving pair set and jaccard values must be bit-identical to the
+    plain inverted-index join, while generating strictly fewer
+    candidate postings."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+        shingle_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plain = sorted(
+        map(tuple, shingle_jaccard_pairs(docs, threshold=0.8).collect())
+    )
+    pref = sorted(
+        map(tuple, shingle_jaccard_pairs_prefix(docs, threshold=0.8).collect())
+    )
+    assert pref == plain
+    assert len(pref) > 0  # the fixture contains near-dups; non-vacuous
