@@ -4256,6 +4256,564 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Classic decision-support shapes, round 5: EXISTS/NOT-EXISTS rewrites,
+# disjunctive predicate pushdown, scalar-subquery broadcast, market share
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: the synthetic lineitem has no
+    commit/receipt dates, so the EXISTS predicate is a returned-line
+    flag). The EXISTS compiles to a LEFT SEMI join — lineitem is
+    deduplicated by the semi-join itself, never materialized per-order;
+    the quarter predicate pushes to the orders scan."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + conjunctive range predicates + global agg.
+    The whole WHERE clause reaches the parquet scan as PushedFilters
+    (min/max row-group pruning at scale); no shuffle except the final
+    1-row partial-agg merge."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year. The nation filter is applied on the two broadcast nation
+    copies so the disjunction prunes rows before the fact-side shuffle;
+    all dims broadcast, lineitem⋈orders is the only big join."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH all_volume AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           round(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM all_volume GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by order year. Eight-way join, all seven dim sides
+    broadcast; the share is a conditional-sum ratio inside one agg, not
+    a self-join of two aggregates."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(any_value(c.c_acctbal), 2) AS c_acctbal,
+           any_value(n.n_name) AS n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. Both selective predicates push to their scans; customer
+    and nation broadcast; top-k is TakeOrderedAndProject."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.any_value("c_acctbal"), 2).alias("c_acctbal"),
+            F.any_value("n_name").alias("n_name"),
+        )
+        .select(F.col("c_custkey").cast("long"), "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — conditional-sum
+    ratio in a single agg over a broadcast part join. The month
+    predicate prunes the lineitem scan before the join."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    """
+    SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(CAST(SUM(l.l_quantity) AS DOUBLE), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold —
+    the IN-subquery becomes an aggregate + LEFT SEMI join, so the big
+    orders list is computed once, map-side combined, and semi-joined
+    before the customer join ever sees a row."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .where(F.col("tot_qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(big, o.o_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long"),
+            F.col("o_orderkey").cast("long"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_pushdown",
+    """
+    SELECT round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across both join sides. Catalyst's
+    CNF-based filter extraction derives the per-side residuals — the
+    part scan gets the brand/size union, the lineitem scan gets the
+    quantity envelope — so both scans prune before the broadcast
+    join evaluates the exact disjunction."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#24")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(arm1 | arm2 | arm3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           round(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: the synthetic customer has no phone,
+    so the country-code filter becomes a recency filter): well-funded
+    customers with no recent order. The scalar AVG subquery is a 1-row
+    broadcast cross join (never a collect); NOT EXISTS is a LEFT ANTI
+    join against the date-pruned orders scan."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .select(F.col("c_nationkey").cast("long"), "numcust", "totacctbal")
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (batch twin of the streaming session window)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 14400000000
+                    OR LAG(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           epoch_us(MIN(ts)) AS start_us,
+           epoch_us(MAX(ts)) AS end_us,
+           round(SUM(value), 2) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (4 h inactivity gap): lag → new-session
+    flag → running sum = session id, then per-session rollup. One
+    shuffle on user_id serves the lag window, the prefix-sum window,
+    AND the final group-by (all three are user_id-partitioned, so
+    Catalyst reuses the exchange). The batch twin of ST6's streaming
+    session window — same session boundaries, replayable on history."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    sess = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 14_400_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("end_us"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("user_id").cast("long"),
+            F.col("session_seq").cast("long"),
+            "n_events",
+            "start_us",
+            "end_us",
+            "total_value",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence-length histogram (packing/curriculum planning input)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "seq_length_histogram",
+    f"""
+    WITH tok AS (
+      SELECT CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), bucketed AS (
+      SELECT CAST(power(2, floor(log2(greatest(n_tokens, 1)))) AS BIGINT)
+               AS bucket_lo,
+             n_tokens
+      FROM tok
+    ), hist AS (
+      SELECT bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM bucketed GROUP BY bucket_lo
+    )
+    SELECT bucket_lo, n_docs, n_tokens,
+           round(SUM(n_tokens) OVER (ORDER BY bucket_lo
+                                     ROWS UNBOUNDED PRECEDING)
+                 * 1.0 / SUM(n_tokens) OVER (), 4) AS cum_token_share
+    FROM hist ORDER BY bucket_lo
+    """,
+)
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two sequence-length histogram with cumulative token
+    share — the planning input for sequence packing (which max_len
+    wastes the fewest pad tokens) and length-bucketed curricula. The
+    per-doc token count is map-only; the histogram is a k-row agg
+    (k = #buckets ≈ 30 even at 100 TB), so the window over buckets
+    runs on a trivially small frame."""
+    docs = t(spark, sf_dir, "documents")
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    n_tok = F.size(F.split(normalized_text("text"), " ")).cast("long")
+    bucket = F.pow(
+        F.lit(2.0), F.floor(F.log2(F.greatest(n_tok, F.lit(1))))
+    ).cast("long")
+    hist = (
+        docs.select(bucket.alias("bucket_lo"), n_tok.alias("n_tokens"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    w_cum = Window.orderBy("bucket_lo").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        hist.withColumn(
+            "cum_token_share",
+            F.round(
+                F.sum("n_tokens").over(w_cum) / F.sum("n_tokens").over(w_all), 4
+            ),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
@@ -4316,12 +4874,27 @@ _DRIVER_FIRST = [
     "ipl_batsman_stats",
     "ipl_bowler_stats",
     "ipl_team_stats",
+    # new this session (r4 late additions): classic decision-support
+    # shapes + sessionization + packing histogram — first driver rows
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_pushdown",
+    "q22_dormant_customers",
+    "sessionize_events",
+    "seq_length_histogram",
     # refresh rotation: r1/r2-only rows, none re-checked in r3 —
     # oldest driver signal in the registry
     "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_embedding_cosine",
     "near_dup_clusters",
+    # past slot 50 from here — every remaining query holds a green row
+    # from r1/r2 (refreshed in turn) or r3; first in line next round:
     "asof_join_events",
     "session_window",
     "max_of_order_revenue",
@@ -4333,8 +4906,6 @@ _DRIVER_FIRST = [
     "distinct_pairs",
     "distinct_counts",
     "approx_distinct_counts",
-    # past slot 50 from here — every remaining query holds a green row
-    # from r1/r2 (refreshed in turn) or r3; first in line next round:
     "left_join_coalesce",
     "outer_join_composite",
     "renamed_key_join",

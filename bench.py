@@ -81,6 +81,23 @@ ROUND4 = [
     "ipl_standings_big",
 ]
 
+# round-4 tail additions (classic decision-support shapes +
+# sessionization + packing histogram): recorded under their own key so
+# the ROUND4 list above stays frozen at its first published 15
+ROUND4B = [
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_pushdown",
+    "q22_dormant_customers",
+    "sessionize_events",
+    "seq_length_histogram",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -162,6 +179,17 @@ def main() -> None:
         round4[name] = round(min(runs), 3)
         print(f"  [round4] {name}: best {round4[name]}s", file=sys.stderr)
 
+    round4b: dict[str, float] = {}
+    for name in ROUND4B:
+        fn = REGISTRY[name].fn
+        runs = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        round4b[name] = round(min(runs), 3)
+        print(f"  [round4b] {name}: best {round4b[name]}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -173,6 +201,7 @@ def main() -> None:
                 "queries_median": medians,
                 "queries_extended": extended,
                 "queries_round4": round4,
+                "queries_round4b": round4b,
                 "iters": iters,
                 "sf": sf,
             }

@@ -364,3 +364,63 @@ def test_batch_ann_no_corpus_shuffle_before_rank(spark):
     assert _nodes(p, "BroadcastNestedLoopJoin") + _nodes(p, "BroadcastHashJoin") >= 1
     assert _nodes(p, "Exchange") <= 2
     assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    """TPC-H Q19's OR-of-ANDs: Catalyst must derive the per-side
+    residual disjunctions, so the part scan prunes on brand/size and
+    the lineitem scan prunes on the quantity envelope — at 100 TB that
+    row-group pruning is the difference between scanning 3 brands'
+    worth of data and scanning everything."""
+    p = formatted_plan(spark, "q19_disjunctive_pushdown")
+    assert re.search(r"PushedFilters: \[[^\]]*Or\([^\]]*p_brand", p)
+    assert re.search(r"PushedFilters: \[[^\]]*Or\([^\]]*l_quantity", p)
+    assert "CartesianProduct" not in p
+
+
+def test_exists_shapes_compile_to_semi_anti_joins(spark):
+    """EXISTS / IN-subquery / NOT EXISTS must become hash semi/anti
+    joins (never a per-row subquery or nested loop over the fact
+    side)."""
+    p4 = formatted_plan(spark, "q4_priority_exists")
+    assert "LeftSemi" in p4
+    assert "CartesianProduct" not in p4
+    p18 = formatted_plan(spark, "q18_large_volume_customer")
+    assert "LeftSemi" in p18
+    assert "CartesianProduct" not in p18
+    p22 = formatted_plan(spark, "q22_dormant_customers")
+    assert "LeftAnti" in p22
+    assert "CartesianProduct" not in p22
+    # the scalar AVG subquery is a 1-row broadcast — the only
+    # nested-loop join allowed anywhere in the shape
+    assert _nodes(p22, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_classic_join_shapes_all_dims_broadcast(spark):
+    """Q7/Q8/Q10: every dimension side broadcasts; at most one
+    shuffle join (lineitem⋈orders) survives."""
+    for q in ("q7_volume_shipping", "q8_market_share", "q10_returned_items"):
+        p = formatted_plan(spark, q)
+        assert _nodes(p, "SortMergeJoin") <= 1, q
+        assert "CartesianProduct" not in p, q
+        assert _nodes(p, "BroadcastHashJoin") >= 2, q
+
+
+def test_sessionize_single_user_partitioning(spark):
+    """Sessionization: the lag window, the prefix-sum window, and the
+    per-session rollup all ride ONE user_id hash partitioning — the
+    plan may contain exactly one hash Exchange (the final ORDER BY adds
+    a range Exchange; presentation only)."""
+    p = formatted_plan(spark, "sessionize_events")
+    hash_ex = len(re.findall(r"Arguments: hashpartitioning", p))
+    assert hash_ex == 1, f"expected 1 hash exchange, plan has {hash_ex}"
+    assert "SinglePartition" not in p
+
+
+def test_seq_length_histogram_single_fact_exchange(spark):
+    """The histogram aggregates doc-grain → bucket-grain in one
+    exchange; the cumulative-share windows run over the ~30-row bucket
+    frame only (single-partition there is by design and safe)."""
+    p = formatted_plan(spark, "seq_length_histogram")
+    assert _nodes(p, "Scan parquet") == 1
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) <= 1
