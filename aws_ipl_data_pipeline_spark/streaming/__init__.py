@@ -1,3 +1,7 @@
+from aws_ipl_data_pipeline_spark.streaming.joins import (  # noqa: F401
+    attribute_purchases,
+    enrich_stream_with_dim,
+)
 from aws_ipl_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     dedup_within_watermark,
     run_incremental_pipeline,
