@@ -96,6 +96,8 @@ ROUND4B = [
     "q22_dormant_customers",
     "sessionize_events",
     "seq_length_histogram",
+    "scd2_user_state",
+    "diversity_sample",
 ]
 
 
