@@ -184,3 +184,28 @@ def write_csv(
     gold outputs, never fact tables."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", True).csv(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimized parquet write: range-repartition on the
+    clustering keys, then sort rows inside each partition, so every
+    output file covers a NARROW, (near-)disjoint key range and its
+    footer min/max statistics become effective — a point/range query on
+    the cluster key then skips whole files and row groups instead of
+    scanning everything (the poor man's Z-order; for one key it is
+    exactly optimal). At 100 TB this is the difference between a
+    date-range query reading ~1/365th of a year's table and reading all
+    of it. ``repartitionByRange`` samples the key distribution, so
+    skewed keys still yield evenly-sized files."""
+    out = (
+        df.repartitionByRange(n_files, *cluster_by)
+        if n_files
+        else df.repartitionByRange(*cluster_by)
+    )
+    out.sortWithinPartitions(*cluster_by).write.mode(mode).parquet(path)

@@ -424,3 +424,22 @@ def test_seq_length_histogram_single_fact_exchange(spark):
     p = formatted_plan(spark, "seq_length_histogram")
     assert _nodes(p, "Scan parquet") == 1
     assert len(re.findall(r"Arguments: hashpartitioning", p)) <= 1
+
+
+def test_scd2_single_user_exchange(spark):
+    """SCD2 build: change-detect lag, interval-close lead, and the
+    change filter all share the user_id partitioning — one hash
+    exchange total."""
+    p = formatted_plan(spark, "scd2_user_state")
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
+    assert "SinglePartition" not in p
+
+
+def test_diversity_sample_map_side_bucketing(spark):
+    """Diversity sampling: the bucket id is computed map-side (JVM
+    fold, no Python) — the only hash exchange is the per-bucket quota
+    window."""
+    p = formatted_plan(spark, "diversity_sample")
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p

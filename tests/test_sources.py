@@ -432,3 +432,61 @@ def test_writer_stays_live_after_pre_flip_crash(spark, tmp_path):
     assert write_snapshot(spark.range(7).withColumnRenamed("id", "k"), path) == 3
     assert current_version(spark, path) == 3
     assert read_snapshot(spark, path).count() == 7
+
+
+def test_write_clustered_produces_skippable_files(spark, tmp_path):
+    """write_clustered must yield files with narrow, (near-)disjoint
+    cluster-key ranges — verified from the parquet footers directly —
+    and reads with a key predicate must stay correct."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_ipl_data_pipeline_spark.sources.writers import write_clustered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "li_clustered")
+    write_clustered(li, out, cluster_by=["l_shipdate"], n_files=8)
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) >= 4  # range partitioner actually spread the data
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        col_idx = names.index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+
+    # files are (near-)disjoint: sorted by min, each file's range must
+    # not reach past the next file's start (range partitioning puts a
+    # key in exactly one file, so overlap can only be the boundary key)
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
+
+    # each file covers a small fraction of the global span: the whole
+    # point of clustering (8 files -> each ~1/8th; allow 3x slack)
+    glo = min(s[0] for s in spans)
+    ghi = max(s[1] for s in spans)
+    total = (ghi - glo).total_seconds()
+    for lo, hi in spans:
+        assert (hi - lo).total_seconds() <= total * 3 / len(files)
+
+    # read-back correctness under a pushed range predicate
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        .count()
+    )
+    want = li.where(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    ).count()
+    assert got == want
