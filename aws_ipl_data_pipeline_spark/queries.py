@@ -4938,6 +4938,64 @@ def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Zipf fit over the vocabulary head (corpus-health diagnostic)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "vocab_zipf_fit",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT token, COUNT(*) AS c FROM toks WHERE token <> ''
+      GROUP BY token
+    ),
+    top AS (
+      SELECT c, token FROM cnt ORDER BY c DESC, token ASC LIMIT 1000
+    ),
+    rk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS r FROM top
+    )
+    SELECT round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+           round(regr_r2(ln(c), ln(r)), 4) AS fit_r2,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_head_tokens
+    FROM rk
+    """,
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 vocabulary head: regress
+    log(freq) on log(rank); natural corpora give slope ≈ −1, and a
+    large deviation (or low R²) flags template/boilerplate corruption —
+    a cheap corpus-health gate before training. The frequency agg is
+    combinable; the head extraction is TakeOrderedAndProject (never a
+    full vocab sort), so the rank window and regression run on exactly
+    1000 rows regardless of corpus size."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(normalized_text("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("token")).limit(1000)
+    rk = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token")))
+    )
+    lc, lr = F.log(F.col("c").cast("double")), F.log(F.col("r").cast("double"))
+    return rk.agg(
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lc, lr), 4).alias("fit_r2"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_head_tokens"),
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
@@ -5013,12 +5071,13 @@ _DRIVER_FIRST = [
     "seq_length_histogram",
     "scd2_user_state",
     "diversity_sample",
+    "vocab_zipf_fit",
     # refresh rotation: r1/r2-only rows, none re-checked in r3 —
     # oldest driver signal in the registry
     "q1_pricing_summary",
-    "top_customers_by_revenue",
     # past slot 50 from here — every remaining query holds a green row
     # from r1/r2 (refreshed in turn) or r3; first in line next round:
+    "top_customers_by_revenue",
     "dedup_embedding_cosine",
     "near_dup_clusters",
     "asof_join_events",

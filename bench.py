@@ -98,6 +98,7 @@ ROUND4B = [
     "seq_length_histogram",
     "scd2_user_state",
     "diversity_sample",
+    "vocab_zipf_fit",
 ]
 
 

@@ -490,3 +490,48 @@ def test_write_clustered_produces_skippable_files(spark, tmp_path):
         F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz")
     ).count()
     assert got == want
+
+
+def test_read_jsonl_robust_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed JSONL lines must surface in the corrupt column with
+    the raw text preserved — never dropped, never fatal."""
+    from pyspark.sql import types as T
+
+    from aws_ipl_data_pipeline_spark.sources.readers import read_jsonl_robust
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 3, "v": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = read_jsonl_robust(spark, str(p), schema).cache()
+    good = df.where(df["_corrupt_record"].isNull())
+    bad = df.where(df["_corrupt_record"].isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    rejects = bad.collect()
+    assert len(rejects) == 1
+    assert rejects[0]["_corrupt_record"] == "{this is not json}"
+    assert rejects[0]["id"] is None
+    df.unpersist()
+
+
+def test_read_parquet_evolving_merges_schema_generations(spark, tmp_path):
+    """Files written before a column existed must read as NULL for it;
+    the merged schema is the union across file footers."""
+    from aws_ipl_data_pipeline_spark.sources.readers import read_parquet_evolving
+
+    out = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(out)
+
+    df = read_parquet_evolving(spark, out)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5
