@@ -4938,6 +4938,92 @@ def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    revenue view is computed ONCE and consumed twice (per-supplier rows
+    + global max) — Catalyst's ReuseExchange shares the shuffle; the
+    global max is a 1-row broadcast, never a collect; supplier
+    broadcasts onto the k-row result."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("s_suppkey").cast("long"), "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines whose quantity is far below their part's
+    average. The correlated scalar subquery is decorrelated by hand
+    into a per-part aggregate joined back — the agg is combinable and
+    keyed on the SAME column as the main join, and the selective brand
+    filter SEMI-prunes the average computation to just the brand's
+    parts (at 100 TB you never average the other 96% of parts)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    # average only the parts that can survive the brand filter
+    li_branded = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    part_avg = li_branded.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("_thresh")
+    )
+    return (
+        li_branded.join(F.broadcast(part_avg), li.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Zipf fit over the vocabulary head (corpus-health diagnostic)
 # --------------------------------------------------------------------------
@@ -5045,11 +5131,12 @@ _DRIVER_FIRST = [
     "ann_batch_ivf_topk",
     "dedup_ngram_jaccard_prefix",
     # semantics touched this round (hot-bucket ceiling; null-safe rates
-    # join; empty-cluster centroid retention) — driver re-proof
+    # join) — driver re-proof; kmeans_lloyd (rows-only, also touched)
+    # yields its slot to an oracle-backed newcomer and re-proves via
+    # its numpy-parity pytest instead
     "dedup_minhash_lsh",
     "dedup_simhash",
     "source_mixing_temperature",
-    "kmeans_lloyd",
     # the IPL medallion core: keep continuously driver-green
     "ipl_bronze_fold",
     "ipl_standings",
@@ -5072,11 +5159,12 @@ _DRIVER_FIRST = [
     "scd2_user_state",
     "diversity_sample",
     "vocab_zipf_fit",
-    # refresh rotation: r1/r2-only rows, none re-checked in r3 —
-    # oldest driver signal in the registry
-    "q1_pricing_summary",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     # past slot 50 from here — every remaining query holds a green row
-    # from r1/r2 (refreshed in turn) or r3; first in line next round:
+    # from r1/r2 (refreshed in turn) or r3; first in line next round
+    # (the oldest r1/r2-only driver signal, then the r3 re-proofs):
+    "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_embedding_cosine",
     "near_dup_clusters",

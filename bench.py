@@ -99,6 +99,8 @@ ROUND4B = [
     "scd2_user_state",
     "diversity_sample",
     "vocab_zipf_fit",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
 ]
 
 
