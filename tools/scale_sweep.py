@@ -76,6 +76,31 @@ def build(spark, mult: int) -> str:
     return out
 
 
+def build_events(spark, mult: int, out: str) -> None:
+    """Replicate events with per-replica user_id/event_id offsets —
+    users never span replicas, so window/session workloads grow
+    linearly (more users, same per-user history)."""
+    if os.path.exists(os.path.join(out, "_OK_EVENTS")):
+        return
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    reps = spark.range(mult).select(F.col("id").cast("int").alias("rep"))
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep").cast("long") * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep").cast("long") * 100_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    open(os.path.join(out, "_OK_EVENTS"), "w").close()
+
+
 def main() -> None:
     global QUERIES
     ap = argparse.ArgumentParser()
@@ -92,6 +117,10 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
     for mult in scales:
         sf_dir = build(spark, mult)
+        if any(
+            n in ("sessionize_events", "scd2_user_state") for n in QUERIES
+        ):
+            build_events(spark, mult, sf_dir)
         for name in QUERIES:
             fn = REGISTRY[name].fn
             runs = []
