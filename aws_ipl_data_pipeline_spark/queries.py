@@ -4717,7 +4717,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the final group-by (all three are user_id-partitioned, so
     Catalyst reuses the exchange). The batch twin of ST6's streaming
     session window — same session boundaries, replayable on history."""
-    ev = t(spark, sf_dir, "events")
+    return _sessionize_frame(t(spark, sf_dir, "events"))
+
+
+def _sessionize_frame(ev: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
@@ -4851,7 +4854,10 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both windows and the change filter ride ONE user_id partitioning;
     open intervals surface valid_to_us = -1 (hash-stable vs SQL NULL
     coalescing)."""
-    ev = t(spark, sf_dir, "events")
+    return _scd2_frame(t(spark, sf_dir, "events"))
+
+
+def _scd2_frame(ev: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))

@@ -436,3 +436,94 @@ def test_segment_dedup_identity_without_duplicates(token_lists):
     for i, text in rows:
         assert out[i]["text_kept"] == text
         assert out[i]["n_segments_kept"] == out[i]["n_segments"]
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / SCD2 invariants over randomized event logs
+# ---------------------------------------------------------------------------
+
+GAP_US = 14_400_000_000  # sessionize_events' 4h horizon, microseconds
+
+
+@st.composite
+def event_logs(draw):
+    """Random (user_id, ts-offset-seconds, event_type, value) logs with
+    gaps straddling the 4h session horizon."""
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for i in range(n):
+        user = draw(st.integers(min_value=1, max_value=4))
+        # offsets up to ~3 days, mixing sub-horizon and super-horizon gaps
+        off = draw(st.integers(min_value=0, max_value=260_000))
+        ety = draw(st.sampled_from(["click", "view", "purchase"]))
+        val = draw(st.integers(min_value=0, max_value=100))
+        rows.append((i + 1, off, user, ety, float(val)))
+    return rows
+
+
+def _events_df(spark, rows):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    return spark.createDataFrame(
+        [
+            (eid, base + timedelta(seconds=off), u, ety, val, "{}")
+            for eid, off, u, ety, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_logs())
+def test_sessionize_invariants(rows):
+    """Sessions partition each user's events exactly; consecutive
+    sessions of a user are separated by MORE than the horizon; events
+    inside one session never straddle a super-horizon gap."""
+    spark = _get_spark()
+    from aws_ipl_data_pipeline_spark.queries import _sessionize_frame
+
+    ev = _events_df(spark, rows)
+    out = _sessionize_frame(ev).collect()
+    per_user_events = {}
+    for eid, off, u, ety, val in rows:
+        per_user_events.setdefault(u, 0)
+        per_user_events[u] += 1
+    got_counts = {}
+    for r in out:
+        got_counts[r["user_id"]] = got_counts.get(r["user_id"], 0) + r["n_events"]
+        assert r["start_us"] <= r["end_us"]
+        assert r["end_us"] - r["start_us"] <= 260_000 * 1_000_000
+    assert got_counts == per_user_events  # partition: every event in one session
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["session_seq"])):
+        prev = by_user.get(r["user_id"])
+        if prev is not None:
+            assert r["start_us"] - prev > GAP_US  # sessions truly separated
+        by_user[r["user_id"]] = r["end_us"]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_logs())
+def test_scd2_intervals_tile(rows):
+    """SCD2 output: per user, intervals are ordered, non-overlapping,
+    each closes exactly where the next opens, exactly one open
+    (is_current) interval, and state always differs between adjacent
+    intervals (no uncollapsed runs)."""
+    spark = _get_spark()
+    from aws_ipl_data_pipeline_spark.queries import _scd2_frame
+
+    ev = _events_df(spark, rows)
+    out = _scd2_frame(ev).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ivals in by_user.items():
+        ivals.sort(key=lambda r: r["valid_from_us"])
+        opens = [r for r in ivals if r["is_current"] == 1]
+        assert len(opens) == 1 and opens[0] is ivals[-1]
+        for a, b in zip(ivals, ivals[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # tiling, no gaps
+            assert a["state"] != b["state"]  # runs collapsed
+        assert ivals[-1]["valid_to_us"] == -1
