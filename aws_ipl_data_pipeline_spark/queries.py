@@ -5030,6 +5030,75 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_novelty",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ),
+    d2 AS (SELECT doc_id, tk FROM d WHERE len(tk) >= 3),
+    tg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      FROM d2
+    ),
+    dg AS (SELECT DISTINCT doc_id, g FROM tg),
+    fo AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_trigrams,
+           round(AVG(CASE WHEN f.first_doc = d.doc_id
+                          THEN 1.0 ELSE 0.0 END), 4) AS novelty
+    FROM dg d JOIN fo f USING (g)
+    GROUP BY d.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's DISTINCT
+    trigrams whose corpus-wide first occurrence (min doc_id) is this
+    doc — ≈1 for genuinely new text, →0 for remixes/boilerplate. The
+    incremental-diversity counterpart of decontamination's overlap
+    score. Plan: trigram explode → per-doc distinct (one doc-grain
+    agg), first-occurrence via a combinable MIN agg on the trigram key,
+    joined back on that same key — two bounded shuffles, no windows
+    over the corpus, candidate-free (unlike dedup, every row joins to
+    exactly one first_doc row)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split(normalized_text("text"), " ")
+    d2 = docs.select("doc_id", tk.alias("tk")).where(F.size("tk") >= 3)
+    tg = d2.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tk", i + 1),
+                    F.element_at("tk", i + 2),
+                    F.element_at("tk", i + 3),
+                ),
+            )
+        ).alias("g"),
+    )
+    dg = tg.dropDuplicates(["doc_id", "g"])
+    fo = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        dg.join(fo, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_trigrams"),
+            F.round(
+                F.avg(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("novelty"),
+        )
+        .select(F.col("doc_id").cast("long"), "n_distinct_trigrams", "novelty")
+    )
+
+
 # --------------------------------------------------------------------------
 # Zipf fit over the vocabulary head (corpus-health diagnostic)
 # --------------------------------------------------------------------------
@@ -5167,9 +5236,10 @@ _DRIVER_FIRST = [
     "vocab_zipf_fit",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    # past slot 50 from here — every remaining query holds a green row
-    # from r1/r2 (refreshed in turn) or r3; first in line next round
-    # (the oldest r1/r2-only driver signal, then the r3 re-proofs):
+    # past slot 50 from here — first in line for r5: the one registered
+    # query with no driver row yet (added after the window filled), then
+    # the oldest r1/r2-only driver signal, then the r3 re-proofs:
+    "ngram_novelty",
     "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_embedding_cosine",

@@ -101,6 +101,7 @@ ROUND4B = [
     "vocab_zipf_fit",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
+    "ngram_novelty",
 ]
 
 
