@@ -1001,3 +1001,93 @@ def shingle_jaccard_pairs_prefix(
             F.round("jaccard", 4).alias("jaccard"),
         )
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Exact substring-level dedup at stride-1 (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    token granularity): any k-token window that occurs more than once
+    corpus-wide keeps only its FIRST occurrence (lowest (doc, start));
+    every token covered by a later occurrence is excised. Overlapping
+    duplicate hits merge naturally because removal is token-coverage,
+    not span bookkeeping. Unlike ``segment_dedup`` (fixed tiles,
+    alignment-sensitive), stride-1 windows catch repeated passages at
+    ANY offset — the op that removes licensing boilerplate pasted
+    mid-document.
+
+    Plan shape, in corpus passes: (1) window explode (map-only, ~one
+    row per token), (2) one row_number window partitioned by the md5
+    window digest (uniform key — no skew; dup ranking is a streaming
+    pass, never pairwise), (3) per-doc removal-position agg (combinable
+    flatten+distinct), (4) one doc-key join of those removal sets back
+    to the docs (skinny: only docs with removals have a row), (5)
+    map-only positional filter + reassembly. The digest is md5, not
+    xxhash64, because collisions here DELETE content (the 128-bit
+    discipline of segment_dedup applies).
+
+    Caveat (shared with the original): excision joins the text on
+    either side of a removed span, which can create NEW k-windows
+    across the seam; one pass removes all ORIGINAL duplicates, and the
+    first occurrence of every window survives verbatim. Docs shorter
+    than k tokens emit no windows and pass through untouched.
+
+    Returns (id, text_kept, n_tokens, n_tokens_removed, n_dup_windows).
+    """
+    tk = F.split(normalized_text(text_col), " ")
+    base = docs.select(F.col(id_col).alias("_id"), tk.alias("_tk")).withColumn(
+        "_n", F.size("_tk")
+    )
+    windows = (
+        base.where(F.col("_n") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - k),
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("_tk", s + 1, k))
+                        ).alias("dig"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("_id", F.col("w.s").alias("s"), F.col("w.dig").alias("dig"))
+    )
+    rk = windows.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("dig").orderBy("_id", "s")),
+    )
+    removals = (
+        rk.where(F.col("_rn") > 1)
+        .groupBy("_id")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("s"), F.col("s") + k - 1))
+                )
+            ).alias("_rem"),
+            F.count("*").alias("_n_dup_windows"),
+        )
+    )
+    joined = base.join(removals, "_id", "left").select(
+        "_id",
+        "_tk",
+        "_n",
+        F.coalesce("_rem", F.array().cast("array<int>")).alias("_rem"),
+        F.coalesce("_n_dup_windows", F.lit(0)).alias("_n_dup_windows"),
+    )
+    kept = F.filter("_tk", lambda x, i: ~F.array_contains("_rem", i.cast("int")))
+    return joined.select(
+        F.col("_id").cast("long").alias(id_col),
+        F.concat_ws(" ", kept).alias("text_kept"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.size("_rem").cast("long").alias("n_tokens_removed"),
+        F.col("_n_dup_windows").cast("long").alias("n_dup_windows"),
+    )

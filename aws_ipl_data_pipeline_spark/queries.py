@@ -5099,6 +5099,64 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_substring",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+    ),
+    base AS (SELECT doc_id, tk, len(tk) AS n FROM d),
+    w AS (
+      SELECT doc_id, unnest(range(0, n - 8 + 1)) AS s, tk
+      FROM base WHERE n >= 8
+    ),
+    wd AS (
+      SELECT doc_id, s, array_to_string(tk[s+1 : s+8], ' ') AS wtext FROM w
+    ),
+    rk AS (
+      SELECT doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY wtext ORDER BY doc_id, s) AS rn
+      FROM wd
+    ),
+    dup AS (SELECT doc_id, s FROM rk WHERE rn > 1),
+    rem AS (SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS p FROM dup),
+    toks AS (
+      SELECT doc_id, unnest(tk) AS tok,
+             generate_subscripts(tk, 1) - 1 AS p
+      FROM base
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.p = t.p
+      WHERE r.p IS NULL
+    ),
+    outt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           coalesce(o.text_kept, '') AS text_kept,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(ra.n_removed, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(coalesce(da.n_dup, 0) AS BIGINT) AS n_dup_windows
+    FROM base b
+    LEFT JOIN outt o USING (doc_id)
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_removed FROM rem GROUP BY doc_id)
+      ra USING (doc_id)
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_dup FROM dup GROUP BY doc_id)
+      da USING (doc_id)
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level (stride-1 window) dedup — see
+    operators/dedup.substring_dedup. k=8 on the synthetic corpus so the
+    driver check exercises real excisions (1267 duplicate windows at
+    sf0.001); production k≈50 per Lee et al."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(t(spark, sf_dir, "documents"), k=8)
+
+
 # --------------------------------------------------------------------------
 # Zipf fit over the vocabulary head (corpus-health diagnostic)
 # --------------------------------------------------------------------------
@@ -5236,10 +5294,11 @@ _DRIVER_FIRST = [
     "vocab_zipf_fit",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    # past slot 50 from here — first in line for r5: the one registered
-    # query with no driver row yet (added after the window filled), then
-    # the oldest r1/r2-only driver signal, then the r3 re-proofs:
+    # past slot 50 from here — first in line for r5: the queries with
+    # no driver row yet (added after the window filled), then the
+    # oldest r1/r2-only driver signal, then the r3 re-proofs:
     "ngram_novelty",
+    "dedup_substring",
     "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_embedding_cosine",

@@ -102,6 +102,7 @@ ROUND4B = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "ngram_novelty",
+    "dedup_substring",
 ]
 
 

@@ -970,3 +970,66 @@ def test_prefix_filtered_jaccard_equals_plain(spark):
     )
     assert pref == plain
     assert len(pref) > 0  # the fixture contains near-dups; non-vacuous
+
+
+def test_substring_dedup_first_wins_any_alignment(spark):
+    """A passage pasted mid-document at an arbitrary offset must be
+    excised from the LATER doc only; the first occurrence and all
+    unique text survive verbatim."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import substring_dedup
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{passage} unique one tail"),
+            # same passage shifted by a 3-token prefix: tile-aligned
+            # segment dedup would MISS this; stride-1 must catch it
+            (2, f"lead in words {passage} and more unique text"),
+            (3, "completely unrelated content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, k=8).collect()}
+    assert out[1]["text_kept"] == f"{passage} unique one tail"
+    assert out[1]["n_dup_windows"] == 0
+    assert passage not in out[2]["text_kept"]
+    assert "lead in words" in out[2]["text_kept"]
+    assert "unique text" in out[2]["text_kept"]
+    assert out[2]["n_tokens_removed"] == 8
+    assert out[3]["n_dup_windows"] == 0
+
+
+def test_substring_dedup_exact_duplicate_doc_fully_excised(spark):
+    """An exact duplicate document loses every token; docs shorter
+    than k pass through untouched."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import substring_dedup
+
+    body = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, "short doc only")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, k=8).collect()}
+    assert out[1]["text_kept"] == body
+    assert out[2]["text_kept"] == ""
+    assert out[2]["n_tokens_removed"] == 20
+    assert out[3]["text_kept"] == "short doc only"  # n < k: no windows
+    assert out[3]["n_dup_windows"] == 0
+
+
+def test_substring_dedup_overlapping_hits_merge(spark):
+    """Two overlapping duplicate windows must merge into one excised
+    span (coverage, not double-counted span bookkeeping)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import substring_dedup
+
+    # doc2 repeats a 9-token run from doc1 -> two overlapping dup
+    # 8-windows covering 9 distinct positions
+    run = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [(1, f"{run} x y z"), (2, f"p q {run} r s")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, k=8).collect()}
+    assert out[2]["n_dup_windows"] == 2
+    assert out[2]["n_tokens_removed"] == 9  # merged coverage, not 16
+    assert out[2]["text_kept"] == "p q r s"
