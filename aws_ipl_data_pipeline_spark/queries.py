@@ -5157,6 +5157,74 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(t(spark, sf_dir, "documents"), k=8)
 
 
+@register(
+    "q21_sole_blame_supplier",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the synthetic lineitem has no
+    commit/receipt dates, so 'late' becomes 'returned'): suppliers
+    solely responsible for a problem in multi-supplier orders — the
+    classic correlated EXISTS + NOT EXISTS pair with a NON-equi
+    correlation (other-supplier). Both subqueries compile to hash
+    semi/anti joins on the order key carrying the suppkey inequality as
+    a residual condition — never a per-row subquery or nested loop."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    ).alias("l2")
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("l3_orderkey"),
+            F.col("l_suppkey").alias("l3_suppkey"),
+        )
+        .alias("l3")
+    )
+    base = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Zipf fit over the vocabulary head (corpus-health diagnostic)
 # --------------------------------------------------------------------------
@@ -5299,6 +5367,7 @@ _DRIVER_FIRST = [
     # oldest r1/r2-only driver signal, then the r3 re-proofs:
     "ngram_novelty",
     "dedup_substring",
+    "q21_sole_blame_supplier",
     "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_embedding_cosine",

@@ -103,6 +103,7 @@ ROUND4B = [
     "q17_small_quantity_revenue",
     "ngram_novelty",
     "dedup_substring",
+    "q21_sole_blame_supplier",
 ]
 
 

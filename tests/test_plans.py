@@ -443,3 +443,15 @@ def test_diversity_sample_map_side_bucketing(spark):
     assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
     assert "EvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_q21_non_equi_semi_anti_hash_joins(spark):
+    """Q21's correlated EXISTS/NOT EXISTS with the other-supplier
+    inequality must compile to hash semi/anti joins carrying the
+    inequality as a residual join condition — never a nested loop over
+    the fact side."""
+    p = formatted_plan(spark, "q21_sole_blame_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert _nodes(p, "BroadcastNestedLoopJoin") == 0
