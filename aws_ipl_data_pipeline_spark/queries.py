@@ -5057,11 +5057,14 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams whose corpus-wide first occurrence (min doc_id) is this
     doc — ≈1 for genuinely new text, →0 for remixes/boilerplate. The
     incremental-diversity counterpart of decontamination's overlap
-    score. Plan: trigram explode → per-doc distinct (one doc-grain
-    agg), first-occurrence via a combinable MIN agg on the trigram key,
-    joined back on that same key — two bounded shuffles, no windows
-    over the corpus, candidate-free (unlike dedup, every row joins to
-    exactly one first_doc row)."""
+    score. Plan: trigram explode hashed to a 64-bit key IMMEDIATELY
+    (the engine's shuffled-keys-are-fixed-width-hashes rule — the
+    string-keyed first cut measured 4.3x time on 10x data in the scale
+    sweep; hashed keys restored linearity), per-doc distinct, then
+    first-occurrence as a MIN window over the trigram-hash partitioning
+    (no join-back), then the per-doc rollup. Three skinny shuffles, no
+    corpus-sized joins; a 64-bit collision only perturbs one doc's
+    novelty ratio (statistic-class key, not a deletion gate)."""
     from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
 
     docs = t(spark, sf_dir, "documents")
@@ -5072,19 +5075,21 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("tk") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("tk", i + 1),
-                    F.element_at("tk", i + 2),
-                    F.element_at("tk", i + 3),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("tk", i + 1),
+                        F.element_at("tk", i + 2),
+                        F.element_at("tk", i + 3),
+                    )
                 ),
             )
-        ).alias("g"),
+        ).alias("gh"),
     )
-    dg = tg.dropDuplicates(["doc_id", "g"])
-    fo = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    dg = tg.dropDuplicates(["doc_id", "gh"])
+    first_doc = F.min("doc_id").over(Window.partitionBy("gh"))
     return (
-        dg.join(fo, "g")
+        dg.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_distinct_trigrams"),
