@@ -235,6 +235,15 @@ def cmd_prep(args) -> None:
             text_col=args.text_col,
             seg_tokens=args.chunk_tokens,
         )
+    elif args.action == "subdedup":
+        from aws_ipl_data_pipeline_spark.operators.dedup import substring_dedup
+
+        out = substring_dedup(
+            df,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            k=args.window_tokens,
+        )
     elif args.action == "domaincap":
         from aws_ipl_data_pipeline_spark.operators.sampling import domain_cap
 
@@ -352,7 +361,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument(
         "action",
-        choices=["chunk", "pack", "mix", "kmeans", "segdedup", "domaincap", "score"],
+        choices=[
+            "chunk",
+            "pack",
+            "mix",
+            "kmeans",
+            "segdedup",
+            "subdedup",
+            "domaincap",
+            "score",
+        ],
+    )
+    pr.add_argument(
+        "--window-tokens",
+        type=int,
+        default=50,
+        help="subdedup: duplicate-window length k (Lee et al. use 50)",
     )
     pr.add_argument(
         "--cap", type=int, default=1000, help="domaincap: max docs per domain"

@@ -282,3 +282,18 @@ def test_cli_prep_segdedup_domaincap_score(spark, tmp_path_factory):
     scored = spark.read.parquet(f"{base}/scored")
     assert scored.count() == n_docs
     assert {"score", "keep"} <= set(scored.columns)
+
+
+def test_cli_prep_subdedup(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("prep_sub"))
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    main(
+        [
+            "prep", "subdedup", "--path", docs, "--out", f"{base}/deduped",
+            "--window-tokens", "8",
+        ]
+    )
+    out = spark.read.parquet(f"{base}/deduped")
+    assert out.count() == spark.read.parquet(docs).count()  # doc-grain preserved
+    removed = out.agg({"n_tokens_removed": "sum"}).collect()[0][0]
+    assert removed > 0  # the synthetic corpus has real duplicate windows
