@@ -209,3 +209,31 @@ def write_clustered(
         else df.repartitionByRange(*cluster_by)
     )
     out.sortWithinPartitions(*cluster_by).write.mode(mode).parquet(path)
+
+
+def write_observed(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    count_nulls_in: list[str] | None = None,
+):
+    """Parquet write instrumented with Spark's Observation API: row
+    count and per-column null counts are collected ON THE WRITE PASS
+    itself (zero extra jobs — a separate .count() would re-run the
+    whole plan, doubling a 100 TB pipeline). Returns the metrics dict.
+
+    This is the ingest-ledger primitive: every pipeline write records
+    how many rows and how many nulls it shipped, so volume anomalies
+    (a feed going dark, a schema drift nulling a column) surface in the
+    write ledger instead of a downstream consumer."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in count_nulls_in or []:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+        )
+    obs = Observation()
+    df.observe(obs, *metrics).write.mode(mode).parquet(path)
+    return dict(obs.get)

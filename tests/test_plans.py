@@ -455,3 +455,33 @@ def test_q21_non_equi_semi_anti_hash_joins(spark):
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
     assert _nodes(p, "BroadcastNestedLoopJoin") == 0
+
+
+def test_join_strategy_hints_respected(spark):
+    """Join-strategy hints are part of the tuning surface: when a
+    dimension is too big to broadcast, SHUFFLE_HASH avoids the
+    sort-merge sort; MERGE forces it; BROADCAST overrides the size
+    estimate. Assert Catalyst honors each (the escape hatch the 100 TB
+    operator reaches for when statistics mislead the planner)."""
+    li = REGISTRY["q1_pricing_summary"]  # noqa: F841 — just for the spark fixture style
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(mode)
+
+    j_sh = lineitem.join(
+        orders.hint("shuffle_hash"), lineitem.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in plan_of(j_sh)
+    j_sm = lineitem.join(
+        orders.hint("merge"), lineitem.l_orderkey == orders.o_orderkey
+    )
+    assert "SortMergeJoin" in plan_of(j_sm)
+    j_b = lineitem.join(
+        orders.hint("broadcast"), lineitem.l_orderkey == orders.o_orderkey
+    )
+    assert "BroadcastHashJoin" in plan_of(j_b)

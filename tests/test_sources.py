@@ -535,3 +535,19 @@ def test_read_parquet_evolving_merges_schema_generations(spark, tmp_path):
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None
     assert rows[2]["score"] == 9.5
+
+
+def test_write_observed_collects_metrics_on_the_write_pass(spark, tmp_path):
+    """write_observed returns row and null counts gathered during the
+    write itself (Observation API) and the written data is intact."""
+    from aws_ipl_data_pipeline_spark.sources.writers import write_observed
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)],
+        "id long, v string",
+    )
+    out = str(tmp_path / "obs")
+    m = write_observed(df, out, count_nulls_in=["v"])
+    assert m["n_rows"] == 4
+    assert m["n_null_v"] == 2
+    assert spark.read.parquet(out).count() == 4
