@@ -1091,3 +1091,44 @@ def substring_dedup(
         F.size("_rem").cast("long").alias("n_tokens_removed"),
         F.col("_n_dup_windows").cast("long").alias("n_dup_windows"),
     )
+
+
+def corpus_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-over-snapshot corpus diff: classify every document id
+    as added / removed / changed / unchanged by comparing content
+    digests across the two snapshots (the audit companion to
+    ``sources/versioned.py`` time travel — what actually changed
+    between gold v=N and v=N+1).
+
+    One full-outer join on the id key, content equality on md5 digests
+    computed map-side — no text ever shuffles, and the join key is the
+    natural id, so at 100 TB this is one co-partitionable exchange per
+    side. Returns (id, status, old_digest, new_digest)."""
+    o = old_docs.select(
+        F.col(id_col).alias("_id"),
+        F.md5(normalized_text(text_col)).alias("old_digest"),
+    )
+    n = new_docs.select(
+        F.col(id_col).alias("_id"),
+        F.md5(normalized_text(text_col)).alias("new_digest"),
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, "_id", "full_outer")
+        .select(
+            F.col("_id").cast("long").alias(id_col),
+            status.alias("status"),
+            "old_digest",
+            "new_digest",
+        )
+    )

@@ -5230,6 +5230,60 @@ def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_snapshot_diff",
+    f"""
+    WITH old_snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN {_NORM_SQL} || ' prioredit'
+                  ELSE {_NORM_SQL} END AS text
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    o AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS old_digest FROM old_snap),
+    n AS (SELECT doc_id, md5({_NORM_SQL}) AS new_digest FROM documents),
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_digest, new_digest
+      FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+    )
+    SELECT CASE WHEN old_digest IS NULL THEN 'added'
+                WHEN new_digest IS NULL THEN 'removed'
+                WHEN old_digest <> new_digest THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY 1 ORDER BY status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/dedup.corpus_diff): the 'old' snapshot
+    is derived deterministically from the documents table (every 10th
+    doc absent — those surface as added; every 13th edited — changed)
+    so the driver hash-checks all four statuses. One id-keyed
+    full-outer join of map-side digests; text never shuffles."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        corpus_diff,
+        normalized_text,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(normalized_text("text"), F.lit(" prioredit")),
+        )
+        .otherwise(normalized_text("text"))
+        .alias("text"),
+    )
+    return (
+        corpus_diff(old, docs)
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("status")
+    )
+
+
 # --------------------------------------------------------------------------
 # Zipf fit over the vocabulary head (corpus-health diagnostic)
 # --------------------------------------------------------------------------
@@ -5373,6 +5427,7 @@ _DRIVER_FIRST = [
     "ngram_novelty",
     "dedup_substring",
     "q21_sole_blame_supplier",
+    "corpus_snapshot_diff",
     "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_embedding_cosine",

@@ -104,6 +104,7 @@ ROUND4B = [
     "ngram_novelty",
     "dedup_substring",
     "q21_sole_blame_supplier",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -1033,3 +1033,20 @@ def test_substring_dedup_overlapping_hits_merge(spark):
     assert out[2]["n_dup_windows"] == 2
     assert out[2]["n_tokens_removed"] == 9  # merged coverage, not 16
     assert out[2]["text_kept"] == "p q r s"
+
+
+def test_corpus_diff_classifies_all_statuses(spark):
+    from aws_ipl_data_pipeline_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "kept the same"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "kept  the   same"),  # whitespace-normalized: unchanged
+         (2, "has changed"),
+         (4, "brand new doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
