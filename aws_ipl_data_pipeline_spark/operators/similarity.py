@@ -381,3 +381,51 @@ def batch_ivf_topk(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Materialize the IVF index AS A PARTITIONED TABLE: assign cells
+    once and write ``partitionBy(cell)`` so each cell is its own
+    directory. Probing then becomes PARTITION PRUNING — the storage
+    layer skips non-probed cells entirely (directory listing, zero
+    bytes read), which is the 100 TB payoff of IVF: a 4-of-16-probe
+    query does 25% of the I/O with no runtime filtering at all.
+    Returns the centroids (persist them beside the index; they are the
+    index metadata)."""
+    centroids = select_centroids(emb, n_cells, id_col, vec_col, seed)
+    add_ivf_cell(emb, centroids, vec_col).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+    return centroids
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a materialized IVF index: rank cells by centroid dot
+    product driver-side (k×dim floats — index metadata, not data),
+    read ONLY those partitions (cell IN (...) prunes at the directory
+    level), brute-force the survivors."""
+    uq = _unit([float(x) for x in query_vec])
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: -sum(a * b for a, b in zip(uq, centroids[i])),
+    )
+    probes = order[: min(n_probe, len(order))]
+    candidates = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_id)

@@ -158,3 +158,35 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF index must prune at the PARTITION level:
+    the probe scan's plan carries a cell partition filter (zero rows
+    read from non-probed cells — directory skip, not runtime filter),
+    and probing every cell reproduces the exact brute-force ranking."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    centroids = write_ivf_index(emb, path, n_cells=8)
+
+    q = [float(x) for x in emb.first()["embedding"]]
+    probed = probe_ivf_index(spark, path, centroids, q, k=5, n_probe=2)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = probed._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:120]
+    probed.collect()  # runs
+
+    # full probe == exact scan (modulo the known n_probe recall knob)
+    full = probe_ivf_index(spark, path, centroids, q, k=5, n_probe=8)
+    exact = brute_force_topk(emb, q, k=5)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
