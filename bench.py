@@ -105,6 +105,7 @@ ROUND4B = [
     "dedup_substring",
     "q21_sole_blame_supplier",
     "corpus_snapshot_diff",
+    "q16_supplier_part_counts",
 ]
 
 
