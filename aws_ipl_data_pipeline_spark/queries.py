@@ -5333,6 +5333,42 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count-per-customer histogram. The priority
+    filter lives in the JOIN CONDITION (not WHERE) so zero-order
+    customers survive the left join and land in the c_count=0 bucket —
+    the classic outer-join-filter placement trap. Two-level agg: the
+    per-customer count rides the join's customer-key exchange; the
+    histogram is a k-row second agg."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy(F.col("c_count").cast("long").alias("c_count"))
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Zipf fit over the vocabulary head (corpus-health diagnostic)
 # --------------------------------------------------------------------------
@@ -5478,6 +5514,7 @@ _DRIVER_FIRST = [
     "q21_sole_blame_supplier",
     "corpus_snapshot_diff",
     "q16_supplier_part_counts",
+    "q13_customer_distribution",
     "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_embedding_cosine",

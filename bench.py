@@ -106,6 +106,7 @@ ROUND4B = [
     "q21_sole_blame_supplier",
     "corpus_snapshot_diff",
     "q16_supplier_part_counts",
+    "q13_customer_distribution",
 ]
 
 
