@@ -551,3 +551,30 @@ def test_write_observed_collects_metrics_on_the_write_pass(spark, tmp_path):
     assert m["n_rows"] == 4
     assert m["n_null_v"] == 2
     assert spark.read.parquet(out).count() == 4
+
+
+def test_versioned_snapshots_compose_with_corpus_diff(spark, tmp_path):
+    """Time travel + diff: corpus_diff over two committed versions of a
+    versioned table yields the audit ledger of what changed between
+    them — the gold-table change-review workflow."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import corpus_diff
+    from aws_ipl_data_pipeline_spark.sources.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt")
+    v1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    write_snapshot(v1, path)
+    v2 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta CHANGED"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    write_snapshot(v2, path)
+
+    old = read_snapshot(spark, path, version=1)
+    new = read_snapshot(spark, path)  # latest
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

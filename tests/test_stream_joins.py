@@ -157,3 +157,66 @@ def test_stream_stream_attribution_equals_batch(spark, tmp_path_factory):
     # apart) must NOT match
     pairs = sorted((r["view_id"], r["purchase_id"]) for r in streamed.collect())
     assert pairs == [(10, 900), (12, 902)]
+
+
+@pytest.mark.slow
+def test_enrichment_chains_into_windowed_agg(spark, tmp_path_factory):
+    """Operators compose inside ONE streaming query: stream-static
+    enrichment feeding a watermarked tumbling-window aggregation keyed
+    by the ENRICHED column — proving the broadcast join and the
+    stateful window run in the same micro-batch plan, equal to batch."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.streaming import (
+        enrich_stream_with_dim,
+        windowed_event_counts,
+    )
+
+    base = str(tmp_path_factory.mktemp("chain"))
+    src = f"{base}/src"
+    cols = ["event_id", "ts", "user_id", "value"]
+    rows = [
+        [(1, "2024-03-01 10:05:00", 100, 1.0), (2, "2024-03-01 10:20:00", 200, 2.0)],
+        [(3, "2024-03-01 11:10:00", 100, 4.0), (4, "2024-03-01 10:40:00", 200, 8.0)],
+    ]
+    for i, batch in enumerate(rows):
+        _write_jsonl(src, i, batch, cols)
+    dim = spark.createDataFrame(
+        [(100, "gold"), (200, "silver")], "user_id long, tier string"
+    )
+
+    def pipe(df):
+        enriched = enrich_stream_with_dim(df, dim, on="user_id").withColumn(
+            "event_type", F.col("tier")  # window agg keys on the enriched col
+        )
+        return windowed_event_counts(enriched, window="1 hour", watermark="2 hours")
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        pipe(stream)
+        .writeStream.format("memory")
+        .queryName("chained")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from datetime import datetime
+
+    batch_df = spark.createDataFrame(
+        [
+            (e, datetime.fromisoformat(ts), u, v)
+            for b in rows
+            for e, ts, u, v in b
+        ],
+        EV_SCHEMA,
+    )
+    batch = pipe(batch_df)
+    streamed = spark.table("chained").select(*batch.columns)
+    assert _canon(streamed) == _canon(batch)
+    tiers = {r["event_type"] for r in streamed.collect()}
+    assert tiers == {"gold", "silver"}  # the enriched column drove the agg key
