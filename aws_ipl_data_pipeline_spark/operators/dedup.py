@@ -116,6 +116,12 @@ def shingle_jaccard_pairs(
     # set-carrying must materialize wide arrays per doc (measured 3.5×
     # slower at sf0.1). With banding the candidates are few and the
     # trade flips — that's why the two operators verify differently.
+    # The bucket-array pair generation that sped up the LSH operators
+    # (collect ids per key, emit pairs map-side) was also prototyped
+    # here and measured SLOWER (2.20 s vs 1.70 s at sf0.1): posting
+    # lists are mostly 1-2 docs, so millions of tiny array groups lose
+    # to the equi-join's map-side combine. Keys with real fan-out are
+    # exactly the ones max_shingle_df drops, keeping the join regime.
     # the index joins on xxhash64(shingle), not the shingle string:
     # 8-byte fixed keys through the self-join shuffle instead of
     # variable ~20-40-byte strings (same accepted collision class as
