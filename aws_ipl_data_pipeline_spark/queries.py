@@ -5369,6 +5369,66 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "null_semantics_battery",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(bal) AS BIGINT) AS n_bal,
+           round(SUM(bal), 2) AS sum_bal,
+           round(AVG(bal), 4) AS avg_bal_skip_nulls,
+           round(AVG(coalesce(bal, 0)), 4) AS avg_bal_null_as_zero,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_distinct_seg,
+           CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_bal,
+           CAST(SUM(CASE WHEN seg IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_seg,
+           round(MAX(bal), 2) AS max_bal,
+           round(MIN(bal), 2) AS min_bal
+    FROM c GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL NULL-semantics surface, pinned against the oracle: COUNT(col)
+    vs COUNT(*), NULL-skipping SUM/AVG/MIN/MAX vs coalesce-to-zero
+    averaging (different answers by design), COUNT(DISTINCT) ignoring
+    NULL, and null-safe equality (eqNullSafe ≡ IS NOT DISTINCT FROM).
+    NULLs are derived deterministically (every 7th/5th key) because the
+    synthetic tables ship none. Deliberately NO ORDER BY on nullable
+    columns: Spark defaults NULLS FIRST where DuckDB defaults NULLS
+    LAST — engine-portable code always spells null ordering out."""
+    c = t(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_acctbal"))
+    seg = F.when(F.col("c_custkey") % 5 == 0, None).otherwise(F.col("c_mktsegment"))
+    return (
+        c.select("c_nationkey", bal.alias("bal"), seg.alias("seg"))
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("bal").cast("long").alias("n_bal"),
+            F.round(F.sum("bal"), 2).alias("sum_bal"),
+            F.round(F.avg("bal"), 4).alias("avg_bal_skip_nulls"),
+            F.round(F.avg(F.coalesce(F.col("bal"), F.lit(0))), 4).alias(
+                "avg_bal_null_as_zero"
+            ),
+            F.countDistinct("seg").cast("long").alias("n_distinct_seg"),
+            F.sum(F.col("bal").isNull().cast("long")).cast("long").alias("n_null_bal"),
+            F.sum(F.col("seg").eqNullSafe(F.lit(None)).cast("long"))
+            .cast("long")
+            .alias("n_null_seg"),
+            F.round(F.max("bal"), 2).alias("max_bal"),
+            F.round(F.min("bal"), 2).alias("min_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Zipf fit over the vocabulary head (corpus-health diagnostic)
 # --------------------------------------------------------------------------
@@ -5515,6 +5575,7 @@ _DRIVER_FIRST = [
     "corpus_snapshot_diff",
     "q16_supplier_part_counts",
     "q13_customer_distribution",
+    "null_semantics_battery",
     "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_embedding_cosine",

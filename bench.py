@@ -107,6 +107,7 @@ ROUND4B = [
     "corpus_snapshot_diff",
     "q16_supplier_part_counts",
     "q13_customer_distribution",
+    "null_semantics_battery",
 ]
 
 
