@@ -4554,25 +4554,25 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: orders whose total quantity exceeds a threshold —
-    the IN-subquery becomes an aggregate + LEFT SEMI join, so the big
-    orders list is computed once, map-side combined, and semi-joined
-    before the customer join ever sees a row."""
+    """TPC-H Q18: orders whose total quantity exceeds a threshold. The
+    IN-subquery's aggregate IS the output's sum_qty (the subquery and
+    the outer GROUP BY aggregate the same grain), so lineitem is
+    scanned ONCE: one map-side-combined per-order agg, the threshold
+    filter, then joins to orders and the broadcast customer dim — the
+    naive two-scan formulation (semi-join then re-join + re-aggregate)
+    does double the fact I/O for the identical result."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("tot_qty"))
-        .where(F.col("tot_qty") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum("l_quantity").alias("_tot"))
+        .where(F.col("_tot") > 250)  # filter on the EXACT sum, round after
+        .select("l_orderkey", F.round("_tot", 2).alias("sum_qty"))
     )
     return (
-        o.join(big, o.o_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        o.join(big, o.o_orderkey == F.col("l_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_name",
             F.col("c_custkey").cast("long"),

@@ -385,8 +385,12 @@ def test_exists_shapes_compile_to_semi_anti_joins(spark):
     p4 = formatted_plan(spark, "q4_priority_exists")
     assert "LeftSemi" in p4
     assert "CartesianProduct" not in p4
+    # q18's IN-subquery aggregate doubles as the output aggregate, so
+    # the rewrite is stronger than a semi join: ONE lineitem scan (the
+    # per-order agg), threshold filter, inner join — assert single scan
     p18 = formatted_plan(spark, "q18_large_volume_customer")
-    assert "LeftSemi" in p18
+    li_scans = len(re.findall(r"Location:[^\n]*lineitem\.parquet", p18))
+    assert li_scans == 1, f"q18 should scan lineitem once, saw {li_scans}"
     assert "CartesianProduct" not in p18
     p22 = formatted_plan(spark, "q22_dormant_customers")
     assert "LeftAnti" in p22
