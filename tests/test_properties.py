@@ -527,3 +527,65 @@ def test_scd2_intervals_tile(rows):
             assert a["valid_to_us"] == b["valid_from_us"]  # tiling, no gaps
             assert a["state"] != b["state"]  # runs collapsed
         assert ivals[-1]["valid_to_us"] == -1
+
+
+@st.composite
+def small_corpora(draw):
+    """Corpora of short docs over a tiny vocabulary — collisions and
+    repeated runs are likely, exercising the dedup paths hard."""
+    n_docs = draw(st.integers(min_value=2, max_value=8))
+    docs = []
+    for d in range(n_docs):
+        n_tok = draw(st.integers(min_value=0, max_value=30))
+        toks = [draw(st.sampled_from("a b c d e".split())) for _ in range(n_tok)]
+        docs.append((d + 1, " ".join(toks)))
+    return docs
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(small_corpora())
+def test_substring_dedup_matches_python_model(docs):
+    """Exact model-based check: a 15-line pure-Python mirror of the
+    stride-1 first-occurrence-wins semantics (including WITHIN-doc
+    repeats — a doc's own later duplicate windows are excised, the Lee
+    et al. self-repetition case hypothesis surfaced) must produce the
+    identical kept text and removal counts."""
+    spark = _get_spark()
+    import re as _re
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import substring_dedup
+
+    k = 5
+    toks = {}
+    for d, text in docs:
+        norm = _re.sub(r"\s+", " ", text.lower().strip())
+        toks[d] = norm.split(" ")  # '' -> [''] — one empty token, as shipped
+
+    seen = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for s in range(len(tk) - k + 1):
+            seen.setdefault(" ".join(tk[s : s + k]), (d, s))
+    expected = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        removed = set()
+        n_dup = 0
+        for s in range(len(tk) - k + 1):
+            if seen[" ".join(tk[s : s + k])] != (d, s):
+                removed.update(range(s, s + k))
+                n_dup += 1
+        kept = " ".join(t for i, t in enumerate(tk) if i not in removed)
+        expected[d] = (kept, len(tk), len(removed), n_dup)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["text_kept"],
+            r["n_tokens"],
+            r["n_tokens_removed"],
+            r["n_dup_windows"],
+        )
+        for r in substring_dedup(df, k=k).collect()
+    }
+    assert got == expected
