@@ -1035,7 +1035,11 @@ def substring_dedup(
     either side of a removed span, which can create NEW k-windows
     across the seam; one pass removes all ORIGINAL duplicates, and the
     first occurrence of every window survives verbatim. Docs shorter
-    than k tokens emit no windows and pass through untouched.
+    than k tokens emit no windows and pass through untouched. The
+    first-occurrence order is global over (doc, start), so a document's
+    OWN later repetitions of a window are excised too ("a"×2k keeps
+    only the first k+? tokens) — the within-doc self-repetition case
+    Lee et al. also remove; the model-based hypothesis test pins this.
 
     Returns (id, text_kept, n_tokens, n_tokens_removed, n_dup_windows).
     """
