@@ -4962,11 +4962,16 @@ def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
-    revenue view is computed ONCE and consumed twice (per-supplier rows
-    + global max) — Catalyst's ReuseExchange shares the shuffle; the
-    global max is a 1-row broadcast, never a collect; supplier
-    broadcasts onto the k-row result."""
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue,
+    ties kept. The spec defines the revenue view with CREATE VIEW and
+    reads it twice (per-supplier rows + global max); relying on
+    Catalyst's ReuseExchange for that sharing does NOT fire here (the
+    two consumers diverge right above the agg — verified in the
+    executed plan), which would re-scan the fact table. So the k-row
+    supplier-revenue frame is explicitly materialized once
+    (localCheckpoint — the view-materialization the spec implies):
+    ONE lineitem scan, then the global max is a 1-row broadcast (never
+    a collect) and supplier broadcasts onto the k-row result."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     rev = (
@@ -4980,6 +4985,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_rev")
         )
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_rev").alias("_mx"))
     return (
