@@ -1196,10 +1196,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard (the oracle is the exact jaccard; banding at
     16×4 over 64 hashes has ≥1-4e-8 recall at j≥0.9, so candidate
     verification converges to the exact result on this corpus) but cost
-    scales with LSH candidates, not with shingle co-occurrence."""
+    scales with LSH candidates, not with shingle co-occurrence. The
+    hot-bucket ceiling is OFF for the same reason as dedup_simhash:
+    this query's contract is the exact spec at every scale, and the
+    ceiling is a recall knob (production default 256 stays on the
+    operator, pinned by the degenerate-corpus test)."""
     from aws_ipl_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.8, max_bucket_size=None
+    )
 
 
 @register(
@@ -1379,10 +1385,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     any pair within Hamming ≤ blocks-1 shares at least one of the 4
     16-bit blocks, so banding loses nothing. Hash family is md5-derived
     (first 16 hex chars of md5('42:' || token)) on BOTH sides, which
-    is what makes this hash-matchable rather than rows-only."""
+    is what makes this hash-matchable rather than rows-only.
+
+    The hot-cell ceiling is OFF here (max_bucket_size=None) because the
+    ceiling is a recall knob and this query's contract is the exact
+    all-pairs spec at EVERY scale: a full-registry sf0.1 sweep caught
+    the default (256) clipping 5 pairs once a 16-bit block cell reached
+    274 members — cells grow linearly with this corpus, so any fixed
+    cap eventually diverges from an uncapped oracle. The production
+    default stays 256 (skew posture), pinned by the degenerate-corpus
+    unit test; exactness-vs-boundedness is the caller's explicit
+    choice."""
     from aws_ipl_data_pipeline_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(t(spark, sf_dir, "documents"))
+    return simhash_pairs(t(spark, sf_dir, "documents"), max_bucket_size=None)
 
 
 _EMB_EXPAND = """
