@@ -244,6 +244,15 @@ def cmd_prep(args) -> None:
             text_col=args.text_col,
             k=args.window_tokens,
         )
+    elif args.action == "diff":
+        from aws_ipl_data_pipeline_spark.operators.dedup import corpus_diff
+
+        if not args.old_path:
+            sys.exit("prep diff requires --old-path (the prior snapshot)")
+        old = spark.read.parquet(args.old_path)
+        out = corpus_diff(
+            old, df, id_col=args.id_col, text_col=args.text_col
+        )
     elif args.action == "domaincap":
         from aws_ipl_data_pipeline_spark.operators.sampling import domain_cap
 
@@ -370,6 +379,7 @@ def build_parser() -> argparse.ArgumentParser:
             "subdedup",
             "domaincap",
             "score",
+            "diff",
         ],
     )
     pr.add_argument(
@@ -377,6 +387,11 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=50,
         help="subdedup: duplicate-window length k (Lee et al. use 50)",
+    )
+    pr.add_argument(
+        "--old-path",
+        default=None,
+        help="diff: the prior snapshot's parquet table (--path is the new one)",
     )
     pr.add_argument(
         "--cap", type=int, default=1000, help="domaincap: max docs per domain"

@@ -297,3 +297,24 @@ def test_cli_prep_subdedup(spark, tmp_path_factory):
     assert out.count() == spark.read.parquet(docs).count()  # doc-grain preserved
     removed = out.agg({"n_tokens_removed": "sum"}).collect()[0][0]
     assert removed > 0  # the synthetic corpus has real duplicate windows
+
+
+def test_cli_prep_diff(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("prep_diff"))
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "old text")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "new text"), (3, "added doc")],
+        "doc_id long, text string",
+    )
+    old.write.parquet(f"{base}/old")
+    new.write.parquet(f"{base}/new")
+    main(
+        [
+            "prep", "diff", "--path", f"{base}/new",
+            "--old-path", f"{base}/old", "--out", f"{base}/out",
+        ]
+    )
+    got = {r["doc_id"]: r["status"] for r in spark.read.parquet(f"{base}/out").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "added"}
