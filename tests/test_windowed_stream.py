@@ -116,3 +116,52 @@ def test_dedup_within_watermark_stream(spark, tmp_path_factory):
     got = spark.sql("SELECT event_id FROM dedup_stream").collect()
     ids = sorted(r["event_id"] for r in got)
     assert ids == [1, 2, 3]  # each key exactly once despite redelivery
+
+
+@pytest.mark.slow
+def test_append_mode_no_resurrection_after_eviction(spark, tmp_path_factory):
+    """Watermark guarantees, stated precisely: eviction is the point of
+    no return. While a window's state is still live a late row MAY be
+    absorbed (watermark is a one-sided bound), but once the watermark
+    passed the window's end and it emitted+evicted, a later row for it
+    is FILTERED — never resurrected as a duplicate append — and a
+    still-open window emits nothing at stream end. File timeline (one
+    file per micro-batch): f0 raises the watermark to 12:10; f1 lets
+    the 10:00/11:00 windows emit and evict; f2 then delivers a
+    too-late 10:20 row (filtered) and a 13:20 row (held open)."""
+    base = str(tmp_path_factory.mktemp("latedrop"))
+    src = f"{base}/src"
+    _write(src, 0, [
+        (1, "2024-03-01 10:10:00", "click", 1.0),
+        (2, "2024-03-01 11:40:00", "click", 2.0),
+        (3, "2024-03-01 13:10:00", "click", 4.0),
+    ])
+    _write(src, 1, [
+        (4, "2024-03-01 13:15:00", "click", 32.0),  # filler: triggers eviction
+    ])
+    _write(src, 2, [
+        (5, "2024-03-01 10:20:00", "click", 8.0),   # after eviction: filtered
+        (6, "2024-03-01 13:20:00", "click", 16.0),  # open window: held
+    ])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("append_windows")
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = [
+        (r["start"].hour, r["n"], r["total_value"])
+        for r in spark.table("append_windows").collect()
+    ]
+    assert sorted(got) == [(10, 1, 1.0), (11, 1, 2.0)], got
+    # exactly one emission per closed window (no resurrection), the
+    # late row 5 is absent, and the open 13:00 window never emitted
