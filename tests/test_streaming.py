@@ -239,3 +239,42 @@ def test_segment_dedup_stream_equals_batch(spark, tmp_path_factory):
     run_segment_dedup_ingest(spark, **kwargs).awaitTermination(300)
     n = spark.read.parquet(f"{base}/out").count()
     assert n == 4
+
+
+@pytest.mark.slow
+def test_file_sink_manifest_excludes_orphan_files(spark, tmp_path_factory):
+    """The streaming parquet sink's exactly-once story: committed
+    batches are listed in _spark_metadata, and a read of the output
+    path trusts THAT manifest — an orphan parquet file (a crashed
+    task's leftover, simulated here by hand) is invisible to readers
+    instead of double-counting."""
+    import glob
+    import shutil
+
+    base = str(tmp_path_factory.mktemp("filesink"))
+    src, out = f"{base}/src", f"{base}/out"
+    os.makedirs(src)
+    with open(f"{src}/f0.json", "w") as f:
+        f.write('{"event_id": 1, "v": 10.0}\n{"event_id": 2, "v": 20.0}\n')
+
+    stream = spark.readStream.schema("event_id long, v double").json(src)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert os.path.isdir(f"{out}/_spark_metadata")  # the manifest exists
+
+    committed = spark.read.parquet(out)
+    assert committed.count() == 2
+
+    # simulate a crashed task's orphan: copy a committed file under a
+    # new name NOT present in the manifest
+    a_file = glob.glob(f"{out}/part-*.parquet")[0]
+    shutil.copy(a_file, f"{out}/part-99999-orphan.parquet")
+
+    again = spark.read.parquet(out)
+    assert again.count() == 2, "orphan file must be invisible to readers"
