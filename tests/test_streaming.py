@@ -278,3 +278,68 @@ def test_file_sink_manifest_excludes_orphan_files(spark, tmp_path_factory):
 
     again = spark.read.parquet(out)
     assert again.count() == 2, "orphan file must be invisible to readers"
+
+
+@pytest.mark.slow
+def test_restart_from_checkpoint_is_exactly_once_per_file(
+    spark, tmp_path_factory
+):
+    """Recovery guarantee the single-pass tests don't cover: after the
+    pipeline drains and STOPS, a restart from the same checkpoint must
+    process ONLY files that arrived in between (the source's file log
+    is the exactly-once ledger) and converge to the same silver/gold a
+    batch backfill over everything produces."""
+    base = str(tmp_path_factory.mktemp("restart"))
+    raw_dir = f"{base}/raw"
+    meta, plyr = match_meta(spark), players(spark)
+
+    by_match: dict[str, list] = {}
+    for row in RAW_ROWS:
+        by_match.setdefault(row[0], []).append(row)
+    matches = sorted(by_match)
+    first, rest = matches[0], matches[1:]
+
+    # run 1: only the first match's file exists
+    _write_csv(f"{raw_dir}/{first}/{first}-1.csv", by_match[first])
+    kwargs = dict(
+        raw_dir=f"{raw_dir}/*/",
+        silver_path=f"{base}/silver",
+        gold_dir=f"{base}/gold",
+        meta_df=meta,
+        players_df=plyr,
+        checkpoint_dir=f"{base}/ckpt",
+        bronze_path=f"{base}/bronze",
+        available_now=True,
+    )
+    q1 = run_incremental_pipeline(spark, **kwargs)
+    q1.awaitTermination(300)
+    batch_all = to_silver(to_bronze(raw_deliveries(spark)), meta, plyr)
+    n_after_run1 = spark.read.parquet(f"{base}/silver").count()
+    assert n_after_run1 == batch_all.where(f"match = '{first}'").count()
+
+    # between runs: the remaining matches arrive
+    for m in rest:
+        _write_csv(f"{raw_dir}/{m}/{m}-1.csv", by_match[m])
+
+    # run 2: same checkpoint — must pick up ONLY the new files and
+    # leave match 1's partition byte-stable (no reprocessing)
+    import glob
+
+    sig_before = sorted(
+        (p, os.path.getmtime(p))
+        for p in glob.glob(f"{base}/silver/match={first}/**/*.parquet", recursive=True)
+    )
+    q2 = run_incremental_pipeline(spark, **kwargs)
+    q2.awaitTermination(300)
+    sig_after = sorted(
+        (p, os.path.getmtime(p))
+        for p in glob.glob(f"{base}/silver/match={first}/**/*.parquet", recursive=True)
+    )
+    assert sig_before == sig_after, "restart must not rewrite already-processed matches"
+
+    streamed = spark.read.parquet(f"{base}/silver")
+    batch = to_silver(to_bronze(raw_deliveries(spark)), meta, plyr)
+    streamed = streamed.selectExpr(
+        *[f"cast({c} as {dict(batch.dtypes)[c]}) as {c}" for c in batch.columns]
+    )
+    assert _canon(streamed) == _canon(batch)
