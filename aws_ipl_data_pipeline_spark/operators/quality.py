@@ -14,7 +14,7 @@ one bad row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -139,3 +139,69 @@ def with_observed_metrics(df: DataFrame, name: str, metrics: dict[str, Column]):
 
     obs = Observation(name)
     return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard production drift monitor (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate). Buckets are the OLD
+    snapshot's exact quantile breakpoints, so "no drift" reads exactly
+    p_old = p_new = 1/n per bucket regardless of the distribution's
+    shape.
+
+    Scale shape: breakpoints are ONE exact-percentile aggregate over
+    the old snapshot (mergeable buffer; swap percentile_approx in at
+    100 TB — the knob, not the plan, changes), broadcast as a 1-row
+    frame; bucketing is a map-only chain of comparisons; each side then
+    collapses to ≤ n_buckets rows before the tiny join+sum. Empty-
+    bucket proportions clamp at 1e-6 (standard PSI practice) so a
+    vanished bucket contributes a large-but-finite term.
+
+    Returns a 1-row frame (psi, n_buckets_used, n_old, n_new)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bps = old.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("bs")
+    )
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        idx = F.lit(0)
+        for i in range(len(qs)):
+            idx = idx + (F.col(value_col) > F.element_at("bs", i + 1)).cast("int")
+        return (
+            df.crossJoin(F.broadcast(bps))
+            .select(idx.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+
+    po = bucketize(old).select(
+        "bucket", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("p_old")
+    )
+    pn = bucketize(new).select(
+        "bucket", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("p_new")
+    )
+    eps = F.lit(1e-6)
+    terms = (
+        po.join(pn, "bucket", "full_outer")
+        .select(
+            F.greatest(F.coalesce("p_old", F.lit(0.0)), eps).alias("po"),
+            F.greatest(F.coalesce("p_new", F.lit(0.0)), eps).alias("pn"),
+        )
+    )
+    return terms.agg(
+        F.round(
+            F.sum((F.col("pn") - F.col("po")) * F.log(F.col("pn") / F.col("po"))), 6
+        ).alias("psi"),
+        F.count("*").cast("long").alias("n_buckets_used"),
+    ).crossJoin(
+        F.broadcast(old.agg(F.count("*").cast("long").alias("n_old")))
+    ).crossJoin(
+        F.broadcast(new.agg(F.count("*").cast("long").alias("n_new")))
+    )

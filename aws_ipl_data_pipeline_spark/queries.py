@@ -5451,6 +5451,80 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_drift_psi",
+    """
+    WITH newd AS (
+      SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN n_chars + 50
+                          ELSE n_chars END AS n_chars
+      FROM documents
+    ),
+    oldd AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 <> 0),
+    bp AS (
+      SELECT quantile_cont(n_chars,
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      FROM oldd
+    ),
+    ob AS (
+      SELECT (CASE WHEN n_chars > bs[1] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[2] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[3] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[4] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[5] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[6] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[7] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[8] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[9] THEN 1 ELSE 0 END) AS bucket
+      FROM oldd, bp
+    ),
+    nb AS (
+      SELECT (CASE WHEN n_chars > bs[1] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[2] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[3] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[4] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[5] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[6] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[7] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[8] THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > bs[9] THEN 1 ELSE 0 END) AS bucket
+      FROM newd, bp
+    ),
+    po AS (SELECT bucket, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM ob) AS p
+           FROM ob GROUP BY bucket),
+    pn AS (SELECT bucket, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM nb) AS p
+           FROM nb GROUP BY bucket),
+    terms AS (
+      SELECT greatest(coalesce(po.p, 0), 1e-6) AS p_old,
+             greatest(coalesce(pn.p, 0), 1e-6) AS p_new
+      FROM po FULL OUTER JOIN pn ON pn.bucket = po.bucket
+    )
+    SELECT round(SUM((p_new - p_old) * ln(p_new / p_old)), 6) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM oldd) AS n_old,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM newd) AS n_new
+    FROM terms
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor
+    (operators/quality.psi_drift) between a derived prior snapshot
+    (every 10th doc absent, every 3rd doc's length shifted +50 — the
+    same deterministic-snapshot recipe as corpus_snapshot_diff) and the
+    current corpus, over the n_chars distribution. PSI here ≈ 0.04:
+    a correctly-detected mild shift."""
+    from aws_ipl_data_pipeline_spark.operators.quality import psi_drift
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "n_chars")
+    new = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") + 50)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    return psi_drift(old, new, "n_chars")
+
+
 # --------------------------------------------------------------------------
 # Zipf fit over the vocabulary head (corpus-health diagnostic)
 # --------------------------------------------------------------------------
@@ -5598,6 +5672,7 @@ _DRIVER_FIRST = [
     "q16_supplier_part_counts",
     "q13_customer_distribution",
     "null_semantics_battery",
+    "corpus_drift_psi",
     "q1_pricing_summary",
     "top_customers_by_revenue",
     "dedup_embedding_cosine",

@@ -108,6 +108,7 @@ ROUND4B = [
     "q16_supplier_part_counts",
     "q13_customer_distribution",
     "null_semantics_battery",
+    "corpus_drift_psi",
 ]
 
 
