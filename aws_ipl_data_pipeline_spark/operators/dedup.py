@@ -209,7 +209,10 @@ def minhash_lsh_pairs(
     the pivot, so the component stays connected). Small buckets are
     unaffected, so below the ceiling results are bit-identical to the
     unguarded plan; audit oversized buckets with ``lsh_hot_buckets``.
-    ``None`` disables the guard.
+    ``None`` disables the guard AND switches candidate generation to
+    the distributed band equi-self-join: the map-side pair-array plan
+    squares a bucket inside one row pre-explode, which only the ceiling
+    makes safe — uncapped, pairs must ride the shuffle instead.
 
     Single-pass shingle design: one aggregation per document computes
     the k min-hashes, the distinct-shingle count AND the shingle set —
@@ -272,36 +275,49 @@ def minhash_lsh_pairs(
     # boilerplate bucket costs O(b) — connectivity for near_dup_groups
     # is preserved because all members still verify against the pivot.
     # Memory note: the collect_list makes the bucket's id array ONE row
-    # (8 bytes/member — a 10M-dup bucket is an 80 MB row); beyond that,
-    # run exact_dedup first (lsh_hot_buckets shows what to feed it).
-    buckets = banded.groupBy("band", "bucket").agg(
-        F.array_sort(F.collect_list("_id")).alias("_ids")
-    )
-    all_pairs = F.flatten(
-        F.transform(
-            "_ids",
-            lambda a, i: F.transform(
-                F.slice("_ids", i + 2, F.size("_ids")),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
+    # (8 bytes/member — a 10M-dup bucket is an 80 MB row) and the pair
+    # array below squares that (O(b²) structs inside the SAME row before
+    # the explode) — which is why this plan only runs WITH the ceiling:
+    # a capped bucket's pair array is ≤ max_bucket_size² structs.
+    if max_bucket_size is None:
+        # Uncapped: never build the per-row pair array — a degenerate
+        # bucket (100k boilerplate-identical docs → ~5e9 structs in one
+        # row) would OOM the task. The equi-self-join distributes the
+        # O(b²) pair space across the shuffle instead; slower on healthy
+        # data (~30%, measured r4) but safe on any bucket profile.
+        lhs = banded.select("band", "bucket", F.col("_id").alias("id_a"))
+        rhs = banded.select("band", "bucket", F.col("_id").alias("id_b"))
+        candidates = (
+            lhs.join(rhs, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
         )
-    )
-    star_pairs = F.transform(
-        F.slice("_ids", 2, F.size("_ids")),
-        lambda b: F.struct(F.element_at("_ids", 1).alias("id_a"), b.alias("id_b")),
-    )
-    pair_expr = (
-        all_pairs
-        if max_bucket_size is None
-        else F.when(F.size("_ids") <= max_bucket_size, all_pairs).otherwise(
+    else:
+        buckets = banded.groupBy("band", "bucket").agg(
+            F.array_sort(F.collect_list("_id")).alias("_ids")
+        )
+        all_pairs = F.flatten(
+            F.transform(
+                "_ids",
+                lambda a, i: F.transform(
+                    F.slice("_ids", i + 2, F.size("_ids")),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+            )
+        )
+        star_pairs = F.transform(
+            F.slice("_ids", 2, F.size("_ids")),
+            lambda b: F.struct(F.element_at("_ids", 1).alias("id_a"), b.alias("id_b")),
+        )
+        pair_expr = F.when(F.size("_ids") <= max_bucket_size, all_pairs).otherwise(
             star_pairs
         )
-    )
-    candidates = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates()
-    )
+        candidates = (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .dropDuplicates()
+        )
 
     # exact verification on candidates only: set intersection per pair
     va = agg.select(
@@ -406,6 +422,9 @@ def simhash_pairs(
     O(b²)); Hamming verification still applies, so precision is exact
     and identical-doc clusters stay fully connected through the pivot.
     Below the ceiling results are bit-identical to the unguarded plan.
+    ``None`` disables the guard and, as in ``minhash_lsh_pairs``, falls
+    back to the distributed block equi-self-join so no single row ever
+    holds a cell's O(b²) pair array.
     """
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -468,37 +487,55 @@ def simhash_pairs(
     # cap). This also leaves the Arrow fingerprint pass with EXACTLY
     # ONE consumer, so the former localCheckpoint materialization is
     # gone: no band self-join, no broadcast guard joins, no re-run.
-    buckets = blocked.groupBy("block", "key").agg(
-        F.array_sort(F.collect_list(F.struct("_id", "simhash"))).alias("_m")
-    )
-    pair = lambda a, b: F.struct(  # noqa: E731
-        a["_id"].alias("id_a"),
-        b["_id"].alias("id_b"),
-        a["simhash"].alias("_sa"),
-        b["simhash"].alias("_sb"),
-    )
-    all_pairs = F.flatten(
-        F.transform(
-            "_m",
-            lambda a, i: F.transform(
-                F.slice("_m", i + 2, F.size("_m")), lambda b: pair(a, b)
-            ),
+    if max_bucket_size is None:
+        # Uncapped escape hatch (same rationale as minhash_lsh_pairs):
+        # the per-row pair array squares a degenerate cell inside one
+        # row, so without the ceiling the candidates come from the
+        # distributed block equi-self-join. The fingerprint pass gains
+        # a second consumer here, so pin it once.
+        blocked = blocked.localCheckpoint(eager=False)
+        lhs = blocked.select(
+            "block", "key", F.col("_id").alias("id_a"), F.col("simhash").alias("_sa")
         )
-    )
-    star_pairs = F.transform(
-        F.slice("_m", 2, F.size("_m")),
-        lambda b: pair(F.element_at("_m", 1), b),
-    )
-    pair_expr = (
-        all_pairs
-        if max_bucket_size is None
-        else F.when(F.size("_m") <= max_bucket_size, all_pairs).otherwise(star_pairs)
-    )
-    cand = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b", "p._sa", "p._sb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        rhs = blocked.select(
+            "block", "key", F.col("_id").alias("id_b"), F.col("simhash").alias("_sb")
+        )
+        cand = (
+            lhs.join(rhs, ["block", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_sa", "_sb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        buckets = blocked.groupBy("block", "key").agg(
+            F.array_sort(F.collect_list(F.struct("_id", "simhash"))).alias("_m")
+        )
+        pair = lambda a, b: F.struct(  # noqa: E731
+            a["_id"].alias("id_a"),
+            b["_id"].alias("id_b"),
+            a["simhash"].alias("_sa"),
+            b["simhash"].alias("_sb"),
+        )
+        all_pairs = F.flatten(
+            F.transform(
+                "_m",
+                lambda a, i: F.transform(
+                    F.slice("_m", i + 2, F.size("_m")), lambda b: pair(a, b)
+                ),
+            )
+        )
+        star_pairs = F.transform(
+            F.slice("_m", 2, F.size("_m")),
+            lambda b: pair(F.element_at("_m", 1), b),
+        )
+        pair_expr = F.when(F.size("_m") <= max_bucket_size, all_pairs).otherwise(
+            star_pairs
+        )
+        cand = (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b", "p._sa", "p._sb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
     return (
         cand.withColumn("hamming", hamming)
@@ -1088,7 +1125,17 @@ def substring_dedup(
         F.coalesce("_rem", F.array().cast("array<int>")).alias("_rem"),
         F.coalesce("_n_dup_windows", F.lit(0)).alias("_n_dup_windows"),
     )
-    kept = F.filter("_tk", lambda x, i: ~F.array_contains("_rem", i.cast("int")))
+    # positional filter via a hash-map membership probe, not
+    # array_contains: a linear scan of _rem per token is
+    # O(n_tokens × n_removed) per document — a large fully-duplicated
+    # doc (100k tokens, ~all removed) would do ~1e10 comparisons in one
+    # row. The map is built once per doc (O(n_removed)) and each token
+    # probes it O(1), so reassembly is O(n_tokens + n_removed).
+    rem_map = F.map_from_entries(
+        F.transform("_rem", lambda p: F.struct(p.alias("k"), F.lit(True).alias("v")))
+    )
+    joined = joined.withColumn("_rem_map", rem_map)
+    kept = F.filter("_tk", lambda x, i: ~F.map_contains_key("_rem_map", i.cast("int")))
     return joined.select(
         F.col("_id").cast("long").alias(id_col),
         F.concat_ws(" ", kept).alias("text_kept"),

@@ -195,8 +195,15 @@ def pq_topk_rerank(
         id_col=id_col, exclude_id=exclude_id,
     ).select(id_col)
     exact = cosine_to_query(emb.join(F.broadcast(cands), id_col), query_vec, vec_col)
+    # round BEFORE ranking (brute_force_topk's convention): stable
+    # across float summation orders and tie-broken by id, so the output
+    # is hash-comparable to a SQL oracle when the candidate set covers
+    # the true top-k
     return (
-        exact.select(F.col(id_col).cast("long").alias(id_col), "cos_sim")
+        exact.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
@@ -324,8 +331,12 @@ def ivfpq_topk_rerank(
         cands = cands.where(F.col(id_col) != exclude_id)
     cands = cands.orderBy("pq_dist2", id_col).limit(k * overfetch).select(id_col)
     exact = cosine_to_query(emb.join(F.broadcast(cands), id_col), query_vec, vec_col)
+    # round BEFORE ranking — same rationale as pq_topk_rerank
     return (
-        exact.select(F.col(id_col).cast("long").alias(id_col), "cos_sim")
+        exact.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )

@@ -82,8 +82,14 @@ def read_jsonl_robust(
     schema fields NULL. Callers split on ``corrupt_col IS NULL`` —
     facts keep flowing, rejects go to a dead-letter sink with full
     fidelity for replay. At 100 TB ingest you never want FAILFAST
-    (one bad line kills the job) or DROPMALFORMED (silent data loss)."""
-    full = schema.add(corrupt_col, T.StringType())
+    (one bad line kills the job) or DROPMALFORMED (silent data loss).
+
+    The caller's schema is NOT mutated: StructType.add appends to self,
+    so building the quarantine schema with ``schema.add(...)`` would
+    permanently grow a shared schema constant (and a second call would
+    append a duplicate corrupt column). A fresh StructType is built
+    from the field list instead."""
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

@@ -4,6 +4,13 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Queries run against the noop sink (full execution, no driver-side
 materialization cost), after a small JIT warmup.
+
+The stdout line is kept COMPACT (headline total + the frozen 24-query
+set only): the driver preserves a bounded tail of stdout, and r4's full
+breakdown outgrew it, truncating the JSON into unparseability
+(BENCH_r04.json "parsed": null). The full breakdown — medians and the
+extended/round4/round4b/round5 sets — is written to BENCH_FULL.json in
+the working directory and echoed per-query on stderr.
 """
 
 from __future__ import annotations
@@ -111,6 +118,18 @@ ROUND4B = [
     "corpus_drift_psi",
 ]
 
+# round-5 additions (TPC-H decorrelation shapes Q2/Q9/Q11/Q12/Q20 +
+# the exact-rerank ANN oracle companions): same frozen-set policy
+ROUND5 = [
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q20_potential_promotion",
+    "ann_pq_topk_reranked",
+    "ann_ivfpq_topk_reranked",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -203,7 +222,36 @@ def main() -> None:
         round4b[name] = round(min(runs), 3)
         print(f"  [round4b] {name}: best {round4b[name]}s", file=sys.stderr)
 
+    round5: dict[str, float] = {}
+    for name in ROUND5:
+        fn = REGISTRY[name].fn
+        runs = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        round5[name] = round(min(runs), 3)
+        print(f"  [round5] {name}: best {round5[name]}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "queries_extended": extended,
+        "queries_round4": round4,
+        "queries_round4b": round4b,
+        "queries_round5": round5,
+        "iters": iters,
+        "sf": sf,
+    }
+    with open("BENCH_FULL.json", "w") as fh:
+        json.dump(full, fh, indent=1)
+    print("full breakdown written to BENCH_FULL.json", file=sys.stderr)
+    # stdout contract: ONE compact JSON line, bounded by the frozen
+    # 24-query headline set so it always fits the driver's tail capture
     print(
         json.dumps(
             {
@@ -211,13 +259,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
-                "queries_extended": extended,
-                "queries_round4": round4,
-                "queries_round4b": round4b,
                 "iters": iters,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -82,6 +82,9 @@ def test_no_python_udf_in_relational_core(spark):
         # codegen); ADC *scoring* stays JVM-side (pq_topk LUT fold)
         "ann_pq_topk",
         "ann_ivfpq_topk",
+        # the exact-rerank oracle companions run the same Arrow encode
+        "ann_pq_topk_reranked",
+        "ann_ivfpq_topk_reranked",
         # same sanctioned numpy cell-assignment as ann_ivf_topk, batched
         "ann_batch_ivf_topk",
     }
@@ -408,6 +411,54 @@ def test_classic_join_shapes_all_dims_broadcast(spark):
         assert _nodes(p, "SortMergeJoin") <= 1, q
         assert "CartesianProduct" not in p, q
         assert _nodes(p, "BroadcastHashJoin") >= 2, q
+
+
+def test_r5_decorrelation_shapes(spark):
+    """Q2/Q9/Q11/Q12/Q20 (r5): the correlated shapes must decorrelate
+    to hash joins + windows — never a per-row subquery, nested loop
+    over a fact side, or cartesian product; every true dimension side
+    broadcasts."""
+    # Q2: the correlated min-cost subquery is a per-part MIN window on
+    # the already-joined catalog (one part-key exchange), all dims
+    # broadcast — no re-aggregating self-join, no SMJ at any scale
+    p2 = formatted_plan(spark, "q2_min_cost_supplier")
+    assert _nodes(p2, "Window") == 1
+    assert _nodes(p2, "SortMergeJoin") == 0
+    assert _nodes(p2, "BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p2
+
+    # Q9: fact ⋈ derived-catalog on the composite key + orders join may
+    # shuffle (they're fact-sized at scale); part/supplier/nation stay
+    # broadcast; the family filter must prune the part scan
+    p9 = formatted_plan(spark, "q9_product_type_profit")
+    assert _nodes(p9, "SortMergeJoin") <= 2
+    assert _nodes(p9, "BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p9
+    assert re.search(r"PushedFilters: \[[^\]]*p_name", p9)
+
+    # Q11: global-scalar threshold = 1-row broadcast (BNLJ ≤ 1 is the
+    # only nested loop allowed); region supplier set semi-prunes
+    p11 = formatted_plan(spark, "q11_important_stock")
+    assert "LeftSemi" in p11
+    assert _nodes(p11, "BroadcastNestedLoopJoin") <= 1
+    assert _nodes(p11, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in p11
+
+    # Q12: the cross-table lateness predicate is a join residual; the
+    # ship-window predicate must push to the lineitem scan; at most the
+    # one orders⋈lineitem shuffle join
+    p12 = formatted_plan(spark, "q12_late_shipments")
+    assert _nodes(p12, "SortMergeJoin") <= 1
+    assert "CartesianProduct" not in p12
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", p12)
+
+    # Q20: nested semijoin chain — the family filter prunes before the
+    # aggregates, the pair comparison is an equi-join residual, the
+    # supplier membership compiles to LeftSemi
+    p20 = formatted_plan(spark, "q20_potential_promotion")
+    assert "LeftSemi" in p20
+    assert _nodes(p20, "SortMergeJoin") <= 2
+    assert "CartesianProduct" not in p20
 
 
 def test_sessionize_single_user_partitioning(spark):

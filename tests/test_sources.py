@@ -519,6 +519,28 @@ def test_read_jsonl_robust_quarantines_corrupt_lines(spark, tmp_path):
     df.unpersist()
 
 
+def test_read_jsonl_robust_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place; the reader must build a copy so
+    a shared schema constant survives repeated calls unchanged (the
+    schemas.py contract pattern — a second call on a mutated schema
+    would append a duplicate corrupt column and break the read)."""
+    from pyspark.sql import types as T
+
+    from aws_ipl_data_pipeline_spark.sources.readers import read_jsonl_robust
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "v": "ok"}\nnot json\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    before = schema.jsonValue()
+    for _ in range(2):  # same shared schema object, called twice
+        df = read_jsonl_robust(spark, str(p), schema)
+        assert df.columns == ["id", "v", "_corrupt_record"]
+        assert df.where(df["_corrupt_record"].isNotNull()).count() == 1
+    assert schema.jsonValue() == before
+
+
 def test_read_parquet_evolving_merges_schema_generations(spark, tmp_path):
     """Files written before a column existed must read as NULL for it;
     the merged schema is the union across file footers."""
