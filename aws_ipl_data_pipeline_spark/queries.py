@@ -5950,6 +5950,64 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_udf_battery",
+    """
+    SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
+                WHEN l_extendedprice < 60000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(SUM((l_extendedprice * (1 - l_discount)) * (1 + l_tax)), 2)
+             AS charge,
+           round(AVG(l_extendedprice * (1 - l_discount)), 4) AS avg_disc_price
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY band
+    """,
+)
+def sql_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 recast Spark-first: the reference ships its business
+    logic as Python UDFs (ex_match_rb.py extract_runs /
+    get_innings_phase); the engine-native equivalent for SCALAR logic
+    is Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr) — named,
+    reusable, catalog-managed, and INLINED by Catalyst at resolution
+    time, so they run inside whole-stage codegen with zero
+    serialization boundary (the plan shows the expanded expression, not
+    a UDF call; the registry-wide EvalPython gate applies to this query
+    like any other). Battery: a banding UDF as a grouping key, a
+    revenue UDF inside two aggregates, and a UDF composed of another
+    UDF (charge = disc_price × (1+tax)) to pin recursive inlining. The
+    oracle runs the same expressions inlined by hand."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN p < 20000 THEN 'low' WHEN p < 60000 THEN 'mid' "
+        "ELSE 'high' END"
+    )
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT price_band(l_extendedprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               round(SUM(disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+               round(SUM(charge(l_extendedprice, l_discount, l_tax)), 2) AS charge,
+               round(AVG(disc_price(l_extendedprice, l_discount)), 4)
+                 AS avg_disc_price
+        FROM lineitem
+        GROUP BY price_band(l_extendedprice)
+        ORDER BY band
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact-rerank ANN oracle companions (r5): the PQ and IVF-PQ entries
 # stay honestly rows-only (ADC scoring is approximate by nature), but
@@ -6084,7 +6142,8 @@ _DRIVER_FIRST = [
     "q20_potential_promotion",
     "ann_pq_topk_reranked",
     "ann_ivfpq_topk_reranked",
-    # r5 slots 16-50: refresh of the 35 stalest surviving rows — every
+    "sql_udf_battery",
+    # r5 slots 17-50: refresh of the 34 stalest surviving rows — every
     # one below last earned its driver row in r2 (newest-row audit over
     # CORRECTNESS_r01..r04, see COVERAGE.md). The two rows-only r2
     # queries (approx_distinct_counts, near_dup_groups) yield their
@@ -6123,10 +6182,10 @@ _DRIVER_FIRST = [
     "running_totals",
     "lag_lookback",
     "rank_topk",
-    "multi_key_sort_limit",
     # past slot 50 from here — the r6 refresh queue, oldest first: the
     # remaining r2-stale rows (incl. the two rows-only ones), then the
     # r4-green sets follow in registration order via _reorder_registry
+    "multi_key_sort_limit",
     "union_distinct",
     "keyed_dedupe_first",
     "date_functions_battery",

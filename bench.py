@@ -128,6 +128,7 @@ ROUND5 = [
     "q20_potential_promotion",
     "ann_pq_topk_reranked",
     "ann_ivfpq_topk_reranked",
+    "sql_udf_battery",
 ]
 
 

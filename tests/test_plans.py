@@ -314,6 +314,55 @@ def test_runtime_bloom_filter_on_selective_fact_join(spark):
             spark.conf.set(k, v)
 
 
+def test_parquet_aggregate_pushdown_footer_only_scan(spark):
+    """COUNT/MIN/MAX with no filter and no grouping can be answered
+    from parquet FOOTER statistics alone — zero row-group decode, the
+    100 TB "how big is this table" path. Requires the DSv2 parquet
+    reader (aggregate pushdown is not implemented in the v1 path), so
+    the conf posture is pinned here in an isolated scope rather than
+    session-wide: PushedAggregation must appear in the scan and the
+    answers must match the row-decoding plan."""
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        # numeric columns only: Spark's parquet aggregate pushdown
+        # declines MIN/MAX on timestamp columns (a pushed timestamp
+        # stat silently falls back to row decode — worth knowing when
+        # laying out a stats-serving table)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        agg = li.agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        p = agg._jdf.queryExecution().explainString(mode)
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_extendedprice)]" in p, p
+        got = agg.collect()[0]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    want = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
+
+
 def test_semantic_chunking_single_doc_shuffle(spark):
     """Segment explode is map-side; the running-total window and the
     reassembly groupBy share one doc-key partitioning — exactly one

@@ -535,9 +535,10 @@ def test_read_jsonl_robust_does_not_mutate_caller_schema(spark, tmp_path):
     )
     before = schema.jsonValue()
     for _ in range(2):  # same shared schema object, called twice
-        df = read_jsonl_robust(spark, str(p), schema)
+        df = read_jsonl_robust(spark, str(p), schema).cache()
         assert df.columns == ["id", "v", "_corrupt_record"]
         assert df.where(df["_corrupt_record"].isNotNull()).count() == 1
+        df.unpersist()
     assert schema.jsonValue() == before
 
 
