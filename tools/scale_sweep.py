@@ -101,6 +101,87 @@ def build_events(spark, mult: int, out: str) -> None:
     open(os.path.join(out, "_OK_EVENTS"), "w").close()
 
 
+def build_tpch(spark, mult: int, out: str) -> None:
+    """Replicate the TPC-H-ish star schema with per-replica KEY offsets
+    — each replica is a disjoint mini-market (its own orders, parts and
+    suppliers, sharing the nation/region dimensions), so join and
+    catalog-derivation workloads (q2/q9/q20) grow linearly with no
+    cross-replica key collisions and unchanged per-key densities."""
+    if os.path.exists(os.path.join(out, "_OK_TPCH")):
+        return
+    reps = spark.range(mult).select(F.col("id").cast("int").alias("rep"))
+    off = F.col("rep").cast("long") * 100_000_000
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + off).alias("l_orderkey"),
+            (F.col("l_partkey") + off).alias("l_partkey"),
+            (F.col("l_suppkey") + off).alias("l_suppkey"),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    (
+        o.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + off).alias("o_orderkey"),
+            (F.col("o_custkey") + off).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    p = spark.read.parquet(f"{BASE}/part.parquet")
+    (
+        p.crossJoin(reps)
+        .select(
+            (F.col("p_partkey") + off).alias("p_partkey"),
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/part.parquet")
+    )
+    s = spark.read.parquet(f"{BASE}/supplier.parquet")
+    (
+        s.crossJoin(reps)
+        .select(
+            (F.col("s_suppkey") + off).alias("s_suppkey"),
+            "s_name", "s_nationkey", "s_acctbal",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/supplier.parquet")
+    )
+    c = spark.read.parquet(f"{BASE}/customer.parquet")
+    (
+        c.crossJoin(reps)
+        .select(
+            (F.col("c_custkey") + off).alias("c_custkey"),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/customer.parquet")
+    )
+    for dim in ("nation", "region"):
+        spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{dim}.parquet")
+    open(os.path.join(out, "_OK_TPCH"), "w").close()
+
+
+_TPCH_QUERIES = {
+    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
+    "q12_late_shipments", "q20_potential_promotion", "q1_pricing_summary",
+    "sql_udf_battery",
+}
+
+
 def main() -> None:
     global QUERIES
     ap = argparse.ArgumentParser()
@@ -121,6 +202,8 @@ def main() -> None:
             n in ("sessionize_events", "scd2_user_state") for n in QUERIES
         ):
             build_events(spark, mult, sf_dir)
+        if any(n in _TPCH_QUERIES for n in QUERIES):
+            build_tpch(spark, mult, sf_dir)
         for name in QUERIES:
             fn = REGISTRY[name].fn
             runs = []
