@@ -775,6 +775,64 @@ def embedding_cosine_pairs_blocked(
     )
 
 
+def embedding_cosine_pairs_ivf(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate pairwise cosine ≥ threshold via IVF cell blocking —
+    the corpus-scale path for embedding near-dup when even the blocked
+    exact GEMM (``embedding_cosine_pairs_blocked``, all-pairs cost) is
+    too much: vectors are coarse-quantized to their nearest centroid
+    (deterministic md5-draw centroids, ``similarity.select_centroids``)
+    and pairs are scored ONLY within a cell — near-identical vectors
+    land in the same cell with high probability, so recall concentrates
+    exactly where near-dup mass does, and scored-pair cost drops from
+    O(n²/blocks) to ~O(n²/n_cells) with cells aligned to similarity
+    structure instead of arbitrary hash blocks.
+
+    Per-cell scoring is one vectorized numpy GEMM per cell task
+    (applyInPandas — the sanctioned Arrow exception, same as the
+    blocked exact path); the only shuffle is the cell key. Cells are
+    data-distribution-sized: at production scale pick n_cells so a cell
+    fits an executor core, or run the blocked exact GEMM *within* hot
+    cells. Cross-cell near-dups are missed by construction —
+    recall/cost is the n_cells dial (the oracle pins the same-cell
+    contract, not full recall). Returns (id_a, id_b, cos_sim)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        add_ivf_cell,
+        select_centroids,
+    )
+
+    cents = select_centroids(emb, n_cells, id_col, vec_col, seed)
+    celled = add_ivf_cell(emb, cents, vec_col).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        "cell",
+    )
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / np.outer(nrm, nrm)
+        ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[ia, ib]})
+
+    pairs = celled.groupBy("cell").applyInPandas(
+        lambda _key, pdf: _cell_pairs(pdf),
+        schema="id_a long, id_b long, cos_sim double",
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def prefix_fingerprint(
     text_col: Column | str = "text", n_tokens: int = 8
 ) -> Column:

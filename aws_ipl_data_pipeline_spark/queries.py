@@ -5951,6 +5951,76 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine_ivf",
+    f"""
+    WITH {_EMB_EXPAND},
+    cent_ids AS (
+      SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM embeddings
+      ) WHERE rn <= 16
+    ),
+    cn AS (
+      SELECT c.cell, e.i,
+             e.x / sqrt(SUM(e.x * e.x) OVER (PARTITION BY c.cell)) AS cx
+      FROM cent_ids c JOIN exd e ON e.vec_id = c.vec_id
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cell, SUM(e.x * c.cx) AS dot
+      FROM exd e JOIN cn c ON e.i = c.i
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dot DESC, cell ASC
+               ) AS rn
+        FROM assign
+      ) WHERE rn = 1
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM exd GROUP BY vec_id),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b, SUM(ea.x * eb.x) AS dot
+      FROM cand c
+      JOIN exd ea ON ea.vec_id = c.id_a
+      JOIN exd eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(dots.id_a AS BIGINT) AS id_a, CAST(dots.id_b AS BIGINT) AS id_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots JOIN norms na ON dots.id_a = na.vec_id
+              JOIN norms nb ON dots.id_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.45
+    """,
+)
+def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via IVF cell blocking
+    (operators/dedup.embedding_cosine_pairs_ivf): pairs scored only
+    within coarse-quantization cells — ~O(n²/n_cells) scored pairs with
+    cells aligned to similarity structure, vs the blocked exact GEMM's
+    all-pairs cost. Oracle-backed end to end: the SQL re-derives the
+    SAME deterministic centroids (ann_ivf_topk's recipe), reproduces
+    the dot-argmax cell assignment, and computes exact cosine over
+    exactly the same-cell candidate pairs — pinning both the
+    quantization contract and the scoring by hash."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_ivf,
+    )
+
+    return embedding_cosine_pairs_ivf(
+        t(spark, sf_dir, "embeddings"), threshold=0.45, n_cells=16
+    )
+
+
+@register(
     "sql_udf_battery",
     """
     SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
@@ -6143,7 +6213,8 @@ _DRIVER_FIRST = [
     "ann_pq_topk_reranked",
     "ann_ivfpq_topk_reranked",
     "sql_udf_battery",
-    # r5 slots 17-50: refresh of the 34 stalest surviving rows — every
+    "dedup_embedding_cosine_ivf",
+    # r5 slots 18-50: refresh of the 33 stalest surviving rows — every
     # one below last earned its driver row in r2 (newest-row audit over
     # CORRECTNESS_r01..r04, see COVERAGE.md). The two rows-only r2
     # queries (approx_distinct_counts, near_dup_groups) yield their
@@ -6181,10 +6252,10 @@ _DRIVER_FIRST = [
     "slice_rows",
     "running_totals",
     "lag_lookback",
-    "rank_topk",
     # past slot 50 from here — the r6 refresh queue, oldest first: the
     # remaining r2-stale rows (incl. the two rows-only ones), then the
     # r4-green sets follow in registration order via _reorder_registry
+    "rank_topk",
     "multi_key_sort_limit",
     "union_distinct",
     "keyed_dedupe_first",

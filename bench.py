@@ -129,6 +129,7 @@ ROUND5 = [
     "ann_pq_topk_reranked",
     "ann_ivfpq_topk_reranked",
     "sql_udf_battery",
+    "dedup_embedding_cosine_ivf",
 ]
 
 

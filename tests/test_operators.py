@@ -419,6 +419,38 @@ def test_blocked_cosine_equals_exact(spark):
         assert got == want, f"n_blocks={g}"
 
 
+def test_embedding_cosine_ivf_precision_and_degenerate_recall(spark):
+    """The IVF-celled variant is a same-cell SUBSET of the exact pair
+    set (precision 1.0 — every emitted pair is a true ≥-threshold
+    pair with the identical rounded sim), and at n_cells=1 (everything
+    in one cell) it degrades gracefully to exactly the exact set."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_blocked,
+        embedding_cosine_pairs_ivf,
+    )
+    from aws_ipl_data_pipeline_spark.queries import t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_cosine_pairs_blocked(emb, threshold=0.4).collect()
+    }
+    assert exact
+    ivf = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_cosine_pairs_ivf(emb, threshold=0.4, n_cells=16).collect()
+    }
+    assert ivf  # cells must capture at least one near-dup pair
+    assert set(ivf) <= set(exact)
+    for k, v in ivf.items():
+        assert v == exact[k]
+    one = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_cosine_pairs_ivf(emb, threshold=0.4, n_cells=1).collect()
+    }
+    assert one == exact
+
+
 def test_fuzzy_scorer_pinned(monkeypatch):
     from aws_ipl_data_pipeline_spark.functions import fuzzy
 

@@ -85,6 +85,8 @@ def test_no_python_udf_in_relational_core(spark):
         # the exact-rerank oracle companions run the same Arrow encode
         "ann_pq_topk_reranked",
         "ann_ivfpq_topk_reranked",
+        # IVF cell assignment + per-cell numpy GEMM (blocked-path twin)
+        "dedup_embedding_cosine_ivf",
         # same sanctioned numpy cell-assignment as ann_ivf_topk, batched
         "ann_batch_ivf_topk",
     }
