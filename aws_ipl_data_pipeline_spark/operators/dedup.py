@@ -873,6 +873,103 @@ def incremental_dedup(
     ).select(id_col, "text_hash")
 
 
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch-vs-corpus NEAR-dup admission — the production daily-ingest
+    flow for paraphrase-level duplicates (the near-dup twin of
+    ``incremental_dedup``'s exact-digest anti-join): MinHash-band the
+    small incoming batch, broadcast its (band, bucket) keys against the
+    corpus's banded signatures, and exact-verify only the collisions.
+    Returns (new_id, corpus_id, jaccard) pairs at ``threshold``+;
+    admission = anti-join the batch against the distinct new_id side.
+
+    Scale shape — the whole point at 100 TB: the CORPUS side is never
+    self-joined, never pair-exploded, and its per-doc signature agg is
+    exactly what a production index stores (precompute it once, append
+    per admitted batch, and this function's corpus stage becomes a
+    table scan). The batch side (bands AND verification sets) rides
+    broadcast joins, so the only corpus-sized work is one banded scan
+    plus verification of actual collisions. Within-batch duplicates are
+    deliberately NOT reported (run ``minhash_lsh_pairs`` on the batch
+    for that)."""
+    rows_per_band = num_hashes // bands
+
+    def _prep(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sh = word_shingles(docs, id_col, text_col, n).select(
+            "_id", F.xxhash64("shingle").alias("_hs")
+        )
+        mins = [
+            F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+        agg = sh.groupBy("_id").agg(
+            *mins, F.count("*").alias("_n"), F.collect_set("_hs").alias("_set")
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.col(f"_h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        banded = agg.select("_id", F.explode(band_structs).alias("bb")).select(
+            "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        return agg, banded
+
+    bagg, bban = _prep(new_docs)
+    cagg, cban = _prep(corpus_docs)
+    cand = (
+        cban.join(
+            F.broadcast(bban.select(F.col("_id").alias("new_id"), "band", "bucket")),
+            ["band", "bucket"],
+        )
+        .select("new_id", F.col("_id").alias("corpus_id"))
+        .dropDuplicates()
+    )
+    va = bagg.select(
+        F.col("_id").alias("new_id"),
+        F.col("_n").alias("_na"),
+        F.col("_set").alias("_sa"),
+    )
+    vb = cagg.select(
+        F.col("_id").alias("corpus_id"),
+        F.col("_n").alias("_nb"),
+        F.col("_set").alias("_sb"),
+    )
+    return (
+        cand.join(F.broadcast(va), "new_id")
+        .join(vb, "corpus_id")
+        .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("new_id").cast("long"),
+            F.col("corpus_id").cast("long"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
 def decontaminate(
     train_docs: DataFrame,
     eval_docs: DataFrame,

@@ -6021,6 +6021,51 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_minhash",
+    f"""
+    WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM w WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+           FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT p.new_id, p.corpus_id,
+             p.common * 1.0 / (ca.n + cb.n - p.common) AS j
+      FROM pairs p
+      JOIN sizes ca ON p.new_id = ca.doc_id
+      JOIN sizes cb ON p.corpus_id = cb.doc_id
+    )
+    SELECT CAST(new_id AS BIGINT) AS new_id,
+           CAST(corpus_id AS BIGINT) AS corpus_id,
+           round(j, 4) AS jaccard
+    FROM jac WHERE j >= 0.8
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission
+    (operators/dedup.incremental_near_dedup): every 10th document plays
+    the incoming batch, the rest the admitted corpus; the oracle is the
+    exact cross-split jaccard (same convergence argument as
+    dedup_minhash_lsh: banding recall ≥1-4e-8 at j≥0.9 and candidates
+    exact-verify). The batch's bands and verification sets broadcast —
+    the corpus is never self-joined or pair-exploded, which is what
+    makes daily near-dup ingest affordable against a 100 TB corpus."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import incremental_near_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return incremental_near_dedup(batch, corpus, threshold=0.8)
+
+
+@register(
     "sql_udf_battery",
     """
     SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
@@ -6214,7 +6259,8 @@ _DRIVER_FIRST = [
     "ann_ivfpq_topk_reranked",
     "sql_udf_battery",
     "dedup_embedding_cosine_ivf",
-    # r5 slots 18-50: refresh of the 33 stalest surviving rows — every
+    "dedup_incremental_minhash",
+    # r5 slots 19-50: refresh of the 32 stalest surviving rows — every
     # one below last earned its driver row in r2 (newest-row audit over
     # CORRECTNESS_r01..r04, see COVERAGE.md). The two rows-only r2
     # queries (approx_distinct_counts, near_dup_groups) yield their
@@ -6251,10 +6297,10 @@ _DRIVER_FIRST = [
     "deterministic_sample",
     "slice_rows",
     "running_totals",
-    "lag_lookback",
     # past slot 50 from here — the r6 refresh queue, oldest first: the
     # remaining r2-stale rows (incl. the two rows-only ones), then the
     # r4-green sets follow in registration order via _reorder_registry
+    "lag_lookback",
     "rank_topk",
     "multi_key_sort_limit",
     "union_distinct",

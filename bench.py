@@ -130,6 +130,7 @@ ROUND5 = [
     "ann_ivfpq_topk_reranked",
     "sql_udf_battery",
     "dedup_embedding_cosine_ivf",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -419,6 +419,36 @@ def test_blocked_cosine_equals_exact(spark):
         assert got == want, f"n_blocks={g}"
 
 
+def test_incremental_near_dedup_contract(spark):
+    """Batch-vs-corpus near-dup: a batch doc paraphrasing a corpus doc
+    is caught; within-batch duplicates are NOT reported (that's the
+    batch-internal pass's job); novel batch docs produce no row."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import incremental_near_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely unrelated corpus text about databases and queries"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (one word changed)
+            (100, "the quick brown fox jumps over the lazy cat near the river bank"),
+            # identical twins WITHIN the batch, novel vs the corpus
+            (101, "a brand new document that matches nothing in the corpus at all"),
+            (102, "a brand new document that matches nothing in the corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # one changed word flips 3 of 11 trigrams → true jaccard 8/14 ≈ 0.57
+    rows = incremental_near_dedup(batch, corpus, threshold=0.5).collect()
+    got = {(r["new_id"], r["corpus_id"]) for r in rows}
+    assert got == {(100, 1)}
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+
+
 def test_embedding_cosine_ivf_precision_and_degenerate_recall(spark):
     """The IVF-celled variant is a same-cell SUBSET of the exact pair
     set (precision 1.0 — every emitted pair is a true ≥-threshold
