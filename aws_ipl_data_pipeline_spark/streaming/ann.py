@@ -1,0 +1,59 @@
+"""Streaming ANN index maintenance: keep the partitioned IVF index
+(`operators/similarity.write_ivf_index`) current as new embedding files
+land, without ever rebuilding the corpus side.
+
+The coarse quantizer (centroid set) is FROZEN index metadata: every
+micro-batch cell-assigns against the same centroids and appends to its
+cell partitions, so reads stay consistent — a probe prunes to the same
+cell directories before and after any batch, and a vector's cell never
+changes under re-assignment (standard faiss/Milvus practice: recluster
+= offline index rebuild, not an ingest-path concern). Because appends
+are partition-local parquet files, a live probe simply sees the new
+files on its next directory listing; there is no compaction barrier in
+the read path (run `sources/maintenance.compact` per cell when small
+files accumulate).
+
+Exactly-once story: the file source tracks processed input files in the
+checkpoint, and the index append is the batch's ONLY write — a retry
+after a crash re-appends the same vectors, which dedup-by-id at query
+time tolerates and a periodic compaction removes; same
+at-least-once-then-dedupe posture as the corpus ingest stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_ipl_data_pipeline_spark.operators.similarity import add_ivf_cell
+
+
+def run_ivf_index_ingest(
+    spark: SparkSession,
+    emb_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Start the IVF index maintenance stream; returns the
+    StreamingQuery. ``centroids`` are the frozen quantizer from the
+    initial `write_ivf_index` build (persist them beside the index)."""
+    stream = spark.readStream.schema(schema).parquet(emb_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_ivf_cell(batch_df, centroids, vec_col).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(index_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -192,6 +192,70 @@ def test_corpus_ingest_stream_dedupes_across_batches(spark, tmp_path_factory):
     assert got3 == got2
 
 
+def test_ivf_index_ingest_stream_equals_batch_build(spark, tmp_path_factory):
+    """Streamed IVF index maintenance: after two micro-batches of new
+    vectors append to the partitioned index (frozen centroids), probing
+    the live index must return exactly what probing a one-shot batch
+    build over the full corpus returns — and a full-cell probe must
+    equal brute force over everything ingested."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        probe_ivf_index,
+        select_centroids,
+        write_ivf_index,
+    )
+    from aws_ipl_data_pipeline_spark.streaming.ann import run_ivf_index_ingest
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("ivfstream"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") < 300)
+    late1 = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    late2 = emb.where(F.col("vec_id") >= 400)
+
+    # initial build freezes the quantizer on the day-one corpus
+    cents = write_ivf_index(first, f"{base}/index", n_cells=8)
+    assert cents == select_centroids(first, 8)
+
+    drop = f"{base}/drop"
+    late1.write.parquet(f"{drop}/f1.parquet")
+    late2.write.parquet(f"{drop}/f2.parquet")
+    kwargs = dict(
+        emb_dir=f"{drop}/*",
+        index_path=f"{base}/index",
+        checkpoint_dir=f"{base}/ckpt",
+        schema=emb.schema,
+        centroids=cents,
+    )
+    run_ivf_index_ingest(spark, **kwargs).awaitTermination(300)
+    # rerun with no new files: index unchanged (checkpoint exactly-once)
+    run_ivf_index_ingest(spark, **kwargs).awaitTermination(300)
+    assert spark.read.parquet(f"{base}/index").count() == emb.count()
+
+    q = [float(x) for x in emb.where(F.col("vec_id") == 7).head()["embedding"]]
+    live = probe_ivf_index(
+        spark, f"{base}/index", cents, q, k=10, n_probe=4, exclude_id=7
+    ).collect()
+    # batch twin: one-shot assignment of the FULL corpus with the same
+    # frozen centroids (rebuild path) — must probe identically
+    from aws_ipl_data_pipeline_spark.operators.similarity import add_ivf_cell
+
+    add_ivf_cell(emb, cents).write.partitionBy("cell").mode("overwrite").parquet(
+        f"{base}/index_batch"
+    )
+    batch = probe_ivf_index(
+        spark, f"{base}/index_batch", cents, q, k=10, n_probe=4, exclude_id=7
+    ).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in batch]
+
+    # full probe degrades to exact: equals brute force over everything
+    full = probe_ivf_index(
+        spark, f"{base}/index", cents, q, k=10, n_probe=8, exclude_id=7
+    ).collect()
+    exact = brute_force_topk(emb, q, k=10, exclude_id=7).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+
+
 def test_segment_dedup_stream_equals_batch(spark, tmp_path_factory):
     """Two files arriving as separate micro-batches must excise exactly
     the segments the one-shot batch operator would excise over the
