@@ -873,6 +873,100 @@ def incremental_dedup(
     ).select(id_col, "text_hash")
 
 
+def minhash_state(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document near-dup INDEX row: everything LSH admission needs
+    without the text — ``(id, n_shingles, shingle_set, buckets)`` where
+    ``buckets[b]`` is the band-b bucket hash. This is the state a
+    production ingest stores (append one row per admitted doc) so that
+    future batches never rescan admitted text. Row size ~8 bytes per
+    distinct shingle plus the fixed band array; bucket the stored table
+    by id at scale."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(docs, id_col, text_col, n).select(
+        "_id", F.xxhash64("shingle").alias("_hs")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("_id").agg(
+        *mins, F.count("*").alias("_n"), F.collect_set("_hs").alias("_set")
+    )
+    buckets = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    return agg.select(
+        F.col("_id").cast("long").alias(id_col),
+        F.col("_n").alias("n_shingles"),
+        F.col("_set").alias("shingle_set"),
+        buckets.alias("buckets"),
+    )
+
+
+def near_dup_pairs_vs_state(
+    new_state: DataFrame,
+    corpus_state: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH collision + exact verification between two ``minhash_state``
+    frames: the (small) new side's band keys AND verification sets ride
+    broadcast joins, the corpus side is scanned once and never
+    self-joined or pair-exploded. Returns (new_id, corpus_id, jaccard)
+    at ``threshold``+."""
+    nb = new_state.select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
+    cb = corpus_state.select(
+        F.col(id_col).alias("corpus_id"),
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
+    cand = (
+        cb.join(F.broadcast(nb), ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates()
+    )
+    va = new_state.select(
+        F.col(id_col).alias("new_id"),
+        F.col("n_shingles").alias("_na"),
+        F.col("shingle_set").alias("_sa"),
+    )
+    vb = corpus_state.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("n_shingles").alias("_nb"),
+        F.col("shingle_set").alias("_sb"),
+    )
+    return (
+        cand.join(F.broadcast(va), "new_id")
+        .join(vb, "corpus_id")
+        .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("new_id").cast("long"),
+            F.col("corpus_id").cast("long"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
 def incremental_near_dedup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -893,80 +987,23 @@ def incremental_near_dedup(
     admission = anti-join the batch against the distinct new_id side.
 
     Scale shape — the whole point at 100 TB: the CORPUS side is never
-    self-joined, never pair-exploded, and its per-doc signature agg is
-    exactly what a production index stores (precompute it once, append
-    per admitted batch, and this function's corpus stage becomes a
-    table scan). The batch side (bands AND verification sets) rides
-    broadcast joins, so the only corpus-sized work is one banded scan
-    plus verification of actual collisions. Within-batch duplicates are
-    deliberately NOT reported (run ``minhash_lsh_pairs`` on the batch
-    for that)."""
-    rows_per_band = num_hashes // bands
-
-    def _prep(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        sh = word_shingles(docs, id_col, text_col, n).select(
-            "_id", F.xxhash64("shingle").alias("_hs")
-        )
-        mins = [
-            F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
-        agg = sh.groupBy("_id").agg(
-            *mins, F.count("*").alias("_n"), F.collect_set("_hs").alias("_set")
-        )
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[
-                            F.col(f"_h{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ]
-        )
-        banded = agg.select("_id", F.explode(band_structs).alias("bb")).select(
-            "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-        return agg, banded
-
-    bagg, bban = _prep(new_docs)
-    cagg, cban = _prep(corpus_docs)
-    cand = (
-        cban.join(
-            F.broadcast(bban.select(F.col("_id").alias("new_id"), "band", "bucket")),
-            ["band", "bucket"],
-        )
-        .select("new_id", F.col("_id").alias("corpus_id"))
-        .dropDuplicates()
+    self-joined, never pair-exploded, and its per-doc signature row is
+    exactly ``minhash_state`` — precompute/store it once (the streaming
+    form, ``streaming/corpus.run_near_dedup_ingest``, does exactly
+    this) and this function's corpus stage becomes a table scan. The
+    batch side (bands AND verification sets) rides broadcast joins, so
+    the only corpus-sized work is one banded scan plus verification of
+    actual collisions. Within-batch duplicates are deliberately NOT
+    reported (run ``minhash_lsh_pairs`` on the batch for that)."""
+    args = dict(
+        id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands, seed=seed,
     )
-    va = bagg.select(
-        F.col("_id").alias("new_id"),
-        F.col("_n").alias("_na"),
-        F.col("_set").alias("_sa"),
-    )
-    vb = cagg.select(
-        F.col("_id").alias("corpus_id"),
-        F.col("_n").alias("_nb"),
-        F.col("_set").alias("_sb"),
-    )
-    return (
-        cand.join(F.broadcast(va), "new_id")
-        .join(vb, "corpus_id")
-        .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
-        .withColumn(
-            "jaccard",
-            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select(
-            F.col("new_id").cast("long"),
-            F.col("corpus_id").cast("long"),
-            F.round("jaccard", 4).alias("jaccard"),
-        )
+    return near_dup_pairs_vs_state(
+        minhash_state(new_docs, **args),
+        minhash_state(corpus_docs, **args),
+        id_col=id_col,
+        threshold=threshold,
     )
 
 

@@ -172,3 +172,89 @@ def run_segment_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_near_dedup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    available_now: bool = True,
+):
+    """Streaming NEAR-dup admission (the continuous form of
+    operators/dedup.incremental_near_dedup): each micro-batch is
+    LSH-checked against the admitted-signature table and only novel
+    documents append. State is ``minhash_state`` rows — signatures,
+    shingle-hash sets and band buckets, NEVER admitted text — so batch
+    cost is one state scan + broadcast joins of the (small) batch side,
+    exactly the daily-ingest shape at corpus scale (bucket the state
+    table by doc_id when it outgrows one executor's scan share).
+
+    Admission policy (deterministic given file order): a document is
+    rejected if it is ≥ ``threshold``-similar to (a) any
+    previously-ADMITTED document, or (b) a smaller-id document in its
+    own batch (pairwise, via minhash_lsh_pairs on the batch). Note (b)
+    is pairwise, not transitive-greedy: within one batch, if A~B and
+    B~C but A≁C, both B and C are rejected against A and B
+    respectively — the conservative choice (never admits two
+    similar docs in one batch); a per-batch connected-components pass
+    (near_dup_groups) slots in here if canonical-per-cluster admission
+    is wanted instead.
+
+    Crash posture mirrors run_corpus_ingest: the document append
+    precedes the signature append, so a retry re-rejects (never loses)
+    documents.
+    """
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_state,
+        near_dup_pairs_vs_state,
+    )
+
+    sig_path = f"{out_path.rstrip('/')}_sigs"
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    mh_args = dict(n=n, num_hashes=num_hashes, bands=bands, seed=seed)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # (b) within-batch: pairwise smaller-id-wins rejection
+        pairs = minhash_lsh_pairs(
+            batch_df, threshold=threshold, max_bucket_size=None, **mh_args
+        )
+        batch_rejects = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        survivors = batch_df.join(batch_rejects, "doc_id", "left_anti")
+        new_state = minhash_state(survivors, **mh_args).localCheckpoint(eager=True)
+        # (a) vs the admitted-signature state
+        try:
+            state = spark.read.parquet(sig_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            state = spark.createDataFrame(
+                [], new_state.schema
+            )
+        hits = near_dup_pairs_vs_state(new_state, state, threshold=threshold)
+        admit_ids = new_state.select("doc_id").join(
+            hits.select(F.col("new_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        admitted = survivors.join(admit_ids, "doc_id").localCheckpoint(eager=True)
+        admitted.write.mode("append").parquet(out_path)
+        new_state.join(admit_ids, "doc_id").write.mode("append").parquet(sig_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

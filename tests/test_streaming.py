@@ -192,6 +192,55 @@ def test_corpus_ingest_stream_dedupes_across_batches(spark, tmp_path_factory):
     assert got3 == got2
 
 
+def test_near_dedup_ingest_rejects_across_and_within_batches(spark, tmp_path_factory):
+    """Streaming near-dup admission: a later-batch paraphrase of an
+    admitted doc is rejected via the SIGNATURE state (admitted text is
+    never rescanned); within a batch the smaller id wins; novel docs
+    admit; reruns with no new files change nothing."""
+    from aws_ipl_data_pipeline_spark.streaming.corpus import run_near_dedup_ingest
+
+    base = str(tmp_path_factory.mktemp("neardedup"))
+    docs_dir = f"{base}/drop"
+    schema = "doc_id long, text string"
+    s1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    s1_para = "the quick brown fox jumps over the lazy cat near the river bank"
+    s2 = "completely different second document about spark query planning today"
+    b1 = spark.createDataFrame(
+        [(1, s1), (2, s2), (3, s1_para)],  # 3 ~ 1 within-batch → reject 3
+        schema,
+    )
+    b1.write.parquet(f"{docs_dir}/f1.parquet")
+    kwargs = dict(
+        docs_dir=f"{docs_dir}/*",
+        out_path=f"{base}/admitted",
+        checkpoint_dir=f"{base}/ckpt",
+        schema=b1.schema,
+        threshold=0.5,
+    )
+    run_near_dedup_ingest(spark, **kwargs).awaitTermination(300)
+    got1 = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
+    assert got1 == {1, 2}
+    sigs = spark.read.parquet(f"{base}/admitted_sigs")
+    assert {r["doc_id"] for r in sigs.collect()} == {1, 2}
+    assert "text" not in sigs.columns  # state is signatures, not text
+
+    s3 = "a genuinely novel third document discussing window functions and joins"
+    spark.createDataFrame(
+        [(10, s1_para), (11, s3), (12, s3)],  # 10 ~ admitted 1; 12 = copy of 11
+        schema,
+    ).write.parquet(f"{docs_dir}/f2.parquet")
+    run_near_dedup_ingest(spark, **kwargs).awaitTermination(300)
+    got2 = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
+    assert got2 == {1, 2, 11}
+
+    run_near_dedup_ingest(spark, **kwargs).awaitTermination(300)
+    got3 = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
+    assert got3 == got2
+    assert {
+        r["doc_id"] for r in spark.read.parquet(f"{base}/admitted_sigs").collect()
+    } == got2
+
+
 def test_ivf_index_ingest_stream_equals_batch_build(spark, tmp_path_factory):
     """Streamed IVF index maintenance: after two micro-batches of new
     vectors append to the partitioned index (frozen centroids), probing
