@@ -267,6 +267,40 @@ def cmd_prep(args) -> None:
         out = quality_classifier_score(
             df, id_col=args.id_col, text_col=args.text_col
         )
+    elif args.action == "neardedup":
+        from pyspark.sql import functions as F
+
+        from aws_ipl_data_pipeline_spark.operators.dedup import (
+            incremental_near_dedup,
+        )
+
+        if not args.old_path:
+            sys.exit("prep neardedup requires --old-path (the admitted corpus)")
+        corpus = spark.read.parquet(args.old_path)
+        hits = incremental_near_dedup(
+            df,
+            corpus,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            threshold=args.threshold,
+        )
+        out = df.join(
+            hits.select(F.col("new_id").alias(args.id_col)).distinct(),
+            args.id_col,
+            "left_anti",
+        )
+    elif args.action == "embdedup":
+        from aws_ipl_data_pipeline_spark.operators.dedup import (
+            embedding_cosine_pairs_ivf,
+        )
+
+        out = embedding_cosine_pairs_ivf(
+            df,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            threshold=args.threshold,
+            n_cells=args.k,
+        )
     else:  # kmeans
         from aws_ipl_data_pipeline_spark.operators.clustering import kmeans_fit
 
@@ -365,7 +399,8 @@ def build_parser() -> argparse.ArgumentParser:
         help=(
             "training-data prep: chunk | pack | mix (temperature) | kmeans"
             " | segdedup (duplicate-segment excision) | domaincap"
-            " | score (quality classifier)"
+            " | score (quality classifier) | neardedup (batch-vs-corpus"
+            " near-dup admission) | embdedup (IVF-celled embedding pairs)"
         ),
     )
     pr.add_argument(
@@ -380,7 +415,18 @@ def build_parser() -> argparse.ArgumentParser:
             "domaincap",
             "score",
             "diff",
+            "neardedup",
+            "embdedup",
         ],
+    )
+    pr.add_argument(
+        "--threshold",
+        type=float,
+        default=0.8,
+        help=(
+            "neardedup: jaccard admission threshold; embdedup: cosine"
+            " near-dup threshold"
+        ),
     )
     pr.add_argument(
         "--window-tokens",

@@ -318,3 +318,38 @@ def test_cli_prep_diff(spark, tmp_path_factory):
     )
     got = {r["doc_id"]: r["status"] for r in spark.read.parquet(f"{base}/out").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "added"}
+
+
+def test_cli_prep_neardedup_and_embdedup(spark, tmp_path_factory):
+    """prep neardedup writes the admitted (non-near-dup) subset of the
+    batch vs the corpus; prep embdedup writes IVF-celled cosine pairs."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("prepnd"))
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    d = spark.read.parquet(docs)
+    d.where(F.col("doc_id") % 10 == 0).write.parquet(f"{base}/batch")
+    d.where(F.col("doc_id") % 10 != 0).write.parquet(f"{base}/corpus")
+    main(
+        [
+            "prep", "neardedup", "--path", f"{base}/batch",
+            "--old-path", f"{base}/corpus", "--out", f"{base}/admitted",
+            "--threshold", "0.8",
+        ]
+    )
+    admitted = spark.read.parquet(f"{base}/admitted")
+    n_batch = spark.read.parquet(f"{base}/batch").count()
+    # the sf0.001 cross-split near-dups (10 pairs hit distinct new ids)
+    assert 0 < admitted.count() < n_batch
+    assert set(admitted.columns) == set(d.columns)
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    main(
+        [
+            "prep", "embdedup", "--path", emb, "--out", f"{base}/pairs",
+            "--id-col", "vec_id", "--threshold", "0.4", "--k", "16",
+        ]
+    )
+    pairs = spark.read.parquet(f"{base}/pairs")
+    assert pairs.count() > 0
+    assert set(pairs.columns) == {"id_a", "id_b", "cos_sim"}
