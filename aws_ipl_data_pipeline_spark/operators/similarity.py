@@ -114,10 +114,16 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket plus buckets
     within ``probe_hamming`` bit flips. Scans ~ (1+bits)/2^bits of the
-    table instead of all of it."""
+    table instead of all of it.
+
+    Pass ``bucketed`` (a prior ``add_lsh_bucket(emb, planes)`` result
+    with the SAME bits/seed) to query a materialized bucket table —
+    the production shape, where the corpus is bucketed once at write
+    time and queries only probe."""
     dim = len(query_vec)
     planes = random_hyperplanes(dim, bits, seed)
     q_bucket = 0
@@ -133,7 +139,8 @@ def lsh_bucketed_topk(
             for j in range(i + 1, bits):
                 probes.add(q_bucket ^ (1 << i) ^ (1 << j))
 
-    bucketed = add_lsh_bucket(emb, planes, vec_col)
+    if bucketed is None:
+        bucketed = add_lsh_bucket(emb, planes, vec_col)
     candidates = bucketed.where(F.col("bucket").isin(list(probes)))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
@@ -206,19 +213,28 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     exclude_id: int | None = None,
+    centroids: list[list[float]] | None = None,
+    celled: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF cell probing: scan only the ``n_probe``
     cells whose centroids are nearest the query. Recall is tunable via
     n_probe/n_cells; at n_probe == n_cells this degrades gracefully to
-    the exact scan."""
-    centroids = select_centroids(emb, n_cells, id_col, vec_col, seed)
+    the exact scan.
+
+    Pass ``centroids``/``celled`` (a prior ``select_centroids`` +
+    ``add_ivf_cell`` build) to query a materialized index — the
+    production shape (see ``write_ivf_index``/``probe_ivf_index`` for
+    the on-disk partitioned form)."""
+    if centroids is None:
+        centroids = select_centroids(emb, n_cells, id_col, vec_col, seed)
     uq = _unit([float(x) for x in query_vec])
     scored = sorted(
         range(len(centroids)),
         key=lambda i: -sum(a * b for a, b in zip(uq, centroids[i])),
     )
     probes = scored[: min(n_probe, len(scored))]
-    celled = add_ivf_cell(emb, centroids, vec_col)
+    if celled is None:
+        celled = add_ivf_cell(emb, centroids, vec_col)
     candidates = celled.where(F.col("cell").isin(probes))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_id)
 
