@@ -512,6 +512,22 @@ def test_r5_decorrelation_shapes(spark):
     assert "CartesianProduct" not in p20
 
 
+def test_r5_dedup_shapes(spark):
+    """IVF-celled embedding dedup: the only shuffle is the cell key
+    (one hash Exchange into the per-cell GEMM), never a cartesian.
+    Incremental near-dup: the batch side (bands and verification sets)
+    must ride broadcast joins — the corpus is never self-joined."""
+    p = formatted_plan(spark, "dedup_embedding_cosine_ivf")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"Arguments: hashpartitioning\(cell", p)) >= 1
+    assert _nodes(p, "SortMergeJoin") == 0
+
+    p2 = formatted_plan(spark, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in p2
+    assert _nodes(p2, "BroadcastHashJoin") >= 2  # band keys + verify sets
+    assert "BroadcastNestedLoopJoin" not in p2
+
+
 def test_sessionize_single_user_partitioning(spark):
     """Sessionization: the lag window, the prefix-sum window, and the
     per-session rollup all ride ONE user_id hash partitioning — the

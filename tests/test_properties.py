@@ -589,3 +589,69 @@ def test_substring_dedup_matches_python_model(docs):
         for r in substring_dedup(df, k=k).collect()
     }
     assert got == expected
+
+
+_ND_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omega", "kappa"]
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 24),
+        st.lists(st.sampled_from(_ND_WORDS), min_size=3, max_size=10),
+        min_size=2,
+        max_size=14,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_incremental_near_dedup_precision_and_exact_recall(docs):
+    """Sound invariants of the approximate operator (never a full-recall
+    claim — banding recall <1 is the documented contract): (1) PRECISION
+    is exact — every returned pair's jaccard matches a python trigram
+    reference and clears the threshold; (2) EXACT duplicates (identical
+    normalized text ⇒ identical signatures ⇒ guaranteed band collision)
+    across the split are always found; (3) output is invariant under
+    input repartitioning."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import incremental_near_dedup
+
+    spark = _get_spark()
+    rows = [(d, " ".join(ws)) for d, ws in sorted(docs.items())]
+    batch_rows = [(d, s) for d, s in rows if d % 2 == 0]
+    corpus_rows = [(d, s) for d, s in rows if d % 2 == 1]
+    if not batch_rows or not corpus_rows:
+        return
+    schema = "doc_id long, text string"
+    batch = spark.createDataFrame(batch_rows, schema)
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_near_dedup(batch, corpus, threshold=0.5).collect()
+    }
+
+    def tri(s):
+        w = s.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    ref = {}
+    for b, bs in batch_rows:
+        for c, cs in corpus_rows:
+            sa, sb = tri(bs), tri(cs)
+            if sa and sb:
+                ref[(b, c)] = len(sa & sb) / len(sa | sb)
+    # (1) precision: every returned pair is a true >=0.5 pair, value-exact
+    for key, j in got.items():
+        assert key in ref
+        assert ref[key] >= 0.5
+        assert abs(j - ref[key]) < 5e-4
+    # (2) exact-duplicate recall: identical text across the split is
+    # always caught (identical signature rows collide in every band)
+    for key, j in ref.items():
+        if j == 1.0:
+            assert key in got
+    # (3) partition invariance
+    got2 = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_near_dedup(
+            batch.repartition(5), corpus.repartition(3), threshold=0.5
+        ).collect()
+    }
+    assert got2 == got
