@@ -336,3 +336,67 @@ def bigram_perplexity(
         )
         .withColumn("ppl", F.round(F.exp(-F.col("avg_logp")), 2))
     )
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-time BM25 retrieval scoring (Robertson/Lucene idf form):
+
+        score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+        idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+    the lexical-retrieval complement to the dense ANN family — what a
+    RAG curation pipeline runs to pull candidate documents for a query
+    before semantic re-ranking.
+
+    Plan shape: per-term tf is an array-filter count on the tokenized
+    text (map-only; the query's few terms never explode the corpus);
+    the corpus statistics (N, Σ|d| for avgdl, per-term df) are ONE
+    combinable aggregation to a 1-row frame that broadcasts back, so
+    scoring is a second map-only pass — two corpus scans total, zero
+    corpus shuffles. In production the stats frame is a precomputed
+    index artifact and only the scoring scan remains. Returns
+    (id, dl, score) for docs matching ≥1 term, score rounded 4dp."""
+    t = tokens(text_col)
+
+    # closure factory, NOT a defaulted second lambda arg: F.filter
+    # passes the element INDEX to any 2-parameter lambda, which would
+    # silently shadow the default
+    def _tf(term: str):
+        return F.size(F.filter(t, lambda x: x == term))
+
+    base = docs.select(
+        F.col(id_col), F.size(t).alias("dl"),
+        *[_tf(term).alias(f"_tf{i}") for i, term in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("_N"),
+        F.sum("dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl") / F.col("_N")
+    norm = F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_N") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"_tf{i}")
+        score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+    return (
+        scored.withColumn("score", F.round(score, 4))
+        .where(sum((F.col(f"_tf{i}") for i in range(len(query_terms))), F.lit(0)) > 0)
+        .select(F.col(id_col).cast("long"), F.col("dl").cast("long"), "score")
+    )

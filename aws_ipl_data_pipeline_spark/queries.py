@@ -6163,6 +6163,169 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_vs_state(minhash_state(batch), state, threshold=0.8)
 
 
+_BM25_BASE_SQL = f"""
+    d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents),
+    base AS (
+      SELECT doc_id, len(tk) AS dl,
+             len(list_filter(tk, x -> x = 'hash')) AS tf0,
+             len(list_filter(tk, x -> x = 'join')) AS tf1,
+             len(list_filter(tk, x -> x = 'vector')) AS tf2
+      FROM d
+    ),
+    st AS (
+      SELECT COUNT(*) AS N, SUM(dl) AS sumdl,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM base
+    ),
+    sc AS (
+      SELECT doc_id, dl, tf0 + tf1 + tf2 AS anyt,
+             ln(1.0 + (N - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+               / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl * 1.0 / N)))
+           + ln(1.0 + (N - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+               / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl * 1.0 / N)))
+           + ln(1.0 + (N - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+               / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl * 1.0 / N)))
+             AS s
+      FROM base, st
+    )
+"""
+
+
+@register(
+    "bm25_retrieval",
+    f"""
+    WITH {_BM25_BASE_SQL}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dl AS BIGINT) AS dl,
+           round(s, 4) AS score
+    FROM sc WHERE anyt > 0
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time BM25 lexical retrieval (operators/text.bm25_score)
+    for the fixed query ["hash", "join", "vector"] — the classic
+    candidate-fetch a RAG curation pipeline runs before semantic
+    re-ranking. Per-term tf is a map-only array-filter count; the
+    corpus statistics frame (N, avgdl, per-term df) is one combinable
+    aggregation broadcast back; the full scored set is hash-checked
+    (not just a top-k), so every doc's tf/df/length-normalization
+    arithmetic must match the SQL derivation exactly."""
+    from aws_ipl_data_pipeline_spark.operators.text import bm25_score
+
+    return bm25_score(
+        t(spark, sf_dir, "documents"), ["hash", "join", "vector"]
+    )
+
+
+@register(
+    "hybrid_rank_fusion",
+    f"""
+    WITH {_BM25_BASE_SQL},
+    bm AS (
+      SELECT doc_id, round(s, 4) AS bscore FROM sc WHERE anyt > 0
+      ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 50
+    ),
+    bmr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bscore DESC, doc_id ASC) AS r1
+      FROM bm
+    ),
+    qf AS (
+      SELECT doc_id,
+             ln(1.0 + len(tk)) AS x1,
+             len(list_filter(tk,
+                 x -> x IN ('the','a','and','of','to','is','in'))) * 1.0
+               / greatest(len(tk), 1) AS x2,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+               / greatest(length(text), 1) AS x3,
+             list_sum(list_transform(tk, x -> length(x))) * 1.0
+               / greatest(len(tk), 1) AS x4,
+             len(list_distinct(tk)) * 1.0 / greatest(len(tk), 1) AS x5
+      FROM (SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS tk
+            FROM documents)
+    ),
+    qs AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(-1.0 + 0.35 * x1 + 2.0 * x2 - 3.0 * x3
+                                      - 0.15 * x4 + 1.2 * x5))), 4) AS qscore
+      FROM qf
+    ),
+    qtop AS (
+      SELECT doc_id, qscore FROM qs
+      ORDER BY qscore DESC, doc_id ASC LIMIT 50
+    ),
+    qr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY qscore DESC, doc_id ASC) AS r2
+      FROM qtop
+    ),
+    fused AS (
+      SELECT coalesce(bmr.doc_id, qr.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + r1), 0.0) + coalesce(1.0 / (60 + r2), 0.0)
+               AS rrf,
+             r1, r2
+      FROM bmr FULL OUTER JOIN qr ON qr.doc_id = bmr.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, round(rrf, 6) AS rrf,
+           CAST(r1 AS BIGINT) AS bm25_rank, CAST(r2 AS BIGINT) AS quality_rank
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two retrieval signals:
+    BM25 relevance for the fixed query and the model-based quality
+    score — the curation pattern that blends "matches the query" with
+    "is worth training on". Scale-honest shape: each side contributes
+    only its top-50 (TakeOrderedAndProject — never a global
+    corpus-wide rank window), the candidate union is ≤100 rows, and
+    fusion + final ranking happen on that tiny frame; docs missing
+    from one side contribute 0 from it (standard RRF over candidate
+    lists). Ranks are over 4dp-rounded scores with doc_id tiebreaks so
+    both engines rank identically."""
+    from aws_ipl_data_pipeline_spark.operators.text import (
+        bm25_score,
+        quality_classifier_score,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    bm = (
+        bm25_score(docs, ["hash", "join", "vector"])
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn(
+            "r1",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "r1")
+    )
+    qs = (
+        quality_classifier_score(docs)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn(
+            "r2",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "r2")
+    )
+    rrf = F.coalesce(1.0 / (60 + F.col("r1")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("r2")), F.lit(0.0)
+    )
+    return (
+        bm.join(qs, "doc_id", "full")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.round(rrf, 6).alias("rrf"),
+            F.col("r1").cast("long").alias("bm25_rank"),
+            F.col("r2").cast("long").alias("quality_rank"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 @register(
     "sql_udf_battery",
     """
@@ -6376,7 +6539,9 @@ _DRIVER_FIRST = [
     "sql_udf_battery",
     "dedup_embedding_cosine_ivf",
     "dedup_incremental_minhash",
-    # r5 slots 19-50: refresh of the 32 stalest surviving rows — every
+    "bm25_retrieval",
+    "hybrid_rank_fusion",
+    # r5 slots 21-50: refresh of the 30 stalest surviving rows — every
     # one below last earned its driver row in r2 (newest-row audit over
     # CORRECTNESS_r01..r04, see COVERAGE.md). The two rows-only r2
     # queries (approx_distinct_counts, near_dup_groups) yield their
@@ -6411,11 +6576,11 @@ _DRIVER_FIRST = [
     "filter_in_list",
     "filter_pattern",
     "deterministic_sample",
-    "slice_rows",
-    "running_totals",
     # past slot 50 from here — the r6 refresh queue, oldest first: the
     # remaining r2-stale rows (incl. the two rows-only ones), then the
     # r4-green sets follow in registration order via _reorder_registry
+    "slice_rows",
+    "running_totals",
     "lag_lookback",
     "rank_topk",
     "multi_key_sort_limit",

@@ -131,6 +131,8 @@ ROUND5 = [
     "sql_udf_battery",
     "dedup_embedding_cosine_ivf",
     "dedup_incremental_minhash",
+    "bm25_retrieval",
+    "hybrid_rank_fusion",
 ]
 
 
