@@ -6327,6 +6327,42 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_pipe_syntax",
+    """
+    SELECT o.o_orderpriority,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|>) — the linear FROM-first dialect
+    whose stages mirror the DataFrame API's method chain: WHERE → JOIN
+    → AGGREGATE ... GROUP BY → ORDER BY, each stage reading the
+    previous one's output. Catalyst compiles it to the identical plan
+    as the nested-SELECT form (the oracle is that plain form), so this
+    pins dialect equivalence by hash, not just parseability."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |> JOIN orders ON o_orderkey = l_orderkey
+        |> AGGREGATE round(SUM(l_extendedprice * (1 - l_discount)), 2)
+             AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
     "sql_udf_battery",
     """
     SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
@@ -6541,7 +6577,8 @@ _DRIVER_FIRST = [
     "dedup_incremental_minhash",
     "bm25_retrieval",
     "hybrid_rank_fusion",
-    # r5 slots 21-50: refresh of the 30 stalest surviving rows — every
+    "sql_pipe_syntax",
+    # r5 slots 22-50: refresh of the 29 stalest surviving rows — every
     # one below last earned its driver row in r2 (newest-row audit over
     # CORRECTNESS_r01..r04, see COVERAGE.md). The two rows-only r2
     # queries (approx_distinct_counts, near_dup_groups) yield their
@@ -6575,10 +6612,10 @@ _DRIVER_FIRST = [
     "filter_not_na",
     "filter_in_list",
     "filter_pattern",
-    "deterministic_sample",
     # past slot 50 from here — the r6 refresh queue, oldest first: the
     # remaining r2-stale rows (incl. the two rows-only ones), then the
     # r4-green sets follow in registration order via _reorder_registry
+    "deterministic_sample",
     "slice_rows",
     "running_totals",
     "lag_lookback",

@@ -133,6 +133,7 @@ ROUND5 = [
     "dedup_incremental_minhash",
     "bm25_retrieval",
     "hybrid_rank_fusion",
+    "sql_pipe_syntax",
 ]
 
 
