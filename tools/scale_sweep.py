@@ -178,7 +178,7 @@ def build_tpch(spark, mult: int, out: str) -> None:
 _TPCH_QUERIES = {
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
     "q12_late_shipments", "q20_potential_promotion", "q1_pricing_summary",
-    "sql_udf_battery",
+    "sql_udf_battery", "sql_pipe_syntax",
 }
 
 
