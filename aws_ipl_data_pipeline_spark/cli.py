@@ -299,7 +299,7 @@ def cmd_prep(args) -> None:
             id_col=args.id_col,
             vec_col=args.vec_col,
             threshold=args.threshold,
-            n_cells=args.k,
+            n_cells=args.n_cells,
         )
     else:  # kmeans
         from aws_ipl_data_pipeline_spark.operators.clustering import kmeans_fit
@@ -462,6 +462,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="pack: shard column (omit = global single-sequence layout)",
     )
     pr.add_argument("--k", type=int, default=8, help="kmeans: clusters")
+    pr.add_argument(
+        "--n-cells",
+        type=int,
+        default=16,
+        help=(
+            "embdedup: IVF cells (the recall/cost dial; scale with the"
+            " corpus so a cell fits an executor core)"
+        ),
+    )
     pr.add_argument("--vec-col", default="embedding")
     pr.set_defaults(fn=cmd_prep)
 

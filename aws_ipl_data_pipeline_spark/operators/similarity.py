@@ -436,12 +436,23 @@ def probe_ivf_index(
     """Query a materialized IVF index: rank cells by centroid dot
     product driver-side (k×dim floats — index metadata, not data),
     read ONLY those partitions (cell IN (...) prunes at the directory
-    level), brute-force the survivors."""
+    level), brute-force the survivors.
+
+    Candidates dedupe by id before ranking: the streaming maintenance
+    path (streaming/ann.run_ivf_index_ingest) is at-least-once — a
+    retried batch can append the same vectors twice — and without the
+    dedupe a duplicated near neighbor would occupy two of the k result
+    rows. The dedupe shuffles only the probed subset, and a periodic
+    per-cell compaction removes the physical duplicates."""
     uq = _unit([float(x) for x in query_vec])
     order = sorted(
         range(len(centroids)),
         key=lambda i: -sum(a * b for a, b in zip(uq, centroids[i])),
     )
     probes = order[: min(n_probe, len(order))]
-    candidates = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    candidates = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probes))
+        .dropDuplicates([id_col])
+    )
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_id)

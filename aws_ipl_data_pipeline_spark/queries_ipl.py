@@ -68,18 +68,18 @@ def _raw_df(spark: SparkSession) -> DataFrame:
 # fixture synthesis (~2.2 s/iteration before this, VERDICT r4 #8). In
 # production the analog is silver being a materialized table, which the
 # real pipeline writes before gold reads (streaming/pipeline.py).
+# Backed by the shared applicationId-keyed memo in queries.py.
 # ---------------------------------------------------------------------------
-
-_FIXTURE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _session_fixture(spark: SparkSession, key: str, build) -> DataFrame:
-    ck = (spark.sparkContext.applicationId, key)
-    df = _FIXTURE_CACHE.get(ck)
-    if df is None:
-        df = build().localCheckpoint(eager=True)
-        _FIXTURE_CACHE[ck] = df
-    return df
+    from aws_ipl_data_pipeline_spark.queries import session_memo
+
+    return session_memo(
+        spark,
+        ("ipl_fixture", key),
+        lambda: build().localCheckpoint(eager=True),
+    )
 
 
 # SQL implementation of the reference event parse + innings fold,

@@ -15,8 +15,10 @@ files accumulate).
 
 Exactly-once story: the file source tracks processed input files in the
 checkpoint, and the index append is the batch's ONLY write — a retry
-after a crash re-appends the same vectors, which dedup-by-id at query
-time tolerates and a periodic compaction removes; same
+after a crash re-appends the same vectors. The read path absorbs that:
+`probe_ivf_index` dedupes candidates by id before ranking (so a
+duplicated neighbor can never occupy two of the k result rows), and a
+periodic per-cell compaction removes the physical duplicates; same
 at-least-once-then-dedupe posture as the corpus ingest stream.
 """
 

@@ -207,9 +207,18 @@ def run_near_dedup_ingest(
     (near_dup_groups) slots in here if canonical-per-cluster admission
     is wanted instead.
 
+    Documents too short to produce a single n-token shingle have no
+    signature and can never near-dup anything — they ADMIT (rejection
+    is an explicit hit, never an absence-of-signature accident), same
+    as the batch `prep neardedup` CLI path.
+
     Crash posture mirrors run_corpus_ingest: the document append
-    precedes the signature append, so a retry re-rejects (never loses)
-    documents.
+    precedes the signature append, so a crash between the two causes a
+    retry to RE-ADMIT the batch (duplicate rows in ``out_path``, which
+    a digest/id dedupe on read absorbs) rather than lose documents —
+    the at-least-once-then-dedupe posture. The opposite order would
+    silently drop the batch: signatures present, docs absent, and the
+    retry would reject everything against its own ghost signatures.
     """
     from aws_ipl_data_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -241,14 +250,23 @@ def run_near_dedup_ingest(
                 [], new_state.schema
             )
         hits = near_dup_pairs_vs_state(new_state, state, threshold=threshold)
-        admit_ids = new_state.select("doc_id").join(
-            hits.select(F.col("new_id").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_anti",
+        # pin the tiny REJECT set once: both writes below derive from
+        # it, and without this the state scan + collision joins would
+        # re-run for the signature append (the heavy lineage is `hits`)
+        reject_ids = (
+            hits.select(F.col("new_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        admitted = survivors.join(admit_ids, "doc_id").localCheckpoint(eager=True)
+        # anti-join against explicit hits, NOT inner-join against the
+        # signature frame: a doc too short to shingle has no state row
+        # but is trivially novel and must admit
+        admitted = survivors.join(reject_ids, "doc_id", "left_anti")
+        admitted = admitted.localCheckpoint(eager=True)
         admitted.write.mode("append").parquet(out_path)
-        new_state.join(admit_ids, "doc_id").write.mode("append").parquet(sig_path)
+        new_state.join(reject_ids, "doc_id", "left_anti").write.mode(
+            "append"
+        ).parquet(sig_path)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

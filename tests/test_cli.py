@@ -347,7 +347,7 @@ def test_cli_prep_neardedup_and_embdedup(spark, tmp_path_factory):
     main(
         [
             "prep", "embdedup", "--path", emb, "--out", f"{base}/pairs",
-            "--id-col", "vec_id", "--threshold", "0.4", "--k", "16",
+            "--id-col", "vec_id", "--threshold", "0.4", "--n-cells", "16",
         ]
     )
     pairs = spark.read.parquet(f"{base}/pairs")

@@ -206,7 +206,10 @@ def test_near_dedup_ingest_rejects_across_and_within_batches(spark, tmp_path_fac
     s1_para = "the quick brown fox jumps over the lazy cat near the river bank"
     s2 = "completely different second document about spark query planning today"
     b1 = spark.createDataFrame(
-        [(1, s1), (2, s2), (3, s1_para)],  # 3 ~ 1 within-batch → reject 3
+        # 3 ~ 1 within-batch → reject 3; 4 is TOO SHORT to shingle
+        # (no signature row) and must still admit — rejection is an
+        # explicit near-dup hit, never an absent-signature accident
+        [(1, s1), (2, s2), (3, s1_para), (4, "tiny doc")],
         schema,
     )
     b1.write.parquet(f"{docs_dir}/f1.parquet")
@@ -219,9 +222,9 @@ def test_near_dedup_ingest_rejects_across_and_within_batches(spark, tmp_path_fac
     )
     run_near_dedup_ingest(spark, **kwargs).awaitTermination(300)
     got1 = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
-    assert got1 == {1, 2}
+    assert got1 == {1, 2, 4}
     sigs = spark.read.parquet(f"{base}/admitted_sigs")
-    assert {r["doc_id"] for r in sigs.collect()} == {1, 2}
+    assert {r["doc_id"] for r in sigs.collect()} == {1, 2}  # 4: no shingles
     assert "text" not in sigs.columns  # state is signatures, not text
 
     s3 = "a genuinely novel third document discussing window functions and joins"
@@ -231,14 +234,14 @@ def test_near_dedup_ingest_rejects_across_and_within_batches(spark, tmp_path_fac
     ).write.parquet(f"{docs_dir}/f2.parquet")
     run_near_dedup_ingest(spark, **kwargs).awaitTermination(300)
     got2 = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
-    assert got2 == {1, 2, 11}
+    assert got2 == {1, 2, 4, 11}
 
     run_near_dedup_ingest(spark, **kwargs).awaitTermination(300)
     got3 = {r["doc_id"] for r in spark.read.parquet(f"{base}/admitted").collect()}
     assert got3 == got2
     assert {
         r["doc_id"] for r in spark.read.parquet(f"{base}/admitted_sigs").collect()
-    } == got2
+    } == got2 - {4}
 
 
 def test_ivf_index_ingest_stream_equals_batch_build(spark, tmp_path_factory):
@@ -303,6 +306,19 @@ def test_ivf_index_ingest_stream_equals_batch_build(spark, tmp_path_factory):
     ).collect()
     exact = brute_force_topk(emb, q, k=10, exclude_id=7).collect()
     assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+
+    # retry simulation: re-ingest the SAME files under a fresh
+    # checkpoint (= the crash-between-append-and-commit case) — the
+    # index now holds duplicate vector rows, and the probe's
+    # dedup-by-id must absorb them (identical results, no vec_id twice)
+    run_ivf_index_ingest(
+        spark, **{**kwargs, "checkpoint_dir": f"{base}/ckpt_retry"}
+    ).awaitTermination(300)
+    assert spark.read.parquet(f"{base}/index").count() > emb.count()
+    retried = probe_ivf_index(
+        spark, f"{base}/index", cents, q, k=10, n_probe=8, exclude_id=7
+    ).collect()
+    assert [tuple(r) for r in retried] == [tuple(r) for r in exact]
 
 
 def test_segment_dedup_stream_equals_batch(spark, tmp_path_factory):
