@@ -172,3 +172,59 @@ def temperature_mix(
         F.broadcast(rates), F.col(source_col).eqNullSafe(F.col("_src_key"))
     ).drop("_src_key")
     return weighted_sample(joined, F.col("keep_prob"), id_col, buckets)
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-based curriculum ordering — the classic short→long
+    training schedule: documents tier into quartiles by token count
+    (easy→hard), and within each (tier, shard) get a deterministic
+    pseudo-random rank (md5 of the id — retry-stable, no RNG state).
+    Consumption order is (tier asc, interleave shards by rank).
+
+    Scale shape: the quartile thresholds are ONE exact-percentile
+    aggregation to a 1-row frame broadcast back (≡ quantile_cont, the
+    robust_outlier_stats convention), so tier assignment is map-side;
+    the shuffle rank is a window per (tier, shard) — shard-namespaced
+    like sequence packing, so no single-partition window ever exists
+    and n_shards is the parallelism dial. Returns
+    (id, n_tokens, tier, shard, rank_in_shard)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    d = docs.select(
+        F.col(id_col),
+        F.size(F.split(normalized_text(text_col), " ")).alias("n_tokens"),
+    )
+    q = d.agg(
+        F.expr("percentile(n_tokens, array(0.25, 0.5, 0.75))").alias("_q")
+    ).select(
+        F.col("_q")[0].alias("_t25"),
+        F.col("_q")[1].alias("_t50"),
+        F.col("_q")[2].alias("_t75"),
+    )
+    tier = (
+        F.when(F.col("n_tokens") <= F.col("_t25"), 0)
+        .when(F.col("n_tokens") <= F.col("_t50"), 1)
+        .when(F.col("n_tokens") <= F.col("_t75"), 2)
+        .otherwise(3)
+    )
+    t = d.crossJoin(F.broadcast(q)).select(
+        id_col,
+        "n_tokens",
+        tier.alias("tier"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+    )
+    w = Window.partitionBy("tier", "shard").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return t.select(
+        F.col(id_col).cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("tier").cast("long"),
+        F.col("shard").cast("long"),
+        F.row_number().over(w).cast("long").alias("rank_in_shard"),
+    )

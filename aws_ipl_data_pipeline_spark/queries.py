@@ -6327,6 +6327,51 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curriculum_order",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents
+    ),
+    q AS (
+      SELECT quantile_cont(n_tokens, 0.25) AS t25,
+             quantile_cont(n_tokens, 0.5) AS t50,
+             quantile_cont(n_tokens, 0.75) AS t75
+      FROM d
+    ),
+    t AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= t25 THEN 0
+                  WHEN n_tokens <= t50 THEN 1
+                  WHEN n_tokens <= t75 THEN 2
+                  ELSE 3 END AS tier,
+             doc_id % 8 AS shard
+      FROM d, q
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tier AS BIGINT) AS tier,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY tier, shard
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ) AS BIGINT) AS rank_in_shard
+    FROM t
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum ordering
+    (operators/sampling.curriculum_order): quartile difficulty tiers
+    from ONE exact-percentile agg broadcast back (≡ quantile_cont),
+    deterministic md5 shuffle rank per (tier, shard) — the
+    shard-namespaced window discipline, so curriculum layout
+    parallelizes like packing. Full output hash-checked."""
+    from aws_ipl_data_pipeline_spark.operators.sampling import curriculum_order
+
+    return curriculum_order(t(spark, sf_dir, "documents"))
+
+
+@register(
     "sql_pipe_syntax",
     """
     SELECT o.o_orderpriority,
@@ -6578,7 +6623,8 @@ _DRIVER_FIRST = [
     "bm25_retrieval",
     "hybrid_rank_fusion",
     "sql_pipe_syntax",
-    # r5 slots 22-50: refresh of the 29 stalest surviving rows — every
+    "curriculum_order",
+    # r5 slots 23-50: refresh of the 28 stalest surviving rows — every
     # one below last earned its driver row in r2 (newest-row audit over
     # CORRECTNESS_r01..r04, see COVERAGE.md). The two rows-only r2
     # queries (approx_distinct_counts, near_dup_groups) yield their
@@ -6611,10 +6657,10 @@ _DRIVER_FIRST = [
     "dedup_ngram_jaccard",
     "filter_not_na",
     "filter_in_list",
-    "filter_pattern",
     # past slot 50 from here — the r6 refresh queue, oldest first: the
     # remaining r2-stale rows (incl. the two rows-only ones), then the
     # r4-green sets follow in registration order via _reorder_registry
+    "filter_pattern",
     "deterministic_sample",
     "slice_rows",
     "running_totals",

@@ -134,6 +134,7 @@ ROUND5 = [
     "bm25_retrieval",
     "hybrid_rank_fusion",
     "sql_pipe_syntax",
+    "curriculum_order",
 ]
 
 
