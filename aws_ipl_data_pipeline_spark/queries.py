@@ -6327,6 +6327,61 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_EMB_EXPAND},
+    norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM exd GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+      FROM exd a JOIN exd b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b
+      FROM dots JOIN norms na ON dots.id_a = na.vec_id
+                JOIN norms nb ON dots.id_b = nb.vec_id
+      WHERE dot / (na.nrm * nb.nrm) >= 0.4
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(x, y) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+    ),
+    labels AS (
+      SELECT x AS vec_id, LEAST(x, MIN(y)) AS group_id FROM reach GROUP BY x
+    )
+    SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY group_id HAVING COUNT(*) > 1
+    """,
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic duplicate clustering: connected
+    components over the EXACT embedding-cosine pair graph (≥0.4) —
+    paraphrase clusters that lexical dedup can't see, labeled by
+    min-id propagation (the same iterative CC loop as
+    near_dup_clusters, linear per round) and checked against a DuckDB
+    recursive-CTE transitive closure. Edges come from the blocked GEMM
+    plan (no CartesianProduct); at corpus scale swap in the IVF-celled
+    pair generator (dedup_embedding_cosine_ivf) as the edge source —
+    identical downstream clustering."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_blocked,
+        near_dup_groups,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs_blocked(emb, id_col="vec_id", threshold=0.4)
+    groups = near_dup_groups(emb, pairs=pairs, id_col="vec_id")
+    return (
+        groups.groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .select(F.col("group_id").cast("long"), "n_members")
+    )
+
+
+@register(
     "curriculum_order",
     f"""
     WITH d AS (
@@ -6624,7 +6679,8 @@ _DRIVER_FIRST = [
     "hybrid_rank_fusion",
     "sql_pipe_syntax",
     "curriculum_order",
-    # r5 slots 23-50: refresh of the 28 stalest surviving rows — every
+    "semantic_dedup_clusters",
+    # r5 slots 24-50: refresh of the 27 stalest surviving rows — every
     # one below last earned its driver row in r2 (newest-row audit over
     # CORRECTNESS_r01..r04, see COVERAGE.md). The two rows-only r2
     # queries (approx_distinct_counts, near_dup_groups) yield their
@@ -6656,10 +6712,10 @@ _DRIVER_FIRST = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "filter_not_na",
-    "filter_in_list",
     # past slot 50 from here — the r6 refresh queue, oldest first: the
     # remaining r2-stale rows (incl. the two rows-only ones), then the
     # r4-green sets follow in registration order via _reorder_registry
+    "filter_in_list",
     "filter_pattern",
     "deterministic_sample",
     "slice_rows",

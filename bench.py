@@ -135,6 +135,7 @@ ROUND5 = [
     "hybrid_rank_fusion",
     "sql_pipe_syntax",
     "curriculum_order",
+    "semantic_dedup_clusters",
 ]
 
 
