@@ -6364,7 +6364,13 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure. Edges come from the blocked GEMM
     plan (no CartesianProduct); at corpus scale swap in the IVF-celled
     pair generator (dedup_embedding_cosine_ivf) as the edge source —
-    identical downstream clustering."""
+    identical downstream clustering.
+
+    Cost note: convergence rounds = component diameter (~31 hops at
+    sf0.1's 0.4-threshold graph → ~7.5 s), each round one linear join;
+    production graphs with long weak-link chains would switch to the
+    large-star/small-star contraction (O(log n) rounds) — the label
+    loop here keeps the oracle-provable simple form."""
     from aws_ipl_data_pipeline_spark.operators.dedup import (
         embedding_cosine_pairs_blocked,
         near_dup_groups,
@@ -6372,7 +6378,10 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = embedding_cosine_pairs_blocked(emb, id_col="vec_id", threshold=0.4)
-    groups = near_dup_groups(emb, pairs=pairs, id_col="vec_id")
+    # a 0.4-cosine graph on dense synthetic vectors has long weak-link
+    # chains (sf0.1 measured component diameter > 10): the convergence
+    # bound is the chain length, each round stays linear
+    groups = near_dup_groups(emb, pairs=pairs, id_col="vec_id", max_iter=40)
     return (
         groups.groupBy("group_id")
         .agg(F.count("*").cast("long").alias("n_members"))
