@@ -21,6 +21,8 @@ clusters.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,4 +134,113 @@ def kmeans_fit(
         )
     raise RuntimeError(
         f"k-means did not converge within {max_iter} iterations"
+    )
+
+
+def _dist2_int(qcol: str, centroid: list[int]) -> Column:
+    """Exact integer squared-L2 to a literal quantized centroid: every
+    term is a bigint product (|diff| ≤ 2·scale·max|x| ≈ 1.2e6, squared
+    ≤ 1.5e12, ×64 dims ≈ 1e14 — comfortably inside int64), so the fold
+    is bit-identical under ANY summation order and on any engine."""
+    lit_vec = F.array(*[F.lit(int(x)).cast("long") for x in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(qcol), lit_vec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_fit_fixed_int(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's algorithm in ORACLE-EXACT integer arithmetic: the
+    cross-engine-provable companion to ``kmeans_fit`` (VERDICT r5
+    item 5). Same seeding shape and same per-iteration dataflow as the
+    production float path — assignment is a map-only argmin over
+    unrolled centroid expressions, the update is one skinny
+    (cluster, dim) shuffle, and only O(k·dim) means ever reach the
+    driver — but every number is deterministic across engines:
+
+    * vectors quantize once to bigints (round(x·scale)) — float means
+      are order-dependent in the last ulp across shuffle orders and
+      engines, integer sums are not;
+    * distances are exact int64 folds (no IEEE accumulation at all);
+    * the centroid update rounds the exact rational mean S/n half-up
+      via floor((2·s + n) / (2·n)) computed in double — inputs ≤ 4e9
+      are exactly representable and IEEE division/floor are correctly
+      rounded, so DuckDB's FLOOR of the same expression is
+      bit-identical;
+    * exactly ``iters`` update rounds, no convergence check: the
+      replica is a pure function of (data, k, iters, scale).
+
+    Seeds are the ``k`` vectors with the lowest md5('km:' || id)
+    (centroid ids 0..k-1 in that order); empty clusters keep their
+    previous centroid, matching kmeans_fit's contract. Returns the
+    final assignment (id, centroid_id, dist2) with exact integer
+    dist2."""
+    q = emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(
+            vec_col,
+            lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0).cast(
+                "long"
+            ),
+        ).alias("_xq"),
+    )
+    seed_rows = (
+        q.orderBy(
+            F.md5(F.concat(F.lit("km:"), F.col(id_col).cast("string"))), id_col
+        )
+        .limit(k)
+        .collect()
+    )
+    cents: dict[int, list[int]] = {
+        j: [int(x) for x in r["_xq"]] for j, r in enumerate(seed_rows)
+    }
+
+    def _assign(c: dict[int, list[int]]) -> DataFrame:
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2_int("_xq", vec).alias("d2"),
+                        F.lit(int(cid)).cast("long").alias("cid"),
+                    )
+                    for cid, vec in sorted(c.items())
+                ]
+            )
+        )
+        return q.select(
+            id_col,
+            "_xq",
+            best["cid"].alias("centroid_id"),
+            best["d2"].alias("dist2"),
+        )
+
+    for _ in range(iters):
+        sums = (
+            _assign(cents)
+            .select("centroid_id", F.posexplode("_xq").alias("i", "x"))
+            .groupBy("centroid_id", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cents = {cid: list(vec) for cid, vec in cents.items()}
+        for r in sums:
+            # round-half-up of the exact rational mean s/n, via the
+            # same double-division-then-floor both engines evaluate
+            new_cents[int(r["centroid_id"])][int(r["i"])] = int(
+                math.floor((2 * r["s"] + r["n"]) / (2 * r["n"]))
+            )
+        cents = new_cents
+
+    return _assign(cents).select(
+        id_col,
+        F.col("centroid_id"),
+        F.col("dist2"),
     )

@@ -56,9 +56,16 @@ _SESSION_MEMO: dict[tuple, object] = {}
 
 
 def session_memo(spark: SparkSession, key: tuple, build):
-    ck = (spark.sparkContext.applicationId,) + key
+    app_id = spark.sparkContext.applicationId
+    ck = (app_id,) + key
     v = _SESSION_MEMO.get(ck)
     if v is None:
+        # evict entries from other (stopped) Spark apps before inserting:
+        # their values hold checkpointed DataFrames referencing dead
+        # SparkContexts and would otherwise accumulate for the process
+        # lifetime across sessions (ADVICE r5)
+        for stale in [k for k in _SESSION_MEMO if k[0] != app_id]:
+            del _SESSION_MEMO[stale]
         v = build()
         _SESSION_MEMO[ck] = v
     return v
@@ -1322,13 +1329,13 @@ def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering, oracle-proven: connected components (min-
-    label propagation) over the EXACT jaccard pair graph, checked
-    against a DuckDB recursive-CTE transitive closure. The iterative
-    Spark loop is the 100 TB path (closure materialization is
-    quadratic in component size; label propagation is linear per
-    round); this query pins that the loop computes the same
-    components."""
+    """Near-dup clustering, oracle-proven: connected components
+    (large-star/small-star contraction, O(log n) rounds) over the
+    EXACT jaccard pair graph, checked against a DuckDB recursive-CTE
+    transitive closure. The iterative Spark contraction is the 100 TB
+    path (closure materialization is quadratic in component size;
+    contraction is linear per round with a logarithmic round count);
+    this query pins that it computes the same components."""
     from aws_ipl_data_pipeline_spark.operators.dedup import (
         near_dup_groups,
         shingle_jaccard_pairs,
@@ -1348,8 +1355,8 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("near_dup_groups")  # rows-only: iterative algorithm (connected components)
 def near_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the
-    MinHash pair graph via min-label propagation. Returns per-cluster
-    sizes for clusters with >1 member."""
+    MinHash pair graph via large-star/small-star contraction. Returns
+    per-cluster sizes for clusters with >1 member."""
     from aws_ipl_data_pipeline_spark.operators.dedup import near_dup_groups
 
     groups = near_dup_groups(t(spark, sf_dir, "documents"), threshold=0.8)
@@ -5861,7 +5868,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
            round(part_value, 2) AS part_value
     FROM pv, tot
-    WHERE part_value > 1.5 * total / nparts
+    WHERE round(part_value, 2) > round(1.5 * total / nparts, 2)
     ORDER BY part_value DESC, p_partkey ASC
     LIMIT 100
     """,
@@ -5890,9 +5897,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pv.agg(
         F.sum("part_value").alias("total"), F.count("*").alias("nparts")
     )
+    # threshold compare on 2dp-rounded values BOTH sides (oracle too):
+    # part_value and the mean threshold are order-dependent float sums,
+    # so an unrounded compare could flip a row within an ulp of the
+    # boundary; part_value is cents-exact (sum of 2dp money, fp noise
+    # ~1e-9 against a 0.005 boundary gap), making the rounded compare
+    # deterministic cross-engine (ADVICE r5)
     return (
         pv.crossJoin(F.broadcast(tot))
-        .where(F.col("part_value") > 1.5 * F.col("total") / F.col("nparts"))
+        .where(
+            F.round("part_value", 2)
+            > F.round(1.5 * F.col("total") / F.col("nparts"), 2)
+        )
         .select(
             F.col("l_partkey").cast("long").alias("p_partkey"),
             F.round("part_value", 2).alias("part_value"),
@@ -5943,7 +5959,11 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+            # ~high is NULL for NULL priority -> otherwise(0), matching
+            # the SQL "NOT IN" CASE which buckets NULL in NEITHER count
+            # (when(high,0).otherwise(1) would count NULL as low —
+            # latent desync flagged in ADVICE r5)
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
         .orderBy("l_linestatus")
     )
@@ -6035,10 +6055,12 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine_ivf",
-    f"""
-    WITH {_EMB_EXPAND},
+# Cell-exact IVF pair spec, shared by dedup_embedding_cosine_ivf and
+# semantic_dedup_clusters_ivf: re-derives the deterministic centroids
+# (ann_ivf_topk's md5-draw recipe), reproduces the dot-argmax cell
+# assignment, and scores exact cosine over exactly the same-cell
+# candidate pairs. Yields ivf_pairs(id_a, id_b, cs).
+_IVF_PAIRS_SQL = """
     cent_ids AS (
       SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
         SELECT vec_id,
@@ -6078,12 +6100,23 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN exd ea ON ea.vec_id = c.id_a
       JOIN exd eb ON eb.vec_id = c.id_b AND eb.i = ea.i
       GROUP BY 1, 2
+    ),
+    ivf_pairs AS (
+      SELECT dots.id_a, dots.id_b, dot / (na.nrm * nb.nrm) AS cs
+      FROM dots JOIN norms na ON dots.id_a = na.vec_id
+                JOIN norms nb ON dots.id_b = nb.vec_id
     )
-    SELECT CAST(dots.id_a AS BIGINT) AS id_a, CAST(dots.id_b AS BIGINT) AS id_b,
-           round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
-    FROM dots JOIN norms na ON dots.id_a = na.vec_id
-              JOIN norms nb ON dots.id_b = nb.vec_id
-    WHERE dot / (na.nrm * nb.nrm) >= 0.45
+"""
+
+
+@register(
+    "dedup_embedding_cosine_ivf",
+    f"""
+    WITH {_EMB_EXPAND},
+    {_IVF_PAIRS_SQL}
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(cs, 4) AS cos_sim
+    FROM ivf_pairs WHERE cs >= 0.45
     """,
 )
 def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6137,11 +6170,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup admission
     (operators/dedup.incremental_near_dedup): every 10th document plays
     the incoming batch, the rest the admitted corpus; the oracle is the
-    exact cross-split jaccard (same convergence argument as
-    dedup_minhash_lsh: banding recall ≥1-4e-8 at j≥0.9 and candidates
-    exact-verify). The batch's bands and verification sets broadcast —
-    the corpus is never self-joined or pair-exploded, which is what
-    makes daily near-dup ingest affordable against a 100 TB corpus."""
+    exact cross-split jaccard at j≥0.8. Banding here is 32 bands × 4
+    rows (128 hashes), sized so the recall bound holds AT the oracle
+    threshold: miss probability for a pair at exactly j=0.8 is
+    (1-0.8⁴)³² ≈ 4.8e-8 (the 16-band default's ~2e-4 at j=0.8 only
+    reaches ~4e-8 for j≥0.9 — ADVICE r5); candidates exact-verify, so
+    false positives are impossible and the hash oracle is safe for any
+    borderline pair the generator might produce. The batch's bands and
+    verification sets broadcast — the corpus is never self-joined or
+    pair-exploded, which is what makes daily near-dup ingest affordable
+    against a 100 TB corpus."""
     from aws_ipl_data_pipeline_spark.operators.dedup import (
         minhash_state,
         near_dup_pairs_vs_state,
@@ -6157,10 +6195,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the incoming data)
     state = session_memo(
         spark,
-        ("inc_near_state", sf_dir),
-        lambda: minhash_state(corpus).localCheckpoint(eager=True),
+        ("inc_near_state_b32", sf_dir),
+        lambda: minhash_state(
+            corpus, num_hashes=128, bands=32
+        ).localCheckpoint(eager=True),
     )
-    return near_dup_pairs_vs_state(minhash_state(batch), state, threshold=0.8)
+    return near_dup_pairs_vs_state(
+        minhash_state(batch, num_hashes=128, bands=32), state, threshold=0.8
+    )
 
 
 _BM25_BASE_SQL = f"""
@@ -6359,18 +6401,14 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic duplicate clustering: connected
     components over the EXACT embedding-cosine pair graph (≥0.4) —
     paraphrase clusters that lexical dedup can't see, labeled by
-    min-id propagation (the same iterative CC loop as
-    near_dup_clusters, linear per round) and checked against a DuckDB
-    recursive-CTE transitive closure. Edges come from the blocked GEMM
-    plan (no CartesianProduct); at corpus scale swap in the IVF-celled
-    pair generator (dedup_embedding_cosine_ivf) as the edge source —
-    identical downstream clustering.
-
-    Cost note: convergence rounds = component diameter (~31 hops at
-    sf0.1's 0.4-threshold graph → ~7.5 s), each round one linear join;
-    production graphs with long weak-link chains would switch to the
-    large-star/small-star contraction (O(log n) rounds) — the label
-    loop here keeps the oracle-provable simple form."""
+    large-star/small-star contraction (connected_components_star,
+    O(log n) rounds — VERDICT r5 item 2 replaced the min-label loop
+    whose round count was the component DIAMETER, ~31 hops on this
+    graph at sf0.1) and checked against a DuckDB recursive-CTE
+    transitive closure. Edges come from the blocked GEMM plan (no
+    CartesianProduct); at corpus scale swap in the IVF-celled pair
+    generator as the edge source — semantic_dedup_clusters_ivf below
+    IS that swap, oracle-proven identical at this threshold."""
     from aws_ipl_data_pipeline_spark.operators.dedup import (
         embedding_cosine_pairs_blocked,
         near_dup_groups,
@@ -6378,16 +6416,189 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = embedding_cosine_pairs_blocked(emb, id_col="vec_id", threshold=0.4)
-    # a 0.4-cosine graph on dense synthetic vectors has long weak-link
-    # chains (sf0.1 measured component diameter > 10): the convergence
-    # bound is the chain length, each round stays linear
-    groups = near_dup_groups(emb, pairs=pairs, id_col="vec_id", max_iter=40)
+    groups = near_dup_groups(emb, pairs=pairs, id_col="vec_id", max_iter=20)
     return (
         groups.groupBy("group_id")
         .agg(F.count("*").cast("long").alias("n_members"))
         .where(F.col("n_members") > 1)
         .select(F.col("group_id").cast("long"), "n_members")
     )
+
+
+@register(
+    "semantic_dedup_clusters_ivf",
+    f"""
+    WITH RECURSIVE {_EMB_EXPAND},
+    {_IVF_PAIRS_SQL},
+    edges AS (
+      SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b
+      FROM ivf_pairs WHERE cs >= 0.45
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(x, y) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+    ),
+    labels AS (
+      SELECT x AS vec_id, LEAST(x, MIN(y)) AS group_id FROM reach GROUP BY x
+    )
+    SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM labels GROUP BY group_id HAVING COUNT(*) > 1
+    """,
+)
+def semantic_dedup_clusters_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup_clusters with the IVF-celled pair generator
+    swapped in as the edge source (VERDICT r5 item 6: prove the
+    drop-in swap end to end). Same star-contraction clustering, edges
+    from embedding_cosine_pairs_ivf at the 0.45/16-cell convention of
+    dedup_embedding_cosine_ivf; the oracle chains the cell-exact IVF
+    pair spec (_IVF_PAIRS_SQL — same deterministic centroids, same
+    argmax cell assignment, exact cosine over same-cell candidates)
+    into a recursive-CTE transitive closure, so BOTH the edge
+    generator and the clustering are pinned by hash. At corpus scale
+    this is the production form: ~O(n²/n_cells) scored pairs instead
+    of the blocked GEMM's all-pairs cost."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_ivf,
+        near_dup_groups,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs_ivf(
+        emb, id_col="vec_id", threshold=0.45, n_cells=16
+    )
+    groups = near_dup_groups(emb, pairs=pairs, id_col="vec_id", max_iter=20)
+    return (
+        groups.groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .select(F.col("group_id").cast("long"), "n_members")
+    )
+
+
+@register(
+    "near_dup_chain_clusters",
+    """
+    SELECT CAST(doc_id - doc_id % 100 AS BIGINT) AS group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM documents GROUP BY 1
+    """,
+)
+def near_dup_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-chain connected components, driver-proven: the pair graph
+    is a deterministic PATH over consecutive doc_ids broken every 100
+    ids, so every component is a 100-long chain — diameter 99, the
+    worst case for min-label propagation (one hop per round) and the
+    exact shape star contraction collapses in O(log n) rounds
+    (max_iter=12 here; minlabel would need 100+). The oracle is the
+    closed form of the construction (group = floor-to-100 block), so a
+    hash MATCH proves the contraction labeled every chain completely —
+    an unconverged or mis-merged component cannot produce these
+    counts."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import near_dup_groups
+
+    docs = t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    pairs = (
+        docs.where(F.pmod("doc_id", F.lit(100)) != 99)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    groups = near_dup_groups(docs, pairs=pairs, id_col="doc_id", max_iter=12)
+    return (
+        groups.groupBy("group_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .select(F.col("group_id").cast("long"), "n_members")
+    )
+
+
+_KMEANS_ITER_SQL = """
+    d{t} AS (
+      SELECT e.vec_id, c.cid, SUM((e.x - c.c) * (e.x - c.c)) AS d2
+      FROM exq e JOIN c{p} c ON e.i = c.i GROUP BY 1, 2
+    ),
+    a{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2 ASC, cid ASC
+               ) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT a.cid, e.i, SUM(e.x) AS s, COUNT(*) AS n
+      FROM a{t} a JOIN exq e ON e.vec_id = a.vec_id GROUP BY 1, 2
+    ),
+    c{t} AS (
+      SELECT c{p}.cid, c{p}.i,
+             COALESCE(
+               CAST(FLOOR((2.0 * s{t}.s + s{t}.n) / (2.0 * s{t}.n)) AS BIGINT),
+               c{p}.c
+             ) AS c
+      FROM c{p} LEFT JOIN s{t} ON s{t}.cid = c{p}.cid AND s{t}.i = c{p}.i
+    )
+"""
+
+
+@register(
+    "kmeans_lloyd_oracle",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(embedding) AS x0
+      FROM embeddings
+    ),
+    exq AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(x0 AS DOUBLE) * 1000000, 0) AS BIGINT) AS x
+      FROM ex
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM embeddings
+      ) WHERE rn <= 8
+    ),
+    c0 AS (SELECT s.cid, e.i, e.x AS c FROM seeds s JOIN exq e ON e.vec_id = s.vec_id),
+    {_KMEANS_ITER_SQL.format(t=1, p=0)},
+    {_KMEANS_ITER_SQL.format(t=2, p=1)},
+    df AS (
+      SELECT e.vec_id, c.cid, SUM((e.x - c.c) * (e.x - c.c)) AS d2
+      FROM exq e JOIN c2 c ON e.i = c.i GROUP BY 1, 2
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cid AS BIGINT) AS centroid_id,
+           CAST(d2 AS BIGINT) AS dist2
+    FROM (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2 ASC, cid ASC
+             ) AS rn
+      FROM df
+    ) WHERE rn = 1
+    """,
+)
+def kmeans_lloyd_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means, HASH-oracle-proven end to end (VERDICT r5 item 5
+    — kmeans_lloyd itself stays the production float path, rows-only by
+    nature): operators/clustering.kmeans_fit_fixed_int runs k=8,
+    exactly 2 update rounds, in integer-exact arithmetic (quantized
+    bigint vectors, exact int64 distance folds, half-up rational-mean
+    centroid updates), and the DuckDB replica re-derives seeds, both
+    assignment rounds, both centroid updates, and the final assignment
+    — bit-identical by construction, no float summation order anywhere.
+    Same dataflow per round as the production operator: map-only argmin
+    assignment, one skinny (cluster, dim) shuffle, O(k·dim) driver
+    collect."""
+    from aws_ipl_data_pipeline_spark.operators.clustering import (
+        kmeans_fit_fixed_int,
+    )
+
+    return kmeans_fit_fixed_int(t(spark, sf_dir, "embeddings"), k=8, iters=2)
 
 
 @register(
@@ -6660,70 +6871,10 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r5 slots 1-8: the only queries with no driver row in ANY round
-    # (registered at r4 positions 50-57, just past the window — the
-    # COVERAGE.md r4 gap this rotation closes; with these, cumulative
-    # driver coverage reaches every pre-r5 oracle query)
-    "ngram_novelty",
-    "dedup_substring",
-    "q21_sole_blame_supplier",
-    "corpus_snapshot_diff",
-    "q16_supplier_part_counts",
-    "q13_customer_distribution",
-    "null_semantics_battery",
-    "corpus_drift_psi",
-    # r5 slots 9-15: newly registered this round (TPC-H decorrelation
-    # shapes + the exact-rerank ANN oracle companions)
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q20_potential_promotion",
-    "ann_pq_topk_reranked",
-    "ann_ivfpq_topk_reranked",
-    "sql_udf_battery",
-    "dedup_embedding_cosine_ivf",
-    "dedup_incremental_minhash",
-    "bm25_retrieval",
-    "hybrid_rank_fusion",
-    "sql_pipe_syntax",
-    "curriculum_order",
-    "semantic_dedup_clusters",
-    # r5 slots 24-50: refresh of the 27 stalest surviving rows — every
-    # one below last earned its driver row in r2 (newest-row audit over
-    # CORRECTNESS_r01..r04, see COVERAGE.md). The two rows-only r2
-    # queries (approx_distinct_counts, near_dup_groups) yield their
-    # seats to hash-checkable ones and queue for r6 with the rest.
-    "q1_pricing_summary",
-    "top_customers_by_revenue",
-    "dedup_embedding_cosine",
-    "near_dup_clusters",
-    "asof_join_events",
-    "session_window",
-    "max_of_order_revenue",
-    "group_sizes",
-    "conditional_agg",
-    "composite_key_agg",
-    "winner_per_group",
-    "standings_points",
-    "distinct_pairs",
-    "distinct_counts",
-    "left_join_coalesce",
-    "outer_join_composite",
-    "renamed_key_join",
-    "broadcast_dim_revenue",
-    "semi_join_customers",
-    "anti_join_customers",
-    "scalar_battery",
-    "string_battery",
-    "date_battery",
-    "range_join_events",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "filter_not_na",
-    # past slot 50 from here — the r6 refresh queue, oldest first: the
-    # remaining r2-stale rows (incl. the two rows-only ones), then the
-    # r4-green sets follow in registration order via _reorder_registry
+    # r6 slots 1-20: the 20 queries whose newest driver row is still
+    # r1/r2 (VERDICT r5 item 1 — newest-row audit over
+    # CORRECTNESS_r01..r05; 18 oracle-backed + 2 rows-only). After r6
+    # every registry query's newest driver row is r3+.
     "filter_in_list",
     "filter_pattern",
     "deterministic_sample",
@@ -6744,6 +6895,65 @@ _DRIVER_FIRST = [
     "text_token_stats",
     "approx_distinct_counts",
     "near_dup_groups",
+    # r6 slots 21-23: the IPL medallion golden surface holds a seat
+    # every round (VERDICT r5 item 8 — the reference parity contract)
+    "ipl_bronze_fold",
+    "ipl_gold_e2e",
+    "ipl_standings",
+    # r6 slots 24-26: new this round (IVF edge-sourced semantic
+    # clustering, long-chain CC proof for the star-contraction
+    # rewrite, kmeans oracle companion)
+    "semantic_dedup_clusters_ivf",
+    "near_dup_chain_clusters",
+    "kmeans_lloyd_oracle",
+    # r6 slots 27-50: refresh of the stalest surviving r3 rows
+    # (alphabetical over the 38 oracle-able r3 rows; the rows-only r3
+    # trio fuzzy_name_match/kmeans_lloyd/multimodal_features queues for
+    # r7 behind hash-checkable ones, kmeans covered by its companion)
+    "ann_lsh_topk",
+    "array_functions_battery",
+    "bigram_counts",
+    "canonical_selection",
+    "chunk_then_pack",
+    "correlated_subquery",
+    "cube_pricing",
+    "data_quality_report",
+    "decontamination_overlap",
+    "document_chunking",
+    "embedding_centroid_assign",
+    "event_rate_anomalies",
+    "except_customers",
+    "explode_token_counts",
+    "funnel_analysis",
+    "grouping_sets_pricing",
+    "incremental_dedup",
+    "intersect_customers",
+    "json_props_extract",
+    "percentiles_by_segment",
+    "pivot_status_qty",
+    "quality_weighted_sample",
+    "regional_revenue_rollup",
+    "retention_cohorts",
+    "rollup_pricing",
+    "sequence_packing",
+    "skew_salted_agg",
+    # past slot 50 from here — the r7 refresh queue, stalest first: the
+    # remaining r3 rows, then r4-green sets in registration order via
+    # _reorder_registry
+    "sequence_packing_sharded",
+    "stratified_sample_by_source",
+    "text_fingerprint",
+    "text_language_id",
+    "text_pii_redaction",
+    "text_quality",
+    "text_repetition",
+    "tfidf_top_terms",
+    "training_data_prep",
+    "vocab_top_terms",
+    "window_battery",
+    "fuzzy_name_match",
+    "kmeans_lloyd",
+    "multimodal_features",
 ]
 
 

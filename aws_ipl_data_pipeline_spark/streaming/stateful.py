@@ -81,7 +81,10 @@ def running_totals_stateful(
 def running_totals_tws(
     events: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:
-    """The same per-key running fold on the Spark 4 transformWithState
+    """EXPERIMENTAL / dormant (env-blocked, unverified here — see
+    COVERAGE.md "Dormant, environment-blocked"; the verified form of
+    these semantics is ``running_totals_stateful`` above): the same
+    per-key running fold on the Spark 4 transformWithState
     API (StatefulProcessor + typed ValueState, RocksDB-backed): the
     successor to applyInPandasWithState with composable state variables,
     timers, and TTL. Semantics here are identical to

@@ -303,9 +303,10 @@ def test_near_dup_groups_connected_components(spark):
 
 
 def test_near_dup_groups_raises_on_non_convergence(spark):
-    """A component whose diameter exceeds max_iter must raise, never
-    silently return unconverged labels (half-labeled clusters would
-    leak near-dups across a downstream split)."""
+    """A component whose diameter (minlabel) or size (star) exceeds the
+    round bound must raise, never silently return unconverged labels
+    (half-labeled clusters would leak near-dups across a downstream
+    split)."""
     import pytest
 
     from aws_ipl_data_pipeline_spark.operators.dedup import near_dup_groups
@@ -320,13 +321,66 @@ def test_near_dup_groups_raises_on_non_convergence(spark):
         "id_a long, id_b long, jaccard double",
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_groups(docs, chain, max_iter=3)
+        near_dup_groups(docs, chain, max_iter=3, algorithm="minlabel")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_groups(docs, chain, max_iter=1, algorithm="star")
     # and with an adequate bound the same graph converges to one group
     got = {
         r["doc_id"]: r["group_id"]
         for r in near_dup_groups(docs, chain, max_iter=n).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_star_contraction_long_chain_beats_diameter(spark):
+    """The capability minlabel cannot have: a 200-node path (diameter
+    199) labels completely in ≤12 star rounds — O(log n), not
+    O(diameter). This is the VERDICT r5 scale fix for near-dup graphs
+    with long weak-link chains."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels = connected_components_star(nodes, chain, max_iter=12).collect()
+    assert {r["label"] for r in labels} == {0}
+    assert len(labels) == n
+
+
+def test_star_equals_minlabel_on_random_graph(spark):
+    """Star contraction and min-label propagation are independent CC
+    implementations; identical labels on a seeded random multigraph
+    (dup edges, self-loops, both orientations) pin each against the
+    other."""
+    import random
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import near_dup_groups
+
+    rng = random.Random(1234)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges += edges[:20] + [(7, 7), (n - 1, n - 1)]  # dups + self-loops
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {
+        (r["doc_id"], r["group_id"])
+        for r in near_dup_groups(docs, pairs=pairs, max_iter=15).collect()
+    }
+    ml = {
+        (r["doc_id"], r["group_id"])
+        for r in near_dup_groups(
+            docs, pairs=pairs, max_iter=60, algorithm="minlabel"
+        ).collect()
+    }
+    assert star == ml
 
 
 def test_leakage_safe_split_near_dups(spark):
@@ -1112,3 +1166,61 @@ def test_corpus_diff_classifies_all_statuses(spark):
     )
     out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_ivf_edge_source_is_dropin_for_clustering(spark):
+    """VERDICT r5 item 6: the IVF-celled pair generator is a drop-in
+    edge source for semantic clustering. On a corpus whose near-dups
+    are duplicated vectors (argmax cell assignment is identical for
+    identical vectors, so every true edge is same-cell by
+    construction), clusters from IVF edges equal clusters from the
+    blocked exact GEMM edges bit-for-bit."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs_blocked,
+        embedding_cosine_pairs_ivf,
+        near_dup_groups,
+    )
+
+    rng = random.Random(99)
+    dim = 16
+    rows = []
+    vid = 0
+    # 4 duplicate-groups of sizes 2..5 (exact copies -> cos == 1.0,
+    # same IVF cell guaranteed), plus 40 random background vectors
+    for size in (2, 3, 4, 5):
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        for _ in range(size):
+            rows.append((vid, [float(x) for x in base]))
+            vid += 1
+    for _ in range(40):
+        rows.append((vid, [float(rng.uniform(-1, 1)) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def clusters(pairs):
+        labels = near_dup_groups(
+            emb, pairs=pairs, id_col="vec_id", max_iter=15
+        )
+        return {
+            (r["vec_id"], r["group_id"]) for r in labels.collect()
+        }
+
+    blocked = embedding_cosine_pairs_blocked(
+        emb, id_col="vec_id", threshold=0.999
+    )
+    ivf = embedding_cosine_pairs_ivf(
+        emb, id_col="vec_id", threshold=0.999, n_cells=8
+    )
+    c_blocked = clusters(blocked)
+    c_ivf = clusters(ivf)
+    assert c_blocked == c_ivf
+    # and the duplicate groups actually clustered (not vacuous)
+    groups = {}
+    for v, g in c_blocked:
+        groups.setdefault(g, 0)
+        groups[g] += 1
+    assert sorted(n for n in groups.values() if n > 1) == [2, 3, 4, 5]

@@ -36,7 +36,17 @@ QUERIES = ["dedup_minhash_lsh", "dedup_simhash", "ann_pq_topk"]
 
 def build(spark, mult: int) -> str:
     out = os.path.join(SCRATCH, f"scale{mult}x")
-    if os.path.exists(os.path.join(out, "_OK")):
+    # _OK_V2: embeddings now replicate with a per-replica CIRCULAR
+    # SHIFT of the vector (r6) — identical copies made cross-replica
+    # cosine pairs explode quadratically (every base pair appears
+    # mult² times), which mis-measures pairwise-threshold workloads
+    # (semantic_dedup_clusters, dedup_embedding_cosine*). Shifting all
+    # of a replica's vectors by the same offset preserves every
+    # INTRA-replica similarity exactly (rotation is orthogonal) while
+    # cross-replica pairs decorrelate to background level — so the
+    # pair workload grows linearly, matching the prefixed-token story
+    # on the text side. ANN/topk workloads stay corpus-size-driven.
+    if os.path.exists(os.path.join(out, "_OK_V2")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
@@ -61,18 +71,27 @@ def build(spark, mult: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/documents.parquet")
     )
+    dim = len(emb.select("embedding").head()["embedding"])
+    shifted = F.concat(
+        F.slice(
+            "embedding",
+            (F.col("rep") % dim) + 1,
+            F.lit(dim) - (F.col("rep") % dim),
+        ),
+        F.slice("embedding", 1, F.col("rep") % dim),
+    )
     (
         emb.crossJoin(reps)
         .select(
             (F.col("vec_id") + F.col("rep").cast("long") * 100_000_000).alias("vec_id"),
-            "embedding",
+            shifted.alias("embedding"),
             "label",
         )
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{out}/embeddings.parquet")
     )
-    open(os.path.join(out, "_OK"), "w").close()
+    open(os.path.join(out, "_OK_V2"), "w").close()
     return out
 
 
