@@ -228,3 +228,43 @@ def curriculum_order(
         F.col("shard").cast("long"),
         F.row_number().over(w).cast("long").alias("rank_in_shard"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a
+    (shard, position) address drawn from a content-independent hash
+    permutation — the op that turns a curated corpus into shuffled
+    training shards without any RNG state (same no-coordination
+    exactly-once property as the rest of this module: retries and
+    re-runs land every row in the identical slot; bump ``epoch`` for a
+    fresh permutation).
+
+    Scale shape: NO global sort and NO single-partition window — shard
+    assignment is a map-only hash-mod, and position is a row_number
+    window PARTITIONED BY shard (parallelism = n_shards; pick n_shards
+    ≥ cluster cores at 100 TB, e.g. tens of thousands of shards — the
+    per-shard sort is then executor-local over ~corpus/n_shards rows).
+    A consumer streams shard s in position order for a reproducible
+    epoch-``epoch`` visit order.
+
+    Hashes are md5-derived (not xxhash64) so the permutation is
+    SQL-replicable cross-engine. Returns (id, shard, position)."""
+    hx = F.md5(F.concat(F.lit(f"ep{epoch}:"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_hx", id_col)
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            hx.alias("_hx"),
+            shard.alias("shard"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select(id_col, F.col("shard").cast("long"), "position")
+    )

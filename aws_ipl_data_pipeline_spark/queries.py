@@ -1729,11 +1729,111 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: binary plumbing, fake decoder
+@register(
+    "fuzzy_match_levenshtein",
+    """
+    WITH raw AS (
+      SELECT c_custkey,
+             regexp_replace(c_name, '[048]', '', 'g') AS raw_name,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 29 = 0
+    ),
+    cand AS (
+      SELECT r.c_custkey, r.raw_name, r.c_mktsegment, c.c_name,
+             levenshtein(r.raw_name, c.c_name) AS lev,
+             GREATEST(len(r.raw_name), len(c.c_name)) AS maxlen
+      FROM raw r JOIN customer c ON c.c_mktsegment = r.c_mktsegment
+    ),
+    best AS (
+      SELECT c_custkey, raw_name, c_name, lev FROM (
+        SELECT c_custkey, raw_name, c_name, lev,
+               row_number() OVER (
+                 PARTITION BY c_custkey ORDER BY lev ASC, c_name ASC
+               ) AS rn
+        FROM cand WHERE 4 * lev <= maxlen
+      ) WHERE rn = 1
+    )
+    SELECT CAST(r.c_custkey AS BIGINT) AS c_custkey,
+           r.raw_name,
+           COALESCE(b.c_name, r.raw_name) AS canonical_name,
+           COALESCE(b.c_name, r.raw_name) <> r.raw_name AS was_corrected,
+           CAST(COALESCE(b.lev, -1) AS BIGINT) AS edit_distance
+    FROM raw r LEFT JOIN best b ON b.c_custkey = r.c_custkey
+    """,
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7's fuzzy-join SHAPE, hash-oracle-proven: the same
+    block-by-scope → score → argmax-above-cutoff → map-back dataflow as
+    fuzzy_name_match, but scored with normalized Levenshtein similarity
+    — exact integer edit distance JVM-side (F.levenshtein), replicated
+    exactly by DuckDB's levenshtein(), so unlike the rapidfuzz/indel
+    production scorer the whole join is hash-checkable. The 75-cutoff
+    compare is pure integer arithmetic (sim ≥ 0.75 ⇔ 4·lev ≤ maxlen);
+    ties break (lev, name). Catalog side broadcasts (dimension-sized);
+    the raw side never shuffles for the score — at 100 TB the scored
+    frame is DISTINCT names × in-scope catalog, not fact rows."""
+    c = t(spark, sf_dir, "customer")
+    raw = c.where(F.col("c_custkey") % 29 == 0).select(
+        F.col("c_custkey").cast("long"),
+        F.regexp_replace(F.col("c_name"), "[048]", "").alias("raw_name"),
+        "c_mktsegment",
+    )
+    cand = (
+        raw.join(
+            F.broadcast(
+                c.select(F.col("c_name"), F.col("c_mktsegment").alias("_seg"))
+            ),
+            F.col("_seg") == F.col("c_mktsegment"),
+        )
+        .withColumn("lev", F.levenshtein("raw_name", "c_name"))
+        .withColumn(
+            "maxlen", F.greatest(F.length("raw_name"), F.length("c_name"))
+        )
+    )
+    best = (
+        cand.where(4 * F.col("lev") <= F.col("maxlen"))
+        .groupBy("c_custkey")
+        .agg(F.min(F.struct("lev", "c_name")).alias("_b"))
+        .select(
+            "c_custkey",
+            F.col("_b.c_name").alias("_match"),
+            F.col("_b.lev").alias("_lev"),
+        )
+    )
+    return raw.join(best, "c_custkey", "left").select(
+        "c_custkey",
+        "raw_name",
+        F.coalesce("_match", "raw_name").alias("canonical_name"),
+        (F.coalesce("_match", "raw_name") != F.col("raw_name")).alias(
+            "was_corrected"
+        ),
+        F.coalesce("_lev", F.lit(-1)).cast("long").alias("edit_distance"),
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha,
+           CAST(CAST(CAST(('0x' || substring(sha256(text), 1, 8)) AS UBIGINT)
+                     AS DOUBLE) / 4294967296.0 AS FLOAT)::DOUBLE AS f0
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents' text bytes stand in as opaque
-    binary payloads; decode/feature-extract runs via mapInPandas with
-    a deterministic fake decoder (real codecs not in this container)."""
+    """Multimodal plumbing, hash-oracle-proven (upgraded from rows-only
+    in r6): documents' text bytes stand in as opaque binary payloads;
+    decode/feature-extract runs via Arrow-batched mapInPandas with a
+    deterministic fake decoder (real codecs env-blocked — the codec
+    call is the only faked step). The oracle re-derives byte counts,
+    the sha256 content digest, and the first fake-feature float
+    (digest word / 2³², float32-rounded on both engines) — pinning the
+    Python-side batch plumbing byte-for-byte against SQL."""
     from aws_ipl_data_pipeline_spark.operators.multimodal import extract_features
 
     docs = t(spark, sf_dir, "documents")
@@ -1748,8 +1848,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
     )
     return extract_features(media).select(
-        "media_id", "kind", "n_bytes", "content_sha"
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_sha",
+        F.element_at("feature", 1).cast("double").alias("f0"),
     )
+
+
+@register(
+    "training_shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5('ep0:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, hx,
+             CAST(CAST(('0x' || substring(hx, 1, 8)) AS UBIGINT) % 16
+                  AS BIGINT) AS shard
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY shard ORDER BY hx, doc_id
+                ) AS BIGINT) AS position
+    FROM s
+    """,
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle into training shards
+    (operators/sampling.shuffle_shards): md5-permutation → map-only
+    shard hash-mod → per-shard position window (partitioned, never a
+    single-partition global sort). The oracle re-derives the identical
+    permutation, so shard assignment AND within-shard visit order are
+    hash-proven. Epoch-parameterized reshuffles are the same op with a
+    different hash salt."""
+    from aws_ipl_data_pipeline_spark.operators.sampling import shuffle_shards
+
+    return shuffle_shards(t(spark, sf_dir, "documents"), n_shards=16, epoch=0)
 
 
 # --------------------------------------------------------------------------
@@ -6906,6 +7044,9 @@ _DRIVER_FIRST = [
     "semantic_dedup_clusters_ivf",
     "near_dup_chain_clusters",
     "kmeans_lloyd_oracle",
+    "fuzzy_match_levenshtein",
+    "multimodal_features",
+    "training_shuffle_shards",
     # r6 slots 27-50: refresh of the stalest surviving r3 rows
     # (alphabetical over the 38 oracle-able r3 rows; the rows-only r3
     # trio fuzzy_name_match/kmeans_lloyd/multimodal_features queues for
@@ -6936,10 +7077,10 @@ _DRIVER_FIRST = [
     "retention_cohorts",
     "rollup_pricing",
     "sequence_packing",
-    "skew_salted_agg",
     # past slot 50 from here — the r7 refresh queue, stalest first: the
     # remaining r3 rows, then r4-green sets in registration order via
     # _reorder_registry
+    "skew_salted_agg",
     "sequence_packing_sharded",
     "stratified_sample_by_source",
     "text_fingerprint",
@@ -6953,7 +7094,6 @@ _DRIVER_FIRST = [
     "window_battery",
     "fuzzy_name_match",
     "kmeans_lloyd",
-    "multimodal_features",
 ]
 
 

@@ -138,6 +138,14 @@ ROUND5 = [
     "semantic_dedup_clusters",
 ]
 
+# round-6 additions (star-contraction proofs + the integer-exact Lloyd
+# oracle companion): same frozen-set policy
+ROUND6 = [
+    "semantic_dedup_clusters_ivf",
+    "near_dup_chain_clusters",
+    "kmeans_lloyd_oracle",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -241,6 +249,17 @@ def main() -> None:
         round5[name] = round(min(runs), 3)
         print(f"  [round5] {name}: best {round5[name]}s", file=sys.stderr)
 
+    round6: dict[str, float] = {}
+    for name in ROUND6:
+        fn = REGISTRY[name].fn
+        runs = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        round6[name] = round(min(runs), 3)
+        print(f"  [round6] {name}: best {round6[name]}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_query_total",
@@ -252,6 +271,7 @@ def main() -> None:
         "queries_round4": round4,
         "queries_round4b": round4b,
         "queries_round5": round5,
+        "queries_round6": round6,
         "iters": iters,
         "sf": sf,
     }

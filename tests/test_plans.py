@@ -87,6 +87,8 @@ def test_no_python_udf_in_relational_core(spark):
         "ann_ivfpq_topk_reranked",
         # IVF cell assignment + per-cell numpy GEMM (blocked-path twin)
         "dedup_embedding_cosine_ivf",
+        # same IVF pair generator feeding the star-contraction clusters
+        "semantic_dedup_clusters_ivf",
         # same sanctioned numpy cell-assignment as ann_ivf_topk, batched
         "ann_batch_ivf_topk",
     }
@@ -607,3 +609,13 @@ def test_join_strategy_hints_respected(spark):
         orders.hint("broadcast"), lineitem.l_orderkey == orders.o_orderkey
     )
     assert "BroadcastHashJoin" in plan_of(j_b)
+
+
+def test_shuffle_shards_no_global_sort(spark):
+    """The epoch shuffle must never degenerate to a single-partition
+    global sort: exactly one Exchange (hash on shard) and no
+    SinglePartition anywhere — per-shard position windows are the
+    whole point of the shard key."""
+    p = formatted_plan(spark, "training_shuffle_shards")
+    assert "SinglePartition" not in p
+    assert _nodes(p, "Exchange") == 1

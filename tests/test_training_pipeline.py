@@ -88,3 +88,33 @@ def test_ingest_chunk_pack_write_end_to_end(spark, tmp_path_factory):
         .first()[0]
     )
     assert toks_out == toks_in
+
+
+def test_shuffle_shards_deterministic_and_complete(spark):
+    """Epoch shuffle: every row lands in exactly one (shard, position)
+    slot, positions are contiguous from 1 within each shard, reruns
+    reproduce the identical permutation, and a different epoch yields a
+    different order (new salt) over the same complete id set."""
+    from aws_ipl_data_pipeline_spark.operators.sampling import shuffle_shards
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(docs, n_shards=8, epoch=0).collect()
+    assert len(out) == 500
+    assert {r["doc_id"] for r in out} == set(range(500))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic rerun
+    out2 = shuffle_shards(docs, n_shards=8, epoch=0).collect()
+    assert {(r["doc_id"], r["shard"], r["position"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["position"]) for r in out2
+    }
+    # epoch bump: same ids, different permutation
+    out_e1 = shuffle_shards(docs, n_shards=8, epoch=1).collect()
+    assert {r["doc_id"] for r in out_e1} == set(range(500))
+    assert {(r["doc_id"], r["shard"], r["position"]) for r in out_e1} != {
+        (r["doc_id"], r["shard"], r["position"]) for r in out
+    }
