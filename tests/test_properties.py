@@ -655,3 +655,65 @@ def test_incremental_near_dedup_precision_and_exact_recall(docs):
         ).collect()
     }
     assert got2 == got
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_star_contraction_matches_union_find(edges):
+    """connected_components_star == a pure-Python union-find ground
+    truth on arbitrary small multigraphs (self-loops, duplicate and
+    reversed edges included) over a fixed 40-node universe. Union-find
+    is an independent third implementation — star and minlabel are
+    both Spark DataFrame programs, so this pins the algorithm family
+    against non-Spark arithmetic entirely."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 40
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    truth = {}
+    roots = {}
+    for v in range(n):
+        r = find(v)
+        roots.setdefault(r, []).append(v)
+    for members in roots.values():
+        m = min(members)
+        for v in members:
+            truth[v] = m
+
+    spark = _get_spark()
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    if edges:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_star(nodes, pairs, max_iter=12).collect()
+    }
+    assert got == truth

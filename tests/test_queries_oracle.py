@@ -34,3 +34,20 @@ def test_oracle_match(spark, con, name):
 def test_rows_only_runs(spark, name):
     df = REGISTRY[name].fn(spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_driver_window_ordering_invariants():
+    """The external driver records rows for registry[0:50] only, so the
+    ordering layer must stay sound: no duplicate names in
+    _DRIVER_FIRST (a dup would silently shrink the window), every name
+    resolves (also enforced at import), and the reordered registry is
+    a permutation of the registered queries with the window fully
+    oracle-or-intentionally-rows-only."""
+    from aws_ipl_data_pipeline_spark.queries import _DRIVER_FIRST, REGISTRY
+
+    assert len(_DRIVER_FIRST) == len(set(_DRIVER_FIRST)), "duplicate in _DRIVER_FIRST"
+    assert set(_DRIVER_FIRST) <= set(REGISTRY)
+    names = list(REGISTRY)
+    assert len(names) == len(set(names))
+    # the window head must follow _DRIVER_FIRST exactly
+    assert names[: len(_DRIVER_FIRST)] == _DRIVER_FIRST
