@@ -653,7 +653,7 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["sig"])
 
-    def _star(e: DataFrame, large: bool) -> DataFrame:
+    def _star(e: DataFrame, large: bool, dedup: bool) -> DataFrame:
         sym = e.select("u", "v").unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -675,19 +675,23 @@ def connected_components_star(
                     m.select(F.col("u").alias("x"), F.col("m").alias("y"))
                 )
             )
-        return (
-            out.select(
-                F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
-            )
-            .where(F.col("u") != F.col("v"))
-            .dropDuplicates()
-        )
+        out = out.select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        # dedup is one Exchange per call; duplicate edges are
+        # semantically inert to the star operations (m is a MIN over
+        # the neighborhood), so the intermediate large-star output
+        # skips it and only the round boundary canonicalizes — halves
+        # the per-round exchange count, which is what dominates CC
+        # wall-clock on small/medium graphs (the signature needs the
+        # deduped form, so the round boundary must keep it)
+        return out.dropDuplicates() if dedup else out
 
     sig = _signature(edges)
     for _ in range(max_iter):
-        edges = _star(_star(edges, large=True), large=False).localCheckpoint(
-            eager=False
-        )
+        edges = _star(
+            _star(edges, large=True, dedup=False), large=False, dedup=True
+        ).localCheckpoint(eager=False)
         new_sig = _signature(edges)
         if new_sig == sig:
             break
