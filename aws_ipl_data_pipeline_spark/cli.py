@@ -209,6 +209,12 @@ def cmd_prep(args) -> None:
         out = temperature_mix(
             df, source_col=args.by, alpha=args.alpha, id_col=args.id_col
         )
+    elif args.action == "shuffle":
+        from aws_ipl_data_pipeline_spark.operators.sampling import shuffle_shards
+
+        out = shuffle_shards(
+            df, id_col=args.id_col, n_shards=args.n_shards, epoch=args.epoch
+        )
     elif args.action == "pack":
         from pyspark.sql import functions as F
 
@@ -401,6 +407,7 @@ def build_parser() -> argparse.ArgumentParser:
             " | segdedup (duplicate-segment excision) | domaincap"
             " | score (quality classifier) | neardedup (batch-vs-corpus"
             " near-dup admission) | embdedup (IVF-celled embedding pairs)"
+            " | shuffle (deterministic epoch shuffle -> shard/position)"
         ),
     )
     pr.add_argument(
@@ -409,6 +416,7 @@ def build_parser() -> argparse.ArgumentParser:
             "chunk",
             "pack",
             "mix",
+            "shuffle",
             "kmeans",
             "segdedup",
             "subdedup",
@@ -462,6 +470,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="pack: shard column (omit = global single-sequence layout)",
     )
     pr.add_argument("--k", type=int, default=8, help="kmeans: clusters")
+    pr.add_argument(
+        "--n-shards", type=int, default=16,
+        help="shuffle: training shard count (scale with cluster cores)",
+    )
+    pr.add_argument(
+        "--epoch", type=int, default=0,
+        help="shuffle: epoch index (hash salt -> fresh permutation)",
+    )
     pr.add_argument(
         "--n-cells",
         type=int,

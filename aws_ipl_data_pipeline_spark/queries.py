@@ -7047,6 +7047,10 @@ _DRIVER_FIRST = [
     "fuzzy_match_levenshtein",
     "multimodal_features",
     "training_shuffle_shards",
+    # r6 semantics-changed re-proof (rotation rule 3): both now label
+    # via star contraction instead of min-label propagation
+    "near_dup_clusters",
+    "semantic_dedup_clusters",
     # r6 slots 27-50: refresh of the stalest surviving r3 rows
     # (alphabetical over the 38 oracle-able r3 rows; the rows-only r3
     # trio fuzzy_name_match/kmeans_lloyd/multimodal_features queues for

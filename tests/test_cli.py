@@ -353,3 +353,19 @@ def test_cli_prep_neardedup_and_embdedup(spark, tmp_path_factory):
     pairs = spark.read.parquet(f"{base}/pairs")
     assert pairs.count() > 0
     assert set(pairs.columns) == {"id_a", "id_b", "cos_sim"}
+
+
+def test_cli_prep_shuffle(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("prepshuf"))
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    main(
+        [
+            "prep", "shuffle", "--path", docs, "--out", f"{base}/shuf",
+            "--n-shards", "4", "--epoch", "2",
+        ]
+    )
+    shuf = spark.read.parquet(f"{base}/shuf")
+    n = spark.read.parquet(docs).count()
+    assert shuf.count() == n
+    assert set(shuf.columns) == {"doc_id", "shard", "position"}
+    assert shuf.select("shard").distinct().count() <= 4
