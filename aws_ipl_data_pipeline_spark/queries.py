@@ -6618,9 +6618,25 @@ def semantic_dedup_clusters_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_chain_clusters",
     """
-    SELECT CAST(doc_id - doc_id % 100 AS BIGINT) AS group_id,
+    WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 100 <> 99
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(x, y) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+    ),
+    labels AS (
+      SELECT x AS doc_id, LEAST(x, MIN(y)) AS group_id FROM reach GROUP BY x
+    )
+    SELECT CAST(COALESCE(l.group_id, i.doc_id) AS BIGINT) AS group_id,
            CAST(COUNT(*) AS BIGINT) AS n_members
-    FROM documents GROUP BY 1
+    FROM ids i LEFT JOIN labels l ON l.doc_id = i.doc_id
+    GROUP BY 1
     """,
 )
 def near_dup_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6629,10 +6645,13 @@ def near_dup_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, so every component is a 100-long chain — diameter 99, the
     worst case for min-label propagation (one hop per round) and the
     exact shape star contraction collapses in O(log n) rounds
-    (max_iter=12 here; minlabel would need 100+). The oracle is the
-    closed form of the construction (group = floor-to-100 block), so a
-    hash MATCH proves the contraction labeled every chain completely —
-    an unconverged or mis-merged component cannot produce these
+    (max_iter=12 here; minlabel would need 100+). The oracle derives
+    the SAME edge rule and takes its recursive-CTE transitive closure
+    (construction-following, so it stays valid under any doc_id
+    distribution the generator produces; on the dense ids shipped it
+    equals the closed-form floor-to-100 blocks), so a hash MATCH
+    proves the contraction labeled every chain completely — an
+    unconverged or mis-merged component cannot produce these
     counts."""
     from aws_ipl_data_pipeline_spark.operators.dedup import near_dup_groups
 
