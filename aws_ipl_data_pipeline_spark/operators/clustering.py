@@ -171,10 +171,12 @@ def kmeans_fit_fixed_int(
       engines, integer sums are not;
     * distances are exact int64 folds (no IEEE accumulation at all);
     * the centroid update rounds the exact rational mean S/n half-up
-      via floor((2·s + n) / (2·n)) computed in double — inputs ≤ 4e9
-      are exactly representable and IEEE division/floor are correctly
-      rounded, so DuckDB's FLOOR of the same expression is
-      bit-identical;
+      via floor((2·s + n) / (2·n)) computed in double — exactness
+      requires |2·s + n| < 2⁵³ (guarded below: s is the exact bigint
+      dimension-sum of a cluster, so the bound caps cluster size at
+      ~2⁵³/(2·scale·max|x|) ≈ 7e9 rows at the default scale), and IEEE
+      division/floor are correctly rounded, so DuckDB's FLOOR of the
+      same expression is bit-identical;
     * exactly ``iters`` update rounds, no convergence check: the
       replica is a pure function of (data, k, iters, scale).
 
@@ -232,10 +234,21 @@ def kmeans_fit_fixed_int(
         )
         new_cents = {cid: list(vec) for cid, vec in cents.items()}
         for r in sums:
+            num = 2 * int(r["s"]) + int(r["n"])
+            if abs(num) >= 2**53:
+                # past 2^53 the double division is no longer exact on
+                # identical inputs across engines — refuse to return a
+                # silently-divergent "bit-identical" result
+                raise OverflowError(
+                    "kmeans_fit_fixed_int: |2*s+n| >= 2^53 for cluster "
+                    f"{r['centroid_id']} dim {r['i']} — reduce scale or "
+                    "shard the cluster; the cross-engine exactness "
+                    "contract would break"
+                )
             # round-half-up of the exact rational mean s/n, via the
             # same double-division-then-floor both engines evaluate
             new_cents[int(r["centroid_id"])][int(r["i"])] = int(
-                math.floor((2 * r["s"] + r["n"]) / (2 * r["n"]))
+                math.floor(num / (2 * int(r["n"])))
             )
         cents = new_cents
 

@@ -800,6 +800,38 @@ def near_dup_groups(
     )
 
 
+# Embedding-cosine operators quantize vectors to integers at this scale
+# before ANY arithmetic: exact integer sums are order-independent, so
+# Spark folds, numpy candidate verification, and SQL oracles all derive
+# the bit-identical cosine double (dot and per-vector norm sums stay
+# far inside 2^53: |x_q| ≤ scale·max|x|, 64-dim dots ~1e13). The float
+# GEMM paths keep their vectorized discovery but gate candidates with
+# an exact integer re-score, never with the float value.
+COSINE_SCALE = 10**6
+# float-GEMM discovery margin: covers quantization + BLAS accumulation
+# error (~1e-5 relative) so the exact gate sees every true candidate
+_COSINE_DISCOVERY_EPS = 1e-4
+
+
+def _quantized(vec_col: str, scale: int = COSINE_SCALE):
+    """round(x·scale) as an int64 array column (same recipe on every
+    engine: DuckDB CAST(round(CAST(x AS DOUBLE)·scale, 0) AS BIGINT))."""
+    return F.transform(
+        vec_col,
+        lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0).cast("long"),
+    )
+
+
+def _exact_cos(a_int, b_int, saa_f, sbb_f):
+    """Exact integer cosine for pre-indexed candidate rows (numpy):
+    int64 dot (exact), then double division/sqrt on
+    exactly-representable inputs — correctly-rounded IEEE ops on
+    identical inputs, so the result is bit-identical to the Spark/SQL
+    formulation."""
+    dots = (a_int * b_int).sum(axis=1).astype(np.float64)
+    return dots / np.sqrt(saa_f * sbb_f)
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -808,27 +840,38 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Exact pairwise cosine ≥ threshold (baseline; O(n²) — the scale
     path is similarity.lsh_bucketed_topk). JVM-side fold, no UDF.
-    Returns (id_a, id_b, cos_sim rounded 4)."""
+    Returns (id_a, id_b, cos_sim rounded 4).
+
+    Cosines are computed on COSINE_SCALE-quantized integer vectors
+    (see _quantized): integer dot/norm sums are exact and
+    order-independent, so the threshold gate compares bit-identical
+    doubles on every engine — a pair within an ulp of the threshold
+    can never flip between Spark and a SQL oracle (the failure class
+    ADVICE r5 flagged for q11; float-summed cosines reintroduce it
+    because summation order differs across engines)."""
     v = emb.select(
-        F.col(id_col).alias("_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        F.col(id_col).alias("_id"), _quantized(vec_col).alias("_q")
     ).withColumn(
-        "_norm",
-        F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)),
+        "_saa",
+        F.aggregate(
+            "_q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double"),
     )
     a = v.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+        F.col("_id").alias("id_a"), F.col("_q").alias("_qa"), F.col("_saa").alias("_na")
     )
     b = v.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+        F.col("_id").alias("id_b"), F.col("_q").alias("_qb"), F.col("_saa").alias("_nb")
     )
     dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", dot / (F.col("_na") * F.col("_nb")))
+        .withColumn("cos_sim", dot / F.sqrt(F.col("_na") * F.col("_nb")))
         .where(F.col("cos_sim") >= threshold)
         .select(
             F.col("id_a").cast("long"),
@@ -851,17 +894,21 @@ def embedding_cosine_pairs_blocked(
     Vectors hash into ``n_blocks`` blocks; every unordered block pair
     (ga ≤ gb) is one task key, each vector is replicated to exactly the
     ``n_blocks`` tasks its block participates in, and one vectorized
-    numpy GEMM per task emits just the qualifying pairs. One shuffle on
-    the task key, no CartesianProduct / join at all, G(G+1)/2
-    evenly-sized tasks; per-task memory is 2·(n/G)·d doubles — at
-    cluster scale pick ``n_blocks`` so a block fits an executor core.
-    Rounding happens JVM-side (same F.round as the exact baseline) so
-    the two paths and the SQL oracle stay hash-identical.
+    numpy GEMM per task DISCOVERS candidate pairs at threshold−ε; the
+    gate itself is the exact integer cosine (_exact_cos) recomputed
+    only for candidates, so membership is bit-deterministic across
+    engines (float GEMM never decides a pair — its BLAS accumulation
+    order differs from SQL sums by ulps, the q11 failure class). One
+    shuffle on the task key, no CartesianProduct / join at all,
+    G(G+1)/2 evenly-sized tasks; per-task memory is 2·(n/G)·d —
+    at cluster scale pick ``n_blocks`` so a block fits an executor
+    core. Rounding happens JVM-side so the two paths and the SQL
+    oracle stay hash-identical.
     """
     spark = emb.sparkSession
     v = emb.select(
         F.col(id_col).cast("long").alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        _quantized(vec_col).alias("vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("g"),
     )
     mates = spark.range(n_blocks).select(F.col("id").cast("int").alias("h"))
@@ -875,18 +922,23 @@ def embedding_cosine_pairs_blocked(
             F.greatest("g", "h").alias("tb"),
         )
     )
+    disc = threshold - _COSINE_DISCOVERY_EPS
 
     def _block_pair(key, pdf):
         ga, gb = int(key[0]), int(key[1])
         ids = pdf["id"].to_numpy()
-        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((mat * mat).sum(axis=1))
+        mat_int = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+        mat = mat_int.astype(np.float64)
+        saa = (mat * mat).sum(axis=1)  # exact: ints < 2^53
+        nrm = np.sqrt(saa)
         if ga == gb:
             cos = (mat @ mat.T) / np.outer(nrm, nrm)
-            ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
-            lo = np.minimum(ids[ia], ids[ib])
-            hi = np.maximum(ids[ia], ids[ib])
-            sim = cos[ia, ib]
+            ia, ib = np.nonzero(np.triu(cos >= disc, k=1))
+            sim = _exact_cos(mat_int[ia], mat_int[ib], saa[ia], saa[ib])
+            keep = sim >= threshold
+            lo = np.minimum(ids[ia], ids[ib])[keep]
+            hi = np.maximum(ids[ia], ids[ib])[keep]
+            sim = sim[keep]
         else:
             amask = (pdf["g"].to_numpy() == ga)
             aid, bid = ids[amask], ids[~amask]
@@ -895,10 +947,15 @@ def embedding_cosine_pairs_blocked(
             if len(aid) == 0 or len(bid) == 0:
                 return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
             cos = (am @ bm.T) / np.outer(an, bn)
-            ia, ib = np.nonzero(cos >= threshold)
-            lo = np.minimum(aid[ia], bid[ib])
-            hi = np.maximum(aid[ia], bid[ib])
-            sim = cos[ia, ib]
+            ia, ib = np.nonzero(cos >= disc)
+            sim = _exact_cos(
+                mat_int[amask][ia], mat_int[~amask][ib],
+                saa[amask][ia], saa[~amask][ib],
+            )
+            keep = sim >= threshold
+            lo = np.minimum(aid[ia], bid[ib])[keep]
+            hi = np.maximum(aid[ia], bid[ib])[keep]
+            sim = sim[keep]
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sim})
 
     pairs = rep.groupBy("ta", "tb").applyInPandas(
@@ -944,21 +1001,28 @@ def embedding_cosine_pairs_ivf(
     cents = select_centroids(emb, n_cells, id_col, vec_col, seed)
     celled = add_ivf_cell(emb, cents, vec_col).select(
         F.col(id_col).cast("long").alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        _quantized(vec_col).alias("vec"),
         "cell",
     )
+    disc = threshold - _COSINE_DISCOVERY_EPS
 
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((mat * mat).sum(axis=1))
+        mat_int = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+        mat = mat_int.astype(np.float64)
+        saa = (mat * mat).sum(axis=1)  # exact integer sums in f64
+        nrm = np.sqrt(saa)
+        # float GEMM discovers at threshold-eps; the exact integer
+        # cosine gates (bit-deterministic vs the SQL oracle)
         cos = (mat @ mat.T) / np.outer(nrm, nrm)
-        ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
-        lo = np.minimum(ids[ia], ids[ib])
-        hi = np.maximum(ids[ia], ids[ib])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[ia, ib]})
+        ia, ib = np.nonzero(np.triu(cos >= disc, k=1))
+        sim = _exact_cos(mat_int[ia], mat_int[ib], saa[ia], saa[ib])
+        keep = sim >= threshold
+        lo = np.minimum(ids[ia], ids[ib])[keep]
+        hi = np.maximum(ids[ia], ids[ib])[keep]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sim[keep]})
 
     pairs = celled.groupBy("cell").applyInPandas(
         lambda _key, pdf: _cell_pairs(pdf),

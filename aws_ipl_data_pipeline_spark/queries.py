@@ -1439,22 +1439,45 @@ _EMB_EXPAND = """
     exd AS (SELECT vec_id, i, CAST(x0 AS DOUBLE) AS x FROM ex)
 """
 
+# Quantized twin of _EMB_EXPAND: integer vectors at the operator's
+# COSINE_SCALE (dedup.py) — integer dot/norm sums are exact and
+# order-independent, so cosine threshold gates compare bit-identical
+# doubles on both engines (names chosen not to clash with _EMB_EXPAND
+# so a query can chain both: float exd for IVF cell assignment,
+# integer exq for pair scoring).
+_EMB_EXPAND_Q = """
+    exn AS (
+      SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(embedding) AS x0
+      FROM embeddings
+    ),
+    exq AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(x0 AS DOUBLE) * 1000000, 0) AS BIGINT) AS x
+      FROM exn
+    ),
+    qnorm AS (
+      SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS saa
+      FROM exq GROUP BY vec_id
+    )
+"""
+
 
 @register(
     "dedup_embedding_cosine",
     f"""
-    WITH {_EMB_EXPAND},
-    norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM exd GROUP BY vec_id),
+    WITH {_EMB_EXPAND_Q},
     dots AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
-      FROM exd a JOIN exd b ON a.i = b.i AND a.vec_id < b.vec_id
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM exq a JOIN exq b ON a.i = b.i AND a.vec_id < b.vec_id
       GROUP BY 1, 2
     )
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-           round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
-    FROM dots JOIN norms na ON dots.id_a = na.vec_id
-              JOIN norms nb ON dots.id_b = nb.vec_id
-    WHERE dot / (na.nrm * nb.nrm) >= 0.45
+           round(dot / sqrt(na.saa * nb.saa), 4) AS cos_sim
+    FROM dots JOIN qnorm na ON dots.id_a = na.vec_id
+              JOIN qnorm nb ON dots.id_b = nb.vec_id
+    WHERE dot / sqrt(na.saa * nb.saa) >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6227,22 +6250,22 @@ _IVF_PAIRS_SQL = """
         FROM assign
       ) WHERE rn = 1
     ),
-    norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM exd GROUP BY vec_id),
     cand AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
     ),
     dots AS (
-      SELECT c.id_a, c.id_b, SUM(ea.x * eb.x) AS dot
+      SELECT c.id_a, c.id_b, CAST(SUM(ea.x * eb.x) AS DOUBLE) AS dot
       FROM cand c
-      JOIN exd ea ON ea.vec_id = c.id_a
-      JOIN exd eb ON eb.vec_id = c.id_b AND eb.i = ea.i
+      JOIN exq ea ON ea.vec_id = c.id_a
+      JOIN exq eb ON eb.vec_id = c.id_b AND eb.i = ea.i
       GROUP BY 1, 2
     ),
     ivf_pairs AS (
-      SELECT dots.id_a, dots.id_b, dot / (na.nrm * nb.nrm) AS cs
-      FROM dots JOIN norms na ON dots.id_a = na.vec_id
-                JOIN norms nb ON dots.id_b = nb.vec_id
+      SELECT dots.id_a, dots.id_b,
+             dot / sqrt(na.saa * nb.saa) AS cs
+      FROM dots JOIN qnorm na ON dots.id_a = na.vec_id
+                JOIN qnorm nb ON dots.id_b = nb.vec_id
     )
 """
 
@@ -6251,6 +6274,7 @@ _IVF_PAIRS_SQL = """
     "dedup_embedding_cosine_ivf",
     f"""
     WITH {_EMB_EXPAND},
+    {_EMB_EXPAND_Q},
     {_IVF_PAIRS_SQL}
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            round(cs, 4) AS cos_sim
@@ -6509,18 +6533,18 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_clusters",
     f"""
-    WITH RECURSIVE {_EMB_EXPAND},
-    norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM exd GROUP BY vec_id),
+    WITH RECURSIVE {_EMB_EXPAND_Q},
     dots AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
-      FROM exd a JOIN exd b ON a.i = b.i AND a.vec_id < b.vec_id
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM exq a JOIN exq b ON a.i = b.i AND a.vec_id < b.vec_id
       GROUP BY 1, 2
     ),
     edges AS (
       SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b
-      FROM dots JOIN norms na ON dots.id_a = na.vec_id
-                JOIN norms nb ON dots.id_b = nb.vec_id
-      WHERE dot / (na.nrm * nb.nrm) >= 0.4
+      FROM dots JOIN qnorm na ON dots.id_a = na.vec_id
+                JOIN qnorm nb ON dots.id_b = nb.vec_id
+      WHERE dot / sqrt(na.saa * nb.saa) >= 0.4
     ),
     sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
     reach(x, y) AS (
@@ -6567,6 +6591,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_dedup_clusters_ivf",
     f"""
     WITH RECURSIVE {_EMB_EXPAND},
+    {_EMB_EXPAND_Q},
     {_IVF_PAIRS_SQL},
     edges AS (
       SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b
@@ -7057,23 +7082,25 @@ _DRIVER_FIRST = [
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r6 slots 24-26: new this round (IVF edge-sourced semantic
-    # clustering, long-chain CC proof for the star-contraction
-    # rewrite, kmeans oracle companion)
+    # r6 slots 24-29: new or oracle-upgraded this round (IVF
+    # edge-sourced semantic clustering, long-chain CC proof for the
+    # star-contraction rewrite, kmeans oracle companion, Levenshtein
+    # fuzzy-join twin, multimodal rows-only->oracle upgrade,
+    # deterministic epoch shuffle)
     "semantic_dedup_clusters_ivf",
     "near_dup_chain_clusters",
     "kmeans_lloyd_oracle",
     "fuzzy_match_levenshtein",
     "multimodal_features",
     "training_shuffle_shards",
-    # r6 semantics-changed re-proof (rotation rule 3): both now label
-    # via star contraction instead of min-label propagation
+    # r6 slots 30-31, semantics-changed re-proof (rotation rule 3):
+    # both now label via star contraction instead of min-label
     "near_dup_clusters",
     "semantic_dedup_clusters",
-    # r6 slots 27-50: refresh of the stalest surviving r3 rows
-    # (alphabetical over the 38 oracle-able r3 rows; the rows-only r3
-    # trio fuzzy_name_match/kmeans_lloyd/multimodal_features queues for
-    # r7 behind hash-checkable ones, kmeans covered by its companion)
+    # r6 slots 32-50: refresh of the 19 alphabetically-first
+    # oracle-able rows whose newest driver row is r3 (the rows-only r3
+    # pair fuzzy_name_match/kmeans_lloyd queues for r7 behind
+    # hash-checkable ones, kmeans covered by its companion)
     "ann_lsh_topk",
     "array_functions_battery",
     "bigram_counts",
@@ -7093,6 +7120,9 @@ _DRIVER_FIRST = [
     "incremental_dedup",
     "intersect_customers",
     "json_props_extract",
+    # past slot 50 from here — the r7 refresh queue, stalest first:
+    # the remaining r3 rows, then r4-green sets in registration order
+    # via _reorder_registry
     "percentiles_by_segment",
     "pivot_status_qty",
     "quality_weighted_sample",
@@ -7100,9 +7130,6 @@ _DRIVER_FIRST = [
     "retention_cohorts",
     "rollup_pricing",
     "sequence_packing",
-    # past slot 50 from here — the r7 refresh queue, stalest first: the
-    # remaining r3 rows, then r4-green sets in registration order via
-    # _reorder_registry
     "skew_salted_agg",
     "sequence_packing_sharded",
     "stratified_sample_by_source",

@@ -205,60 +205,27 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        fn = REGISTRY[name].fn
-        runs = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        extended[name] = round(min(runs), 3)
-        print(f"  [extended] {name}: best {extended[name]}s", file=sys.stderr)
+    def time_set(names: list[str], label: str) -> dict[str, float]:
+        """Best-of-``iters`` per query (same protocol as the headline
+        loop, minus the median) — one definition so a timing-protocol
+        change can never skew one round set against another."""
+        out: dict[str, float] = {}
+        for name in names:
+            fn = REGISTRY[name].fn
+            runs = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(min(runs), 3)
+            print(f"  [{label}] {name}: best {out[name]}s", file=sys.stderr)
+        return out
 
-    round4: dict[str, float] = {}
-    for name in ROUND4:
-        fn = REGISTRY[name].fn
-        runs = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        round4[name] = round(min(runs), 3)
-        print(f"  [round4] {name}: best {round4[name]}s", file=sys.stderr)
-
-    round4b: dict[str, float] = {}
-    for name in ROUND4B:
-        fn = REGISTRY[name].fn
-        runs = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        round4b[name] = round(min(runs), 3)
-        print(f"  [round4b] {name}: best {round4b[name]}s", file=sys.stderr)
-
-    round5: dict[str, float] = {}
-    for name in ROUND5:
-        fn = REGISTRY[name].fn
-        runs = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        round5[name] = round(min(runs), 3)
-        print(f"  [round5] {name}: best {round5[name]}s", file=sys.stderr)
-
-    round6: dict[str, float] = {}
-    for name in ROUND6:
-        fn = REGISTRY[name].fn
-        runs = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        round6[name] = round(min(runs), 3)
-        print(f"  [round6] {name}: best {round6[name]}s", file=sys.stderr)
+    extended = time_set(EXTENDED, "extended")
+    round4 = time_set(ROUND4, "round4")
+    round4b = time_set(ROUND4B, "round4b")
+    round5 = time_set(ROUND5, "round5")
+    round6 = time_set(ROUND6, "round6")
 
     total = round(sum(timings.values()), 3)
     full = {
