@@ -21,7 +21,10 @@ engine. Scale design notes per operator:
   one of k+1 blocks identical) turns Hamming search into equi-joins.
 * embedding_cosine_pairs — exact pairwise cosine above a threshold
   (reference baseline; single CartesianProduct — kept only as the
-  oracle cross-check for the blocked variant).
+  oracle cross-check for the blocked variant). All cosine operators
+  compute on COSINE_SCALE-quantized integer vectors: exact integer
+  sums make the threshold gate bit-deterministic across engines
+  (float GEMMs only DISCOVER candidates at threshold−ε).
 * embedding_cosine_pairs_blocked — the REGISTERED exact path: block
   the vectors into G buckets, enumerate the G(G+1)/2 unordered block
   pairs as join tasks, and compute each block-pair's cosine matrix with
