@@ -228,8 +228,12 @@ def train_ivfpq(
     IVFPQ construction. Returns (centroids, codebooks)."""
     from aws_ipl_data_pipeline_spark.operators.similarity import select_centroids
 
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        unit_float_centroids,
+    )
+
     cents = select_centroids(emb, n_cells, id_col, vec_col, seed)
-    C = np.array(cents, dtype=np.float64)
+    C = unit_float_centroids(cents)
     pdf = (
         emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), "_id")
@@ -251,8 +255,19 @@ def encode_ivfpq(
     """One vectorized Arrow pass: unit-normalize, coarse-assign the
     cell (dot argmax), PQ-encode the residual. Output
     (id_col, cell, codes) — the m+4-byte row the index stores; `cell`
-    doubles as the storage partition key so probes prune partitions."""
-    C = np.array(centroids, dtype=np.float64)
+    doubles as the storage partition key so probes prune partitions.
+
+    NOTE: coarse assignment here uses the float unit form of the
+    quantized centroids — the PQ code path has no SQL replica of the
+    assignment (its oracles are the exact-rerank companions), so the
+    integer-exact contract lives in similarity.add_ivf_cell; what
+    matters here is only that encode and ADC scoring agree with each
+    other, which a single float form guarantees."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        unit_float_centroids,
+    )
+
+    C = unit_float_centroids(centroids)
     m = len(codebooks)
     cents = [np.array(b, dtype=np.float64) for b in codebooks]
     dsub = cents[0].shape[1]
@@ -296,9 +311,13 @@ def ivfpq_topk_rerank(
     not a filter."""
     from aws_ipl_data_pipeline_spark.operators.similarity import cosine_to_query
 
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        unit_float_centroids,
+    )
+
     q = np.array(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
-    C = np.array(centroids, dtype=np.float64)
+    C = unit_float_centroids(centroids)
     probes = np.argsort(-(C @ q))[:n_probe]
     m = len(codebooks)
     dsub = len(codebooks[0][0])

@@ -90,19 +90,25 @@ def add_lsh_bucket(
 
     One numpy matmul per Arrow batch (bits × dim plane matrix): like
     IVF assignment, the per-plane higher-order-function dots are
-    interpreted JVM-side and measurably slower; bucketing has no
-    exact-parity constraint (sign flips only at dot≈0), so the
-    vectorized path is strictly better."""
-    p_mat = np.asarray(planes, dtype=np.float64).T  # dim × bits
-    weights = np.power(2.0, np.arange(p_mat.shape[1])).astype(np.int64)
+    interpreted JVM-side and measurably slower.
+
+    Integer-exact signs (r6): rows quantize JVM-side and planes
+    quantize once driver-side, so every sign bit is the sign of an
+    EXACT int64 dot — bit-identical to a SQL oracle embedding the same
+    quantized plane literals (a float dot within an ulp of zero could
+    otherwise flip a bucket between engines)."""
+    p_mat = np.asarray(
+        [_quantize_list(p) for p in planes], dtype=np.int64
+    ).T  # dim × bits
+    weights = np.power(2, np.arange(p_mat.shape[1])).astype(np.int64)
 
     @F.pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
-        m = np.vstack(v.to_numpy()).astype(np.float64)  # batch × dim
+        m = np.vstack(v.to_numpy()).astype(np.int64)  # batch × dim
         signs = (m @ p_mat) >= 0
         return pd.Series(signs @ weights)
 
-    return df.withColumn(bucket_col, _bucket(vec_col))
+    return df.withColumn(bucket_col, _bucket(_quantized_col(vec_col)))
 
 
 def lsh_bucketed_topk(
@@ -126,9 +132,10 @@ def lsh_bucketed_topk(
     time and queries only probe."""
     dim = len(query_vec)
     planes = random_hyperplanes(dim, bits, seed)
+    qq = _quantize_list(query_vec)
     q_bucket = 0
     for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+        if sum(a * b for a, b in zip(qq, _quantize_list(p))) >= 0:
             q_bucket |= 1 << i
     probes = {q_bucket}
     if probe_hamming >= 1:
@@ -150,6 +157,67 @@ def _unit(vec: list[float]) -> list[float]:
     return [x / n for x in vec]
 
 
+# --- integer-exact IVF quantization -----------------------------------
+# Cell assignment and probe selection are DISCRETE decisions replicated
+# by SQL oracles; float dot products differ from SQL sums by ulps
+# (summation order), so a borderline vector could land in different
+# cells on different engines and flip candidate sets. All IVF
+# set-decisions therefore run on quantized integers (the r6 scheme
+# shared with dedup's cosine operators): exact int sums are
+# order-independent, and the only float steps (sqrt, division) are
+# correctly-rounded IEEE ops on identical inputs — bit-identical on
+# every engine. Value-side scoring (cos_sim columns) stays float with
+# 4dp rounding, the established convention.
+QUANT_SCALE = 10**6  # must match dedup.COSINE_SCALE and SQL literals
+
+
+def _quantize_list(vec) -> list[int]:
+    """HALF_UP decimal rounding of x·SCALE — exactly what F.round and
+    DuckDB round() produce for the identical double (Decimal carries
+    the exact binary value; comparisons against the representable .5
+    boundary agree with BigDecimal's shortest-repr form)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return [
+        int(
+            Decimal(float(x) * QUANT_SCALE).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        for x in vec
+    ]
+
+
+def _unit_scaled(c_int: list[int]) -> list[int]:
+    """trunc((x / sqrt(S)) · SCALE) with S the exact integer squared
+    norm: the quantized-unit form of a quantized centroid. Truncation,
+    not rounding — trunc has no tie convention to mismatch across
+    engines (SQL: trunc(CAST(x AS DOUBLE) / sqrt(sjj) * 1000000.0))."""
+    s = float(sum(v * v for v in c_int))  # exact: < 2^53
+    r = math.sqrt(s) or 1.0
+    return [int((float(v) / r) * QUANT_SCALE) for v in c_int]
+
+
+def unit_float_centroids(cents: list[list[int]]) -> np.ndarray:
+    """Unit-normalized float64 matrix of quantized centroids — for the
+    float consumers (PQ residuals) where exactness is not the contract
+    (≈ the pre-r6 unit centroids to ~1e-6)."""
+    arr = np.asarray(cents, dtype=np.float64)
+    nrm = np.sqrt((arr * arr).sum(axis=1, keepdims=True))
+    nrm[nrm == 0] = 1.0
+    return arr / nrm
+
+
+def _quantized_col(vec_col: str):
+    """JVM-side quantization (F.round HALF_UP — the exq convention)."""
+    return F.transform(
+        vec_col,
+        lambda x: F.round(
+            x.cast("double") * F.lit(float(QUANT_SCALE)), 0
+        ).cast("long"),
+    )
+
+
 def select_centroids(
     emb: DataFrame,
     n_cells: int,
@@ -165,7 +233,10 @@ def select_centroids(
     VALUES recipe, applied to data-dependent centroids). The collect is
     n_cells rows (the one legitimate driver-side step of IVF index
     build; a k-means refinement would slot in here without changing the
-    query path). Returns unit-normalized centroid vectors."""
+    query path). Returns QUANTIZED integer centroid vectors (r6): the
+    raw embeddings rounded to the QUANT_SCALE grid — the form every
+    discrete decision (cell assignment, probe ranking) computes on
+    exactly; float consumers derive unit_float_centroids from it."""
     h = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
@@ -175,7 +246,7 @@ def select_centroids(
         .limit(n_cells)
         .collect()
     )
-    return [_unit([float(x) for x in r["_v"]]) for r in rows]
+    return [_quantize_list(r["_v"]) for r in rows]
 
 
 def add_ivf_cell(
@@ -192,15 +263,24 @@ def add_ivf_cell(
     array functions are interpreted, not codegen'd, and measured
     ~50× slower than the BLAS path on 64-dim × 16-cell assignment —
     this is the sanctioned slow-path exception, kept out of every
-    other query (see tests/test_plans.py no-UDF sweep)."""
-    c_mat = np.asarray(centroids, dtype=np.float64).T  # dim × k
+    other query (see tests/test_plans.py no-UDF sweep).
+
+    Integer-exact (r6): rows quantize JVM-side (the exq convention),
+    centroids arrive quantized and are unit-scaled to integers, and
+    the argmax runs over exact int64 dots — bit-identical to the SQL
+    oracle's assignment, with np.argmax's first-max tie rule matching
+    ORDER BY dot DESC, cell ASC. Dot magnitude ≤ dim·(scale·max|x|)·
+    scale ≈ 4e13 — inside int64."""
+    c_mat = np.asarray(
+        [_unit_scaled(c) for c in centroids], dtype=np.int64
+    ).T  # dim × k
 
     @F.pandas_udf("int")
     def _cell(v: pd.Series) -> pd.Series:
-        m = np.vstack(v.to_numpy())  # batch × dim
-        return pd.Series(np.argmax(m.astype(np.float64) @ c_mat, axis=1).astype("int32"))
+        m = np.vstack(v.to_numpy()).astype(np.int64)  # batch × dim
+        return pd.Series(np.argmax(m @ c_mat, axis=1).astype("int32"))
 
-    return df.withColumn(cell_col, _cell(vec_col))
+    return df.withColumn(cell_col, _cell(_quantized_col(vec_col)))
 
 
 def ivf_topk(
@@ -366,17 +446,25 @@ def batch_ivf_topk(
     spark = emb.sparkSession
     centroids = select_centroids(emb, n_cells, id_col, vec_col, seed)
     celled = add_ivf_cell(emb, centroids, vec_col)
+    # probe ranking on exact integer dots (quantized query × quantized-
+    # unit centroids) — same determinism contract as add_ivf_cell
     cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "cell int, _cvec array<double>",
+        [(i, _unit_scaled(c)) for i, c in enumerate(centroids)],
+        "cell int, _cu array<long>",
     )
-    qv = F.col(query_vec_col)
+    qv = F.col(query_vec_col)  # float form for the cos_sim value side
+    qq = _quantized_col(query_vec_col)
+    idot = F.aggregate(
+        F.zip_with(qq, F.col("_cu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.desc("_cdot"), F.asc("cell")
     )
     probes = (
         queries.crossJoin(F.broadcast(cent_df))
-        .withColumn("_cdot", _dot(qv, F.col("_cvec")))
+        .withColumn("_cdot", idot)
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
         .select(query_id_col, query_vec_col, "cell")
@@ -444,10 +532,12 @@ def probe_ivf_index(
     dedupe a duplicated near neighbor would occupy two of the k result
     rows. The dedupe shuffles only the probed subset, and a periodic
     per-cell compaction removes the physical duplicates."""
-    uq = _unit([float(x) for x in query_vec])
+    qq = _quantize_list(query_vec)
     order = sorted(
         range(len(centroids)),
-        key=lambda i: -sum(a * b for a, b in zip(uq, centroids[i])),
+        key=lambda i: -sum(
+            a * b for a, b in zip(qq, _unit_scaled(centroids[i]))
+        ),
     )
     probes = order[: min(n_probe, len(order))]
     candidates = (

@@ -1535,14 +1535,15 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
 
 
-def _lsh_planes_values(dim: int = 64, bits: int = 8, seed: int = 42) -> str:
-    """The seeded random hyperplanes as a SQL VALUES literal so DuckDB
-    computes the exact same sign buckets as the Spark side. Python float
-    repr round-trips to the identical double. dim is pinned to the
-    testdata embedding width (TESTDATA.md: 64)."""
+def _proj_planes_values(dim: int = 64, out_dim: int = 8, seed: int = 42) -> str:
+    """FLOAT plane literals for random_projection_embed — projections
+    are VALUE outputs (rounded 4dp), not discrete decisions, so they
+    keep the float form the Spark fold computes (Python float repr
+    round-trips to the identical double); the sign-LSH queries use the
+    quantized-integer variant below."""
     from aws_ipl_data_pipeline_spark.operators.similarity import random_hyperplanes
 
-    planes = random_hyperplanes(dim, bits, seed)
+    planes = random_hyperplanes(dim, out_dim, seed)
     rows = ", ".join(
         f"({b}, {i + 1}, {p!r})"
         for b, plane in enumerate(planes)
@@ -1551,14 +1552,37 @@ def _lsh_planes_values(dim: int = 64, bits: int = 8, seed: int = 42) -> str:
     return f"planes(b, i, p) AS (SELECT * FROM (VALUES {rows}))"
 
 
+def _lsh_planes_values(dim: int = 64, bits: int = 8, seed: int = 42) -> str:
+    """The seeded random hyperplanes as a SQL VALUES literal of
+    QUANTIZED INTEGER components (r6): sign bits are discrete
+    decisions, so both engines compute them from exact integer dots
+    (quantized vector × quantized plane) — a dot within an ulp of zero
+    can no longer flip the bucket between numpy and SQL summation
+    orders. dim is pinned to the testdata embedding width
+    (TESTDATA.md: 64)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _quantize_list,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim, bits, seed)
+    rows = ", ".join(
+        f"({b}, {i + 1}, {p})"
+        for b, plane in enumerate(planes)
+        for i, p in enumerate(_quantize_list(plane))
+    )
+    return f"planes(b, i, p) AS (SELECT * FROM (VALUES {rows}))"
+
+
 @register(
     "ann_lsh_topk",
     f"""
     WITH {_EMB_EXPAND},
+    {_EMB_EXPAND_Q},
     {_lsh_planes_values()},
     sb AS (
       SELECT e.vec_id, pl.b, SUM(e.x * pl.p) AS dot
-      FROM exd e JOIN planes pl ON e.i = pl.i
+      FROM exq e JOIN planes pl ON e.i = pl.i
       GROUP BY 1, 2
     ),
     bk AS (
@@ -2332,6 +2356,7 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     f"""
     WITH {_EMB_EXPAND},
+    {_EMB_EXPAND_Q},
     cent_ids AS (
       SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
         SELECT vec_id,
@@ -2341,14 +2366,22 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
       ) WHERE rn <= 16
     ),
+    cn0 AS (
+      SELECT c.cell, e.i, e.x
+      FROM cent_ids c JOIN exq e ON e.vec_id = c.vec_id
+    ),
+    csum AS (
+      SELECT cell, CAST(SUM(x * x) AS DOUBLE) AS sjj FROM cn0 GROUP BY cell
+    ),
     cn AS (
-      SELECT c.cell, e.i,
-             e.x / sqrt(SUM(e.x * e.x) OVER (PARTITION BY c.cell)) AS cx
-      FROM cent_ids c JOIN exd e ON e.vec_id = c.vec_id
+      SELECT cn0.cell, cn0.i,
+             CAST(trunc(CAST(cn0.x AS DOUBLE) / sqrt(csum.sjj) * 1000000.0)
+                  AS BIGINT) AS cx
+      FROM cn0 JOIN csum USING (cell)
     ),
     assign AS (
       SELECT e.vec_id, c.cell, SUM(e.x * c.cx) AS dot
-      FROM exd e JOIN cn c ON e.i = c.i
+      FROM exq e JOIN cn c ON e.i = c.i
       GROUP BY 1, 2
     ),
     cells AS (
@@ -4199,7 +4232,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "random_projection_embed",
     f"""
     WITH {_EMB_EXPAND},
-    {_lsh_planes_values(dim=64, bits=8, seed=7)},
+    {_proj_planes_values(dim=64, out_dim=8, seed=7)},
     proj AS (
       SELECT e.vec_id, pl.b AS j, round(SUM(e.x * pl.p), 4) AS val
       FROM exd e JOIN planes pl ON e.i = pl.i
@@ -4323,6 +4356,7 @@ REGISTRY["dedup_ngram_jaccard_prefix"].oracle = REGISTRY[
     "ann_batch_ivf_topk",
     f"""
     WITH {_EMB_EXPAND},
+    {_EMB_EXPAND_Q},
     cent_ids AS (
       SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
         SELECT vec_id,
@@ -4332,14 +4366,22 @@ REGISTRY["dedup_ngram_jaccard_prefix"].oracle = REGISTRY[
         FROM embeddings
       ) WHERE rn <= 16
     ),
+    cn0 AS (
+      SELECT c.cell, e.i, e.x
+      FROM cent_ids c JOIN exq e ON e.vec_id = c.vec_id
+    ),
+    csum AS (
+      SELECT cell, CAST(SUM(x * x) AS DOUBLE) AS sjj FROM cn0 GROUP BY cell
+    ),
     cn AS (
-      SELECT c.cell, e.i,
-             e.x / sqrt(SUM(e.x * e.x) OVER (PARTITION BY c.cell)) AS cx
-      FROM cent_ids c JOIN exd e ON e.vec_id = c.vec_id
+      SELECT cn0.cell, cn0.i,
+             CAST(trunc(CAST(cn0.x AS DOUBLE) / sqrt(csum.sjj) * 1000000.0)
+                  AS BIGINT) AS cx
+      FROM cn0 JOIN csum USING (cell)
     ),
     assign AS (
       SELECT e.vec_id, c.cell, SUM(e.x * c.cx) AS dot
-      FROM exd e JOIN cn c ON e.i = c.i
+      FROM exq e JOIN cn c ON e.i = c.i
       GROUP BY 1, 2
     ),
     cells AS (
@@ -5154,11 +5196,11 @@ def _scd2_frame(ev: DataFrame) -> DataFrame:
 @register(
     "diversity_sample",
     f"""
-    WITH {_EMB_EXPAND},
+    WITH {_EMB_EXPAND_Q},
     {_lsh_planes_values(dim=64, bits=4, seed=11)},
     sb AS (
       SELECT e.vec_id, pl.b, SUM(e.x * pl.p) AS dot
-      FROM exd e JOIN planes pl ON e.i = pl.i
+      FROM exq e JOIN planes pl ON e.i = pl.i
       GROUP BY 1, 2
     ),
     bk AS (
@@ -5192,13 +5234,22 @@ def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_ipl_data_pipeline_spark.operators.similarity import random_hyperplanes
 
     emb = t(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _quantize_list,
+        _quantized_col,
+    )
+
+    # sign decisions on exact integer dots (quantized vector × quantized
+    # plane) — bit-identical to the oracle's integer VALUES literals
+    v = _quantized_col("embedding")
     planes = random_hyperplanes(64, 4, seed=11)
     bucket = F.lit(0)
     for b, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(p)) for p in plane])
+        arr = F.array(*[F.lit(int(p)).cast("long") for p in _quantize_list(plane)])
         dot = F.aggregate(
-            F.zip_with(v, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            F.zip_with(v, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(2**b)).otherwise(F.lit(0))
     w = Window.partitionBy("bucket").orderBy(
@@ -6231,14 +6282,22 @@ _IVF_PAIRS_SQL = """
         FROM embeddings
       ) WHERE rn <= 16
     ),
+    cn0 AS (
+      SELECT c.cell, e.i, e.x
+      FROM cent_ids c JOIN exq e ON e.vec_id = c.vec_id
+    ),
+    csum AS (
+      SELECT cell, CAST(SUM(x * x) AS DOUBLE) AS sjj FROM cn0 GROUP BY cell
+    ),
     cn AS (
-      SELECT c.cell, e.i,
-             e.x / sqrt(SUM(e.x * e.x) OVER (PARTITION BY c.cell)) AS cx
-      FROM cent_ids c JOIN exd e ON e.vec_id = c.vec_id
+      SELECT cn0.cell, cn0.i,
+             CAST(trunc(CAST(cn0.x AS DOUBLE) / sqrt(csum.sjj) * 1000000.0)
+                  AS BIGINT) AS cx
+      FROM cn0 JOIN csum USING (cell)
     ),
     assign AS (
       SELECT e.vec_id, c.cell, SUM(e.x * c.cx) AS dot
-      FROM exd e JOIN cn c ON e.i = c.i
+      FROM exq e JOIN cn c ON e.i = c.i
       GROUP BY 1, 2
     ),
     cells AS (
