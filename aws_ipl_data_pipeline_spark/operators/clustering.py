@@ -257,3 +257,50 @@ def kmeans_fit_fixed_int(
         F.col("centroid_id"),
         F.col("dist2"),
     )
+
+
+def assign_to_centroids_int(
+    emb: DataFrame,
+    centroids: dict[int, list[float]],
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact nearest-centroid assignment — the oracle-provable
+    form of ``assign_to_centroids`` (r6): vectors and centroids both
+    quantize to the shared integer grid, squared distances are exact
+    int64 folds (order-independent — no float summation anywhere in
+    the DECISION), and ties break (d2, centroid_id). The reported
+    dist2 is the exact integer distance rescaled to the float unit
+    (d2/scale², rounded 4dp) — identical IEEE ops on identical exact
+    inputs on every engine. The float ``assign_to_centroids`` remains
+    the production hot path inside kmeans_fit; this twin is for
+    surfaces whose assignment a SQL oracle re-derives."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _quantize_list,
+        _quantized_col,
+    )
+
+    q = emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _quantized_col(vec_col).alias("_xq"),
+    )
+    cents_q = {int(c): _quantize_list(v) for c, v in centroids.items()}
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2_int("_xq", vec).alias("d2"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, vec in sorted(cents_q.items())
+            ]
+        )
+    )
+    return q.select(
+        id_col,
+        best["cid"].alias("centroid_id"),
+        F.round(
+            best["d2"].cast("double") / F.lit(float(scale) * float(scale)), 4
+        ).alias("dist2"),
+    )

@@ -3629,13 +3629,21 @@ def chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(embedding) AS x0
       FROM embeddings
     ),
-    ex AS (SELECT vec_id, i, CAST(x0 AS DOUBLE) AS x FROM ex0),
+    ex AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(x0 AS DOUBLE) * 1000000, 0) AS BIGINT) AS x
+      FROM ex0
+    ),
     cx0 AS (
       SELECT centroid_id, unnest(range(1, len(cvec) + 1)) AS i,
              unnest(cvec) AS c0
       FROM seeds
     ),
-    cx AS (SELECT centroid_id, i, CAST(c0 AS DOUBLE) AS c FROM cx0),
+    cx AS (
+      SELECT centroid_id, i,
+             CAST(round(CAST(c0 AS DOUBLE) * 1000000, 0) AS BIGINT) AS c
+      FROM cx0
+    ),
     d AS (
       SELECT e.vec_id, cx.centroid_id,
              SUM((e.x - cx.c) * (e.x - cx.c)) AS d2
@@ -3644,7 +3652,7 @@ def chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(centroid_id AS BIGINT) AS centroid_id,
-           round(d2, 4) AS dist2
+           round(CAST(d2 AS DOUBLE) / 1000000000000.0, 4) AS dist2
     FROM d
     QUALIFY row_number() OVER (PARTITION BY vec_id
                                ORDER BY d2, centroid_id) = 1
@@ -3654,14 +3662,18 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment (operators/clustering.py): centroids
     are the k=4 deterministic hash-seeded vectors, distances unroll to
     JVM column expressions — the map-only hot path a 100 TB k-means
-    iteration or IVF partitioner runs per pass."""
+    iteration or IVF partitioner runs per pass. r6: the argmin runs on
+    exact integer distances (assign_to_centroids_int) so the winning
+    centroid — a discrete decision the oracle re-derives — is
+    bit-deterministic cross-engine; dist2 reports the exact integer
+    distance rescaled to float units."""
     from aws_ipl_data_pipeline_spark.operators.clustering import (
-        assign_to_centroids,
+        assign_to_centroids_int,
         seed_centroids,
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    return assign_to_centroids(emb, seed_centroids(emb, 4))
+    return assign_to_centroids_int(emb, seed_centroids(emb, 4))
 
 
 @register("ann_pq_topk")  # rows-only: approximate (PQ-compressed ANN)
