@@ -1,0 +1,164 @@
+"""Link-graph quality scoring: co-visitation graph construction and
+fixed-point integer PageRank.
+
+Real pretraining pipelines weight documents by link-graph centrality
+(Common Crawl harmonic centrality / PageRank-style quality priors);
+the engine-native form is (1) derive the edge list relationally, (2)
+run a FIXED number of power-iteration rounds where every quantity is
+an int64 — quantized rank mass, per-edge transition probabilities, and
+damping all via integer division — so the result is bit-deterministic
+across partitionings, engines, and runs (the same discipline as
+`operators/clustering.kmeans_fit_fixed_int`: discrete/iterative
+decisions never ride on float summation order).
+
+Scale notes (100 TB posture):
+
+* Edge derivation is one per-user window (bounded partitions — a user's
+  event stream, never a global sort) + a combinable (src, dst) count.
+* Each PageRank round is one equi-join (edges x ranks on src) + one
+  (dst) sum — the classic sparse mat-vec as a join-agg. Catalyst/AQE
+  broadcasts the rank side while it fits; at billion-node scale both
+  sides hash-partition on the join key, and pre-bucketing edges by src
+  makes the per-round exchange a one-time cost. Rounds localCheckpoint
+  the rank frame so iterative lineage stays flat.
+* Overflow audit: rank mass is conserved-or-leaked (dangling nodes drop
+  their mass — the standard simplification), so every rank is at most
+  RANK_SCALE (1e12); per-edge probabilities are at most EDGE_PROB_SCALE
+  (1e6); the largest product is 1e18 < 2^63. Edge weights up to ~1e12
+  transitions keep (w * EDGE_PROB_SCALE) in range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RANK_SCALE = 10**12  # total rank mass, as an int64
+EDGE_PROB_SCALE = 10**6  # per-edge transition probability quantum
+
+
+def covisit_edges(
+    events: DataFrame,
+    item: Column,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Directed co-visitation edges: for each user's event stream in
+    ``order_cols`` order (the trailing column must be unique — the
+    deterministic tiebreak), emit one transition per consecutive pair
+    of distinct items and count multiplicity.
+
+    Returns (src, dst, w) with w = number of observed transitions.
+    The window partitions by user — bounded state, no global sort."""
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        *[F.col(c) for c in order_cols],
+        item.cast("long").alias("_k"),
+    ).where(F.col("_k").isNotNull())
+    w = Window.partitionBy("_u").orderBy(*order_cols)
+    tr = ev.withColumn("_prev", F.lag("_k").over(w))
+    return (
+        tr.where(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_k")))
+        .groupBy(F.col("_prev").alias("src"), F.col("_k").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
+def pagerank_fixed_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Weighted PageRank, ``iters`` exact power-iteration rounds in
+    pure int64 arithmetic (bit-identical across engines and runs).
+
+    ``nodes``: one column ``v`` (long, distinct). ``edges``: columns
+    ``src``/``dst``/``w`` (long, w > 0; self-loops should be dropped
+    upstream). Returns (v, rank_scaled): rank mass out of RANK_SCALE.
+
+    Per round, with integer division throughout (all quantities are
+    non-negative, so Spark ``div`` and DuckDB ``//`` agree):
+
+        p(u, v)  = (w(u, v) * EDGE_PROB_SCALE) div out_w(u)   [once]
+        infl(v)  = sum_u (r(u) * p(u, v)) div EDGE_PROB_SCALE
+        r'(v)    = base + (damp_num * infl(v)) div damp_den
+        base     = ((RANK_SCALE - damp) .. as fixed literal) div N
+                   where damp = RANK_SCALE * damp_num div damp_den
+
+    Dangling nodes (no out-edges) leak their mass — the standard
+    simplification; both engines apply the identical formula, so the
+    leak is deterministic, not a parity risk. Integer sums are exact
+    and order-independent: no float summation order anywhere."""
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
+    pe = (
+        edges.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(w * {EDGE_PROB_SCALE}) div _ow").alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(F.col("v"), F.lit(0).cast("long").alias("rank_scaled"))
+    teleport_mass = RANK_SCALE - (RANK_SCALE * damp_num) // damp_den
+    base = teleport_mass // n
+    r = nodes.select("v", F.lit(RANK_SCALE // n).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = pe.join(r.withColumnRenamed("v", "src"), "src").select(
+            "dst", F.expr(f"(r * p) div {EDGE_PROB_SCALE}").alias("c")
+        )
+        infl = contrib.groupBy("dst").agg(F.sum("c").alias("_infl"))
+        r = (
+            nodes.join(infl, nodes["v"] == infl["dst"], "left")
+            .select(
+                "v",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damp_num} * coalesce(_infl, CAST(0 AS BIGINT)))"
+                        f" div {damp_den}"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select("v", F.col("r").cast("long").alias("rank_scaled"))
+
+
+def pagerank_fixed_int_reference(
+    node_ids: list[int],
+    weighted_edges: list[tuple[int, int, int]],
+    iters: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> dict[int, int]:
+    """Pure-Python single-process replica of ``pagerank_fixed_int`` —
+    the test oracle (same role numpy parity plays for kmeans). Every
+    operation mirrors the distributed form exactly: integer division,
+    exact integer sums."""
+    n = len(node_ids)
+    if n == 0:
+        return {}
+    out_w: dict[int, int] = {}
+    for src, _dst, w in weighted_edges:
+        out_w[src] = out_w.get(src, 0) + w
+    pe = [
+        (src, dst, (w * EDGE_PROB_SCALE) // out_w[src])
+        for src, dst, w in weighted_edges
+    ]
+    teleport_mass = RANK_SCALE - (RANK_SCALE * damp_num) // damp_den
+    base = teleport_mass // n
+    r = {v: RANK_SCALE // n for v in node_ids}
+    for _ in range(iters):
+        infl: dict[int, int] = {}
+        for src, dst, p in pe:
+            infl[dst] = infl.get(dst, 0) + (r[src] * p) // EDGE_PROB_SCALE
+        r = {
+            v: base + (damp_num * infl.get(v, 0)) // damp_den
+            for v in node_ids
+        }
+    return r

@@ -7105,6 +7105,159 @@ def ann_ivfpq_topk_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Link-graph quality scoring (PageRank over a co-visitation graph)
+# --------------------------------------------------------------------------
+
+
+_PAGERANK_ITER_SQL = """
+    i{t} AS (
+      SELECT pe.dst AS v, SUM((r.r * pe.p) // 1000000) AS infl
+      FROM pe JOIN r{p} r ON r.v = pe.src GROUP BY 1
+    ),
+    r{t} AS (
+      SELECT n.v,
+             (150000000000 // nn.n)
+               + (85 * COALESCE(i.infl, CAST(0 AS BIGINT))) // 100 AS r
+      FROM nodes n CROSS JOIN nn LEFT JOIN i{t} i ON i.v = n.v
+    )
+"""
+
+
+@register(
+    "pagerank_covisit",
+    f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(props->>'$.k' AS BIGINT) AS k
+      FROM events WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+    ),
+    tr AS (
+      SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_k
+      FROM ev
+    ),
+    edges AS (
+      SELECT prev_k AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM tr WHERE prev_k IS NOT NULL AND prev_k <> k
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT k AS v FROM ev),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    pe AS (
+      SELECT e.src, e.dst, (e.w * 1000000) // o.ow AS p
+      FROM edges e JOIN outw o ON o.src = e.src
+    ),
+    r0 AS (SELECT v, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+    {_PAGERANK_ITER_SQL.format(t=1, p=0)},
+    {_PAGERANK_ITER_SQL.format(t=2, p=1)},
+    {_PAGERANK_ITER_SQL.format(t=3, p=2)}
+    SELECT CAST(v AS BIGINT) AS item_k, CAST(r AS BIGINT) AS rank_scaled
+    FROM r3
+    """,
+)
+def pagerank_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph quality prior (operators/graph): PageRank over the
+    item co-visitation graph — nodes are the `props.k` item ids, edges
+    the per-user consecutive-event transitions (the CommonCrawl-style
+    centrality-as-quality-weight shape, on the tables this harness
+    ships). Three exact power-iteration rounds where EVERY quantity is
+    int64 (quantized rank mass, integer transition probabilities,
+    damping by integer division) so the result is bit-deterministic:
+    the oracle unrolls the identical three rounds as chained CTEs —
+    the kmeans_lloyd_oracle discipline applied to graph centrality.
+    Per round: one join + one combinable sum (sparse mat-vec as
+    join-agg); ranks localCheckpoint so iterative lineage stays flat;
+    dangling-node mass leaks identically on both engines."""
+    from aws_ipl_data_pipeline_spark.operators.graph import (
+        covisit_edges,
+        pagerank_fixed_int,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    edges = covisit_edges(ev, item)
+    nodes = (
+        ev.select(item.alias("v")).where(F.col("v").isNotNull()).distinct()
+    )
+    ranks = pagerank_fixed_int(nodes, edges, iters=3)
+    return ranks.select(
+        F.col("v").cast("long").alias("item_k"), "rank_scaled"
+    )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-quality evaluation (recall@k / MRR of ANN vs exact)
+# --------------------------------------------------------------------------
+
+
+def _recall_eval_oracle() -> str:
+    # composed VERBATIM from the two batch oracles already registered
+    # above, so the ground-truth and approximate rank sets can never
+    # drift from the queries they evaluate
+    gt_sql = REGISTRY["ann_batch_topk"].oracle
+    iv_sql = REGISTRY["ann_batch_ivf_topk"].oracle
+    return f"""
+    WITH gt AS (SELECT query_id, vec_id FROM ({gt_sql}) g),
+    iv AS (SELECT query_id, vec_id, rk FROM ({iv_sql}) v),
+    h AS (SELECT iv.query_id, iv.rk FROM iv JOIN gt USING (query_id, vec_id)),
+    q AS (SELECT DISTINCT query_id FROM gt),
+    s AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_found,
+             2520 // MIN(rk) AS rr_scaled
+      FROM h GROUP BY 1
+    )
+    SELECT CAST(q.query_id AS BIGINT) AS query_id,
+           CAST(COALESCE(s.n_found, 0) AS BIGINT) AS n_found,
+           CAST(COALESCE(s.rr_scaled, 0) AS BIGINT) AS rr_scaled
+    FROM q LEFT JOIN s USING (query_id)
+    """
+
+
+@register("ann_recall_eval", _recall_eval_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class query: score the
+    IVF index (k=10, 4/16 probes — the honestly approximate scale
+    path) against the exact batch top-5 ground truth, per query vector.
+    Metrics are pure ratios/quotients of integers so the oracle is
+    exact: n_found = |approx top-10 ∩ true top-5| (recall@10 numerator)
+    and rr_scaled = 2520 div (first relevant rank) — 2520 = lcm(1..10),
+    so every reciprocal rank is an exact integer (MRR without float
+    division). Both rank sets are themselves hash-proven by their own
+    driver rows (ann_batch_topk / ann_batch_ivf_topk), and the oracle
+    SQL composes those two registered specs verbatim — eval can never
+    drift from the thing it evaluates. The index-eval loop every
+    retrieval pipeline runs before committing to an ANN config."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        batch_ivf_topk,
+        batch_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double_vec("embedding").alias("query_vec"),
+    )
+    gt = batch_topk(emb, queries, k=5).select("query_id", "vec_id")
+    iv = batch_ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "vec_id", "rk"
+    )
+    hits = iv.join(gt, ["query_id", "vec_id"])
+    per_q = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_found"),
+        F.expr("2520 div min(rk)").alias("rr_scaled"),
+    )
+    qids = gt.select("query_id").distinct()
+    zero = F.lit(0).cast("long")
+    return qids.join(per_q, "query_id", "left").select(
+        F.col("query_id").cast("long"),
+        F.coalesce("n_found", zero).alias("n_found"),
+        F.coalesce("rr_scaled", zero).alias("rr_scaled"),
+    )
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
@@ -7168,10 +7321,16 @@ _DRIVER_FIRST = [
     # both now label via star contraction instead of min-label
     "near_dup_clusters",
     "semantic_dedup_clusters",
-    # r6 slots 32-50: refresh of the 19 alphabetically-first
-    # oracle-able rows whose newest driver row is r3 (the rows-only r3
-    # pair fuzzy_name_match/kmeans_lloyd queues for r7 behind
-    # hash-checkable ones, kmeans covered by its companion)
+    # r6 slots 32-33: new this round, second batch (integer-exact
+    # PageRank over the co-visitation graph; recall@k/MRR retrieval
+    # eval composed from the two batch-ANN oracle specs)
+    "pagerank_covisit",
+    "ann_recall_eval",
+    # r6 slots 34-50: refresh of the 17 alphabetically-first
+    # oracle-able rows whose newest driver row is r3 (the displaced
+    # intersect_customers/json_props_extract and the rows-only r3 pair
+    # fuzzy_name_match/kmeans_lloyd queue for r7 behind hash-checkable
+    # ones, kmeans covered by its companion)
     "ann_lsh_topk",
     "array_functions_battery",
     "bigram_counts",
@@ -7189,11 +7348,11 @@ _DRIVER_FIRST = [
     "funnel_analysis",
     "grouping_sets_pricing",
     "incremental_dedup",
-    "intersect_customers",
-    "json_props_extract",
     # past slot 50 from here — the r7 refresh queue, stalest first:
     # the remaining r3 rows, then r4-green sets in registration order
     # via _reorder_registry
+    "intersect_customers",
+    "json_props_extract",
     "percentiles_by_segment",
     "pivot_status_qty",
     "quality_weighted_sample",

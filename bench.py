@@ -144,6 +144,8 @@ ROUND6 = [
     "semantic_dedup_clusters_ivf",
     "near_dup_chain_clusters",
     "kmeans_lloyd_oracle",
+    "pagerank_covisit",
+    "ann_recall_eval",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Co-visitation graph + fixed-point integer PageRank operators."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.operators.graph import (
+    RANK_SCALE,
+    covisit_edges,
+    pagerank_fixed_int,
+    pagerank_fixed_int_reference,
+)
+
+
+def _ranks(df) -> dict[int, int]:
+    return {r["v"]: r["rank_scaled"] for r in df.collect()}
+
+
+def test_covisit_edges_counts_transitions(spark):
+    rows = [
+        # user 1 visits 10 -> 20 -> 20 -> 10 (self-transition dropped)
+        Row(user_id=1, ts=1, event_id=1, k=10),
+        Row(user_id=1, ts=2, event_id=2, k=20),
+        Row(user_id=1, ts=3, event_id=3, k=20),
+        Row(user_id=1, ts=4, event_id=4, k=10),
+        # user 2 visits 10 -> 20 (repeat edge), then a null item
+        Row(user_id=2, ts=1, event_id=5, k=10),
+        Row(user_id=2, ts=2, event_id=6, k=20),
+        Row(user_id=2, ts=3, event_id=7, k=None),
+        # transitions never cross users
+        Row(user_id=3, ts=1, event_id=8, k=99),
+    ]
+    ev = spark.createDataFrame(rows)
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in covisit_edges(ev, F.col("k")).collect()
+    }
+    assert got == {(10, 20): 2, (20, 10): 1}
+
+
+def test_covisit_tiebreak_is_the_trailing_order_col(spark):
+    # equal ts: event_id must decide the visit order deterministically
+    rows = [
+        Row(user_id=1, ts=5, event_id=2, k=30),
+        Row(user_id=1, ts=5, event_id=1, k=10),
+        Row(user_id=1, ts=5, event_id=3, k=20),
+    ]
+    got = {
+        (r["src"], r["dst"])
+        for r in covisit_edges(spark.createDataFrame(rows), F.col("k")).collect()
+    }
+    assert got == {(10, 30), (30, 20)}
+
+
+def _random_graph(seed: int, n_nodes: int, n_edges: int):
+    rng = random.Random(seed)
+    nodes = list(range(n_nodes))
+    weighted: dict[tuple[int, int], int] = {}
+    for _ in range(n_edges):
+        u, v = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if u == v:
+            continue
+        weighted[(u, v)] = weighted.get((u, v), 0) + rng.randrange(1, 4)
+    edges = [(u, v, w) for (u, v), w in sorted(weighted.items())]
+    return nodes, edges
+
+
+def test_pagerank_matches_pure_python_replica(spark):
+    # includes dangling nodes (mass leak) and isolated nodes (base only)
+    nodes, edges = _random_graph(seed=7, n_nodes=23, n_edges=60)
+    nodes_df = spark.createDataFrame([Row(v=v) for v in nodes])
+    edges_df = spark.createDataFrame(
+        [Row(src=u, dst=v, w=w) for u, v, w in edges]
+    )
+    got = _ranks(pagerank_fixed_int(nodes_df, edges_df, iters=3))
+    want = pagerank_fixed_int_reference(nodes, edges, iters=3)
+    assert got == want
+
+
+def test_pagerank_is_partitioning_invariant(spark):
+    nodes, edges = _random_graph(seed=11, n_nodes=17, n_edges=40)
+    nodes_df = spark.createDataFrame([Row(v=v) for v in nodes])
+    edges_df = spark.createDataFrame(
+        [Row(src=u, dst=v, w=w) for u, v, w in edges]
+    )
+    base = _ranks(pagerank_fixed_int(nodes_df, edges_df, iters=4))
+    shuffled = _ranks(
+        pagerank_fixed_int(nodes_df.repartition(7), edges_df.repartition(5), iters=4)
+    )
+    assert base == shuffled
+
+
+def test_pagerank_mass_and_floor_invariants(spark):
+    nodes, edges = _random_graph(seed=3, n_nodes=12, n_edges=30)
+    nodes_df = spark.createDataFrame([Row(v=v) for v in nodes])
+    edges_df = spark.createDataFrame(
+        [Row(src=u, dst=v, w=w) for u, v, w in edges]
+    )
+    ranks = _ranks(pagerank_fixed_int(nodes_df, edges_df, iters=3))
+    assert set(ranks) == set(nodes)
+    # total mass never exceeds the scale (integer floors + dangling
+    # leak only ever REMOVE mass), and every node keeps >= its
+    # teleport share's floor
+    base = (RANK_SCALE - (RANK_SCALE * 85) // 100) // len(nodes)
+    assert sum(ranks.values()) <= RANK_SCALE
+    assert all(r >= base for r in ranks.values())
+
+
+def test_pagerank_two_node_cycle_closed_form(spark):
+    # A <-> B with no leak: each node's inflow is the other's full
+    # rank, so the integer recurrence is r' = base + (85*r)//100
+    nodes_df = spark.createDataFrame([Row(v=0), Row(v=1)])
+    edges_df = spark.createDataFrame(
+        [Row(src=0, dst=1, w=1), Row(src=1, dst=0, w=1)]
+    )
+    got = _ranks(pagerank_fixed_int(nodes_df, edges_df, iters=3))
+    base = (RANK_SCALE - (RANK_SCALE * 85) // 100) // 2
+    r = RANK_SCALE // 2
+    for _ in range(3):
+        r = base + (85 * r) // 100
+    assert got == {0: r, 1: r}
