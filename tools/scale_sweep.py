@@ -218,7 +218,8 @@ def main() -> None:
     for mult in scales:
         sf_dir = build(spark, mult)
         if any(
-            n in ("sessionize_events", "scd2_user_state") for n in QUERIES
+            n in ("sessionize_events", "scd2_user_state", "pagerank_covisit")
+            for n in QUERIES
         ):
             build_events(spark, mult, sf_dir)
         if any(n in _TPCH_QUERIES for n in QUERIES):
