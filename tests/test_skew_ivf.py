@@ -190,3 +190,39 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert [r["vec_id"] for r in full.collect()] == [
         r["vec_id"] for r in exact.collect()
     ]
+
+
+def test_recall_eval_full_probe_is_perfect(spark):
+    """ann_recall_eval invariant: with EVERY cell probed the IVF rank
+    set contains the exact top-5 for each query, so the eval metrics
+    saturate — n_found = 5 and rr_scaled = 2520 (first relevant at
+    rank 1). Pins the metric arithmetic (lcm-scaled reciprocal rank,
+    intersection count) independently of the approximate-probe row."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        batch_ivf_topk,
+        batch_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double_vec("embedding").alias("query_vec"),
+    )
+    gt = batch_topk(emb, queries, k=5).select("query_id", "vec_id")
+    iv = batch_ivf_topk(emb, queries, k=10, n_cells=8, n_probe=8).select(
+        "query_id", "vec_id", "rk"
+    )
+    per_q = (
+        iv.join(gt, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_found"),
+            F.expr("2520 div min(rk)").alias("rr_scaled"),
+        )
+        .collect()
+    )
+    assert len(per_q) == 2
+    assert all(r["n_found"] == 5 and r["rr_scaled"] == 2520 for r in per_q)
