@@ -165,3 +165,99 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_sha"])
 
     return media.where(media.kind == "video").mapInPandas(batches, schema=out_schema)
+
+
+def frame_fingerprints(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fixed-offset frame fingerprints as PURE column expressions —
+    the relational (JVM/codegen, zero-Python) twin of ``frame_sample``
+    for when the fingerprint does not need a real codec: the payload's
+    hex encoding is sliced at fixed byte offsets (2 hex chars per byte)
+    and each slice is sha256'd. hex() and sha256-of-VARCHAR have
+    bit-identical cross-engine semantics, which makes downstream
+    overlap joins fully oracle-provable — and at 100 TB this form
+    scans, explodes, and hashes entirely inside whole-stage codegen
+    (no Arrow hop, no Python worker).
+
+    Returns (media_id, frame_no, frame_sha); empty payloads yield no
+    frames. The trailing frame is the remainder slice."""
+    from pyspark.sql import functions as F
+
+    span = 2 * frame_bytes
+    df = media.select(
+        F.col(id_col).alias("media_id"),
+        F.hex(F.col(payload_col)).alias("_hx"),
+    ).where(F.length("_hx") > 0)
+    # (len + span - 1) div span frames; sequence guard: len > 0 => n >= 1
+    df = df.select(
+        "media_id",
+        "_hx",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.expr(f"(length(_hx) + {span - 1}) div {span}") - 1
+            )
+        ).alias("frame_no"),
+    )
+    return df.select(
+        "media_id",
+        F.col("frame_no").cast("long"),
+        F.sha2(
+            F.expr(f"substring(_hx, frame_no * {span} + 1, {span})"), 256
+        ).alias("frame_sha"),
+    )
+
+
+def frame_overlap_pairs(
+    frames: DataFrame, min_containment_pct: int = 50
+) -> DataFrame:
+    """Media pairs sharing >= ``min_containment_pct`` % of the smaller
+    side's DISTINCT frame fingerprints — the fingerprint-containment
+    content-match shape (trimmed/extended copies of the same media
+    still match, because containment divides by the SMALLER set).
+
+    Inverted-index self-join on the fingerprint (no O(n^2) cross
+    join); the threshold gate is pure integer arithmetic
+    (100*common >= pct*least(na, nb)) so no float comparison can flip
+    a pair cross-engine. Joins on xxhash64(frame_sha): 8-byte keys
+    through the shuffle, same accepted collision class as the shingle
+    index. Returns (id_a, id_b, n_common, n_a, n_b, containment)."""
+    from pyspark.sql import functions as F
+
+    f = frames.select(
+        "media_id", F.xxhash64("frame_sha").alias("_fh")
+    ).dropDuplicates()
+    sizes = f.groupBy("media_id").agg(F.count("*").alias("_n"))
+    a = f.select(F.col("media_id").alias("id_a"), "_fh")
+    b = f.select(F.col("media_id").alias("id_b"), "_fh")
+    common = (
+        a.join(b, "_fh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"media_id": "id_a", "_n": "_na"}), "id_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"media_id": "id_b", "_n": "_nb"}), "id_b"
+        )
+        .where(
+            100 * F.col("_common")
+            >= min_containment_pct * F.least("_na", "_nb")
+        )
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.col("_common").cast("long").alias("n_common"),
+            F.col("_na").cast("long").alias("n_a"),
+            F.col("_nb").cast("long").alias("n_b"),
+            F.round(
+                F.col("_common") / F.least("_na", "_nb"), 4
+            ).alias("containment"),
+        )
+    )

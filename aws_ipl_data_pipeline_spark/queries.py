@@ -7258,6 +7258,70 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_frame_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents
+    ),
+    e AS (
+      SELECT media_id, hx,
+             unnest(range(0, (length(hx) + 127) // 128)) AS fno
+      FROM m WHERE length(hx) > 0
+    ),
+    fr AS (
+      SELECT DISTINCT media_id,
+             sha256(substring(hx, fno * 128 + 1, 128)) AS fsha
+      FROM e
+    ),
+    sizes AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
+    p AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS common
+      FROM fr a JOIN fr b ON a.fsha = b.fsha AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT p.id_a, p.id_b, p.common, sa.n AS na, sb.n AS nb
+      FROM p
+      JOIN sizes sa ON sa.media_id = p.id_a
+      JOIN sizes sb ON sb.media_id = p.id_b
+      WHERE 100 * p.common >= 50 * least(sa.n, sb.n)
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(common AS BIGINT) AS n_common,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(common * 1.0 / least(na, nb), 4) AS containment
+    FROM g
+    """,
+)
+def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup by frame-fingerprint containment
+    (operators/multimodal.frame_fingerprints + frame_overlap_pairs):
+    the YouTube-style content-match shape — fixed-offset frame
+    digests, DISTINCT per media, inverted-index self-join, pairs kept
+    when the smaller side shares >= 50% of its fingerprints (integer
+    gate: 100*common >= 50*least(na, nb), so no float threshold can
+    flip a pair). Fingerprinting is the RELATIONAL form (hex slices +
+    sha256, whole-stage codegen, no Python) — cross-engine-exact,
+    hence the full pair set is hash-proven; the mapInPandas
+    `frame_sample` remains the plumbing for real byte-level codecs.
+    containment is a ratio of integers (exact quotient both engines).
+    64-byte frames here model per-frame/per-chunk digests; at real
+    media scale the same plan runs over codec-emitted fingerprints."""
+    from aws_ipl_data_pipeline_spark.operators.multimodal import (
+        frame_fingerprints,
+        frame_overlap_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    frames = frame_fingerprints(media, frame_bytes=64)
+    return frame_overlap_pairs(frames, min_containment_pct=50)
+
+
 # register the IPL-medallion VALUES-fixture queries (bottom import: the
 # module needs `register`, defined above, at its import time)
 from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
@@ -7321,16 +7385,18 @@ _DRIVER_FIRST = [
     # both now label via star contraction instead of min-label
     "near_dup_clusters",
     "semantic_dedup_clusters",
-    # r6 slots 32-33: new this round, second batch (integer-exact
+    # r6 slots 32-34: new this round, second batch (integer-exact
     # PageRank over the co-visitation graph; recall@k/MRR retrieval
-    # eval composed from the two batch-ANN oracle specs)
+    # eval composed from the two batch-ANN oracle specs; media
+    # frame-fingerprint containment dedup)
     "pagerank_covisit",
     "ann_recall_eval",
-    # r6 slots 34-50: refresh of the 17 alphabetically-first
+    "media_frame_dedup",
+    # r6 slots 35-50: refresh of the 16 alphabetically-first
     # oracle-able rows whose newest driver row is r3 (the displaced
-    # intersect_customers/json_props_extract and the rows-only r3 pair
-    # fuzzy_name_match/kmeans_lloyd queue for r7 behind hash-checkable
-    # ones, kmeans covered by its companion)
+    # incremental_dedup/intersect_customers/json_props_extract and the
+    # rows-only r3 pair fuzzy_name_match/kmeans_lloyd queue for r7
+    # behind hash-checkable ones, kmeans covered by its companion)
     "ann_lsh_topk",
     "array_functions_battery",
     "bigram_counts",
@@ -7347,10 +7413,10 @@ _DRIVER_FIRST = [
     "explode_token_counts",
     "funnel_analysis",
     "grouping_sets_pricing",
-    "incremental_dedup",
     # past slot 50 from here — the r7 refresh queue, stalest first:
     # the remaining r3 rows, then r4-green sets in registration order
     # via _reorder_registry
+    "incremental_dedup",
     "intersect_customers",
     "json_props_extract",
     "percentiles_by_segment",

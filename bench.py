@@ -146,6 +146,7 @@ ROUND6 = [
     "kmeans_lloyd_oracle",
     "pagerank_covisit",
     "ann_recall_eval",
+    "media_frame_dedup",
 ]
 
 

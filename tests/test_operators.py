@@ -1224,3 +1224,70 @@ def test_ivf_edge_source_is_dropin_for_clustering(spark):
         groups.setdefault(g, 0)
         groups[g] += 1
     assert sorted(n for n in groups.values() if n > 1) == [2, 3, 4, 5]
+
+
+def test_frame_fingerprint_overlap(spark):
+    from aws_ipl_data_pipeline_spark.operators.multimodal import (
+        frame_fingerprints,
+        frame_overlap_pairs,
+    )
+
+    base = b"0123456789abcdef" * 32  # 512 bytes = 8 frames at 64B
+    media = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact copy
+            (3, base[:256]),  # trimmed prefix copy: 4 frames, all shared
+            (4, b"Z" * 512),  # unrelated
+            (5, b""),  # empty: no frames
+        ],
+        "media_id long, payload binary",
+    )
+    frames = frame_fingerprints(media, frame_bytes=64)
+    per_media = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").count().withColumnRenamed("count", "n").collect()
+    }
+    # base repeats one 16-byte unit, so all 8 frames of 1/2 are the SAME
+    # fingerprint; distinct-set semantics live in the overlap op while
+    # fingerprints keep positional frame_no
+    assert per_media == {1: 8, 2: 8, 3: 4, 4: 8}
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in frame_overlap_pairs(frames, min_containment_pct=50).collect()
+    }
+    # distinct fingerprints: media 1/2/3 share their single repeated
+    # frame digest -> containment 1.0 for all three pairs; 4 nowhere
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert all(r["containment"] == 1.0 for r in pairs.values())
+
+
+def test_frame_fingerprint_distinguishes_content(spark):
+    from aws_ipl_data_pipeline_spark.operators.multimodal import (
+        frame_fingerprints,
+        frame_overlap_pairs,
+    )
+
+    # non-repeating payloads: a copy with the SECOND HALF replaced
+    # shares exactly half its distinct frames
+    head = bytes(range(256))
+    a = head + bytes((i * 7 + 3) % 256 for i in range(256))
+    b = head + bytes((i * 11 + 5) % 256 for i in range(256))
+    media = spark.createDataFrame(
+        [(1, a), (2, b)], "media_id long, payload binary"
+    )
+    pairs = frame_overlap_pairs(
+        frame_fingerprints(media, frame_bytes=64), min_containment_pct=50
+    ).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (4, 8, 8)
+    assert r["containment"] == 0.5
+    # below-threshold gate: demand 51% and the pair disappears
+    assert (
+        frame_overlap_pairs(
+            frame_fingerprints(media, frame_bytes=64), min_containment_pct=51
+        ).count()
+        == 0
+    )
