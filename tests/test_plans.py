@@ -91,6 +91,8 @@ def test_no_python_udf_in_relational_core(spark):
         "semantic_dedup_clusters_ivf",
         # same sanctioned numpy cell-assignment as ann_ivf_topk, batched
         "ann_batch_ivf_topk",
+        # composes batch_ivf_topk above, so inherits its Arrow encode
+        "ann_recall_eval",
     }
     for name in REGISTRY:
         if name in python_ok:
