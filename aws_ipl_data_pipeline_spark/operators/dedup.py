@@ -135,20 +135,9 @@ def shingle_jaccard_pairs(
     if max_shingle_df is not None:
         keep = sh.groupBy("_hs").count().where(F.col("count") <= max_shingle_df)
         sh = sh.join(keep.select("_hs"), "_hs")
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
-
-    a = sh.select(F.col("_id").alias("id_a"), "_hs")
-    b = sh.select(F.col("_id").alias("id_b"), "_hs")
-    common = (
-        a.join(b, "_hs")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_common"))
-    )
+    common = pair_common_counts(sh, "_id", "_hs")
     return (
-        common.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")),
         )
@@ -159,6 +148,29 @@ def shingle_jaccard_pairs(
             F.round("jaccard", 4).alias("jaccard"),
         )
     )
+
+
+def pair_common_counts(items: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """Inverted-index pair skeleton shared by the set-overlap operators
+    (shingle Jaccard here; frame containment in operators/multimodal):
+    from a distinct (id, key) membership frame, self-join on the key
+    and count the per-pair common keys, then attach both sides' set
+    sizes. The key should already be a fixed-width hash when the raw
+    value is wide (8-byte shuffle keys). Returns
+    (id_a, id_b, _common, _na, _nb) with id_a < id_b; the caller
+    applies its own similarity metric and threshold gate."""
+    sizes = items.groupBy(id_col).agg(F.count("*").alias("_n"))
+    a = items.select(F.col(id_col).alias("id_a"), key_col)
+    b = items.select(F.col(id_col).alias("id_b"), key_col)
+    common = (
+        a.join(b, key_col)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    return common.join(
+        sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a"
+    ).join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
 
 
 def minhash_signatures(

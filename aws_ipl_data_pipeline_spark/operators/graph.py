@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 RANK_SCALE = 10**12  # total rank mass, as an int64
 EDGE_PROB_SCALE = 10**6  # per-edge transition probability quantum
+DAMP_NUM, DAMP_DEN = 85, 100  # default damping factor, as a ratio
 
 
 def covisit_edges(
@@ -68,8 +69,8 @@ def pagerank_fixed_int(
     nodes: DataFrame,
     edges: DataFrame,
     iters: int = 3,
-    damp_num: int = 85,
-    damp_den: int = 100,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
 ) -> DataFrame:
     """Weighted PageRank, ``iters`` exact power-iteration rounds in
     pure int64 arithmetic (bit-identical across engines and runs).
@@ -101,6 +102,10 @@ def pagerank_fixed_int(
         )
         .localCheckpoint(eager=False)
     )
+    # nodes is consumed once per round plus the count below — pin it so
+    # its lineage (often a full scan + distinct) runs once, not iters+1
+    # times
+    nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         return nodes.select(F.col("v"), F.lit(0).cast("long").alias("rank_scaled"))
@@ -133,8 +138,8 @@ def pagerank_fixed_int_reference(
     node_ids: list[int],
     weighted_edges: list[tuple[int, int, int]],
     iters: int = 3,
-    damp_num: int = 85,
-    damp_den: int = 100,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
 ) -> dict[int, int]:
     """Pure-Python single-process replica of ``pagerank_fixed_int`` —
     the test oracle (same role numpy parity plays for kmeans). Every
@@ -156,7 +161,10 @@ def pagerank_fixed_int_reference(
     for _ in range(iters):
         infl: dict[int, int] = {}
         for src, dst, p in pe:
-            infl[dst] = infl.get(dst, 0) + (r[src] * p) // EDGE_PROB_SCALE
+            rs = r.get(src)
+            if rs is None:  # src outside node_ids: the distributed
+                continue  # form's inner join drops it the same way
+            infl[dst] = infl.get(dst, 0) + (rs * p) // EDGE_PROB_SCALE
         r = {
             v: base + (damp_num * infl.get(v, 0)) // damp_den
             for v in node_ids

@@ -227,25 +227,13 @@ def frame_overlap_pairs(
     index. Returns (id_a, id_b, n_common, n_a, n_b, containment)."""
     from pyspark.sql import functions as F
 
+    from aws_ipl_data_pipeline_spark.operators.dedup import pair_common_counts
+
     f = frames.select(
         "media_id", F.xxhash64("frame_sha").alias("_fh")
     ).dropDuplicates()
-    sizes = f.groupBy("media_id").agg(F.count("*").alias("_n"))
-    a = f.select(F.col("media_id").alias("id_a"), "_fh")
-    b = f.select(F.col("media_id").alias("id_b"), "_fh")
-    common = (
-        a.join(b, "_fh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_common"))
-    )
     return (
-        common.join(
-            sizes.withColumnsRenamed({"media_id": "id_a", "_n": "_na"}), "id_a"
-        )
-        .join(
-            sizes.withColumnsRenamed({"media_id": "id_b", "_n": "_nb"}), "id_b"
-        )
+        pair_common_counts(f, "media_id", "_fh")
         .where(
             100 * F.col("_common")
             >= min_containment_pct * F.least("_na", "_nb")

@@ -7110,16 +7110,28 @@ def ann_ivfpq_topk_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-_PAGERANK_ITER_SQL = """
-    i{t} AS (
-      SELECT pe.dst AS v, SUM((r.r * pe.p) // 1000000) AS infl
-      FROM pe JOIN r{p} r ON r.v = pe.src GROUP BY 1
+# oracle constants interpolated from the operator module so a change
+# to the scales or default damping can never desync the two engines
+from aws_ipl_data_pipeline_spark.operators.graph import (  # noqa: E402
+    DAMP_DEN as _PR_DDEN,
+    DAMP_NUM as _PR_DNUM,
+    EDGE_PROB_SCALE as _PR_PSCALE,
+    RANK_SCALE as _PR_RSCALE,
+)
+
+_PR_TELEPORT = _PR_RSCALE - (_PR_RSCALE * _PR_DNUM) // _PR_DDEN
+
+_PAGERANK_ITER_SQL = f"""
+    i{{t}} AS (
+      SELECT pe.dst AS v, SUM((r.r * pe.p) // {_PR_PSCALE}) AS infl
+      FROM pe JOIN r{{p}} r ON r.v = pe.src GROUP BY 1
     ),
-    r{t} AS (
+    r{{t}} AS (
       SELECT n.v,
-             (150000000000 // nn.n)
-               + (85 * COALESCE(i.infl, CAST(0 AS BIGINT))) // 100 AS r
-      FROM nodes n CROSS JOIN nn LEFT JOIN i{t} i ON i.v = n.v
+             ({_PR_TELEPORT} // nn.n)
+               + ({_PR_DNUM} * COALESCE(i.infl, CAST(0 AS BIGINT)))
+                 // {_PR_DDEN} AS r
+      FROM nodes n CROSS JOIN nn LEFT JOIN i{{t}} i ON i.v = n.v
     )
 """
 
@@ -7146,10 +7158,10 @@ _PAGERANK_ITER_SQL = """
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
     pe AS (
-      SELECT e.src, e.dst, (e.w * 1000000) // o.ow AS p
+      SELECT e.src, e.dst, (e.w * {_PR_PSCALE}) // o.ow AS p
       FROM edges e JOIN outw o ON o.src = e.src
     ),
-    r0 AS (SELECT v, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+    r0 AS (SELECT v, {_PR_RSCALE} // nn.n AS r FROM nodes CROSS JOIN nn),
     {_PAGERANK_ITER_SQL.format(t=1, p=0)},
     {_PAGERANK_ITER_SQL.format(t=2, p=1)},
     {_PAGERANK_ITER_SQL.format(t=3, p=2)}
