@@ -7110,6 +7110,84 @@ def ann_ivfpq_topk_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@register(
+    "vocab_coverage_curve",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY token
+    ),
+    tot AS (
+      SELECT SUM(tf) AS total, COUNT(*) AS vocab FROM tf
+    ),
+    ranked AS (
+      SELECT tf,
+             row_number() OVER (ORDER BY tf DESC, token ASC) AS rank,
+             SUM(tf) OVER (ORDER BY tf DESC, token ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tf
+    )
+    SELECT CAST(rank AS BIGINT) AS vocab_size,
+           CAST(cum AS BIGINT) AS covered_tokens,
+           CAST(tot.total AS BIGINT) AS total_tokens,
+           round(cum * 1.0 / tot.total, 4) AS coverage
+    FROM ranked CROSS JOIN tot
+    WHERE rank IN (1, 2, 4, 8, 16, 64, 256, 1024, 4096, 16384)
+       OR rank = tot.vocab
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size decision curve: what fraction of all corpus
+    token OCCURRENCES the top-k terms cover, at doubling vocab
+    checkpoints (down to k=1 — the harness corpus draws from a ~31-word
+    pool, so the small checkpoints carry the curve there) plus the
+    full-vocab anchor (coverage exactly 1.0) —
+    the plot every tokenizer-budget decision reads. One corpus scan
+    feeds a combinable term-frequency agg; the rank/cumsum window runs
+    over the POST-AGG vocab frame (bounded by vocab size, not corpus
+    size — the established post-agg window convention), with the term
+    as the unique tiebreak so the cumulative sums are deterministic.
+    covered/total is a ratio of exact integers, so the rounded
+    coverage is bit-identical cross-engine."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.split(normalized_text("text"), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    order = [F.desc("tf"), F.asc("token")]
+    w = Window.orderBy(*order)
+    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = tf.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("tf").over(cum_w).alias("cum"),
+    )
+    tot = tf.agg(
+        F.sum("tf").alias("total"), F.count("*").alias("vocab")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("rank").isin([1, 2, 4, 8, 16, 64, 256, 1024, 4096, 16384])
+            | (F.col("rank") == F.col("vocab"))
+        )
+        .select(
+            F.col("rank").cast("long").alias("vocab_size"),
+            F.col("cum").cast("long").alias("covered_tokens"),
+            F.col("total").cast("long").alias("total_tokens"),
+            F.round(F.col("cum") / F.col("total"), 4).alias("coverage"),
+        )
+    )
+
+
 # oracle constants interpolated from the operator module so a change
 # to the scales or default damping can never desync the two engines
 from aws_ipl_data_pipeline_spark.operators.graph import (  # noqa: E402
@@ -7397,14 +7475,15 @@ _DRIVER_FIRST = [
     # both now label via star contraction instead of min-label
     "near_dup_clusters",
     "semantic_dedup_clusters",
-    # r6 slots 32-34: new this round, second batch (integer-exact
+    # r6 slots 32-35: new this round, second batch (integer-exact
     # PageRank over the co-visitation graph; recall@k/MRR retrieval
     # eval composed from the two batch-ANN oracle specs; media
-    # frame-fingerprint containment dedup)
+    # frame-fingerprint containment dedup; vocab coverage curve)
     "pagerank_covisit",
     "ann_recall_eval",
     "media_frame_dedup",
-    # r6 slots 35-50: refresh of the 16 alphabetically-first
+    "vocab_coverage_curve",
+    # r6 slots 36-50: refresh of the 15 alphabetically-first
     # oracle-able rows whose newest driver row is r3 (the displaced
     # incremental_dedup/intersect_customers/json_props_extract and the
     # rows-only r3 pair fuzzy_name_match/kmeans_lloyd queue for r7
@@ -7424,10 +7503,10 @@ _DRIVER_FIRST = [
     "except_customers",
     "explode_token_counts",
     "funnel_analysis",
-    "grouping_sets_pricing",
     # past slot 50 from here — the r7 refresh queue, stalest first:
     # the remaining r3 rows, then r4-green sets in registration order
     # via _reorder_registry
+    "grouping_sets_pricing",
     "incremental_dedup",
     "intersect_customers",
     "json_props_extract",

@@ -147,6 +147,7 @@ ROUND6 = [
     "pagerank_covisit",
     "ann_recall_eval",
     "media_frame_dedup",
+    "vocab_coverage_curve",
 ]
 
 
