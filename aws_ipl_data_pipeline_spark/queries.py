@@ -7188,6 +7188,75 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_merge_candidates",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+    ),
+    w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE word <> '' GROUP BY word
+    ),
+    s AS (
+      SELECT tf, list_append(string_split(word, ''), '</w>') AS cs FROM w
+    ),
+    e AS (
+      SELECT tf, cs, unnest(range(1, len(cs))) AS i FROM s
+    ),
+    c AS (
+      SELECT cs[i] AS sym_a, cs[i + 1] AS sym_b, SUM(tf) AS pair_count
+      FROM e GROUP BY 1, 2
+    )
+    SELECT sym_a, sym_b, CAST(pair_count AS BIGINT) AS pair_count
+    FROM c
+    ORDER BY pair_count DESC, sym_a ASC, sym_b ASC
+    LIMIT 10
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training inner-loop round, distributed the way real
+    tokenizer trainers do it: the corpus contributes ONE scan feeding a
+    combinable word-frequency agg, and the adjacent-symbol pair counts
+    (chars + an explicit end-of-word symbol, every position counted,
+    overlaps included) expand from the VOCAB-BOUNDED word-type table
+    weighted by tf — pair statistics over 100 TB of text cost one
+    corpus agg plus work proportional to the vocabulary, not the
+    corpus. Top-10 merge candidates by weighted count with a unique
+    (count, sym_a, sym_b) tiebreak; all counts are exact integers."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            F.explode(F.split(normalized_text("text"), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    s = w.select(
+        "tf",
+        F.concat(F.split("word", ""), F.array(F.lit("</w>"))).alias("cs"),
+    )
+    e = s.select(
+        "tf",
+        "cs",
+        F.explode(F.sequence(F.lit(1), F.size("cs") - 1)).alias("i"),
+    )
+    return (
+        e.select(
+            F.element_at("cs", F.col("i")).alias("sym_a"),
+            F.element_at("cs", F.col("i") + 1).alias("sym_b"),
+            "tf",
+        )
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("tf").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
+        .limit(10)
+    )
+
+
 # oracle constants interpolated from the operator module so a change
 # to the scales or default damping can never desync the two engines
 from aws_ipl_data_pipeline_spark.operators.graph import (  # noqa: E402
@@ -7475,15 +7544,17 @@ _DRIVER_FIRST = [
     # both now label via star contraction instead of min-label
     "near_dup_clusters",
     "semantic_dedup_clusters",
-    # r6 slots 32-35: new this round, second batch (integer-exact
+    # r6 slots 32-36: new this round, second batch (integer-exact
     # PageRank over the co-visitation graph; recall@k/MRR retrieval
     # eval composed from the two batch-ANN oracle specs; media
-    # frame-fingerprint containment dedup; vocab coverage curve)
+    # frame-fingerprint containment dedup; vocab coverage curve; BPE
+    # merge-candidate round)
     "pagerank_covisit",
     "ann_recall_eval",
     "media_frame_dedup",
     "vocab_coverage_curve",
-    # r6 slots 36-50: refresh of the 15 alphabetically-first
+    "bpe_merge_candidates",
+    # r6 slots 37-50: refresh of the 14 alphabetically-first
     # oracle-able rows whose newest driver row is r3 (the displaced
     # incremental_dedup/intersect_customers/json_props_extract and the
     # rows-only r3 pair fuzzy_name_match/kmeans_lloyd queue for r7
@@ -7506,6 +7577,7 @@ _DRIVER_FIRST = [
     # past slot 50 from here — the r7 refresh queue, stalest first:
     # the remaining r3 rows, then r4-green sets in registration order
     # via _reorder_registry
+    "funnel_analysis",
     "grouping_sets_pricing",
     "incremental_dedup",
     "intersect_customers",

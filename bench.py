@@ -148,6 +148,7 @@ ROUND6 = [
     "ann_recall_eval",
     "media_frame_dedup",
     "vocab_coverage_curve",
+    "bpe_merge_candidates",
 ]
 
 
