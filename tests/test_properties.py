@@ -717,3 +717,52 @@ def test_star_contraction_matches_union_find(edges):
         for r in connected_components_star(nodes, pairs, max_iter=12).collect()
     }
     assert got == truth
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+@st.composite
+def weighted_graphs(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    nodes = list(range(n))
+    n_edges = draw(st.integers(min_value=0, max_value=25))
+    weighted: dict[tuple[int, int], int] = {}
+    for _ in range(n_edges):
+        u = draw(st.integers(min_value=0, max_value=n - 1))
+        v = draw(st.integers(min_value=0, max_value=n - 1))
+        if u == v:
+            continue
+        weighted[(u, v)] = weighted.get((u, v), 0) + draw(
+            st.integers(min_value=1, max_value=5)
+        )
+    return nodes, [(u, v, w) for (u, v), w in sorted(weighted.items())]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(weighted_graphs())
+def test_pagerank_distributed_equals_reference(graph):
+    """The distributed integer PageRank is bit-identical to the
+    pure-python replica on arbitrary small weighted digraphs —
+    including dangling nodes, isolated nodes, and empty edge sets."""
+    from pyspark.sql import Row
+
+    from aws_ipl_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_int,
+        pagerank_fixed_int_reference,
+    )
+
+    nodes, edges = graph
+    spark = _get_spark()
+    nodes_df = spark.createDataFrame([Row(v=v) for v in nodes])
+    if edges:
+        edges_df = spark.createDataFrame(
+            [Row(src=u, dst=v, w=w) for u, v, w in edges]
+        )
+    else:
+        edges_df = spark.createDataFrame([], "src long, dst long, w long")
+    got = {
+        r["v"]: r["rank_scaled"]
+        for r in pagerank_fixed_int(nodes_df, edges_df, iters=2).collect()
+    }
+    assert got == pagerank_fixed_int_reference(nodes, edges, iters=2)
