@@ -7346,6 +7346,79 @@ def pagerank_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "covisit_triangles",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(props->>'$.k' AS BIGINT) AS k
+      FROM events WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+    ),
+    tr AS (
+      SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_k
+      FROM ev
+    ),
+    raw AS (
+      SELECT prev_k AS src, k AS dst
+      FROM tr WHERE prev_k IS NOT NULL AND prev_k <> k
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw
+    ),
+    nodes AS (SELECT u AS x FROM und UNION SELECT v FROM und),
+    deg AS (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT u AS x FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dt
+      FROM und e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+    ),
+    w AS (
+      SELECT o1.s, o1.t AS t1, o2.t AS t2
+      FROM o o1 JOIN o o2 ON o1.s = o2.s
+      WHERE (o1.dt, o1.t) < (o2.dt, o2.t)
+    ),
+    tri AS (SELECT w.s, w.t1, w.t2 FROM w JOIN o ON o.s = w.t1 AND o.t = w.t2),
+    cr AS (
+      SELECT x, COUNT(*) AS n FROM (
+        SELECT s AS x FROM tri
+        UNION ALL SELECT t1 FROM tri
+        UNION ALL SELECT t2 FROM tri
+      ) GROUP BY 1
+    )
+    SELECT CAST(n.x AS BIGINT) AS v,
+           CAST(COALESCE(cr.n, 0) AS BIGINT) AS n_triangles
+    FROM nodes n LEFT JOIN cr ON cr.x = n.x
+    """,
+)
+def covisit_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the co-visitation graph
+    (operators/graph.triangle_counts) — the graph-cohesion metric
+    behind clustering-coefficient quality/spam signals. The operator is
+    the degree-ordered orientation form: every edge orients from its
+    lower-(degree, id) endpoint by DIRECT tuple comparison (no global
+    rank window — a row_number over all nodes would be a
+    single-partition sort at web scale), wedges enumerate only at edge
+    sources (out-degree bounded by O(sqrt(m)) — hub-proof), and the
+    closing-edge join finishes each triangle exactly once. Integer
+    counts; the oracle replays the identical orientation and joins."""
+    from aws_ipl_data_pipeline_spark.operators.graph import (
+        covisit_edges,
+        triangle_counts,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    edges = covisit_edges(ev, item)
+    return triangle_counts(edges)
+
+
 # --------------------------------------------------------------------------
 # Retrieval-quality evaluation (recall@k / MRR of ANN vs exact)
 # --------------------------------------------------------------------------
@@ -7544,17 +7617,18 @@ _DRIVER_FIRST = [
     # both now label via star contraction instead of min-label
     "near_dup_clusters",
     "semantic_dedup_clusters",
-    # r6 slots 32-36: new this round, second batch (integer-exact
+    # r6 slots 32-37: new this round, second batch (integer-exact
     # PageRank over the co-visitation graph; recall@k/MRR retrieval
     # eval composed from the two batch-ANN oracle specs; media
     # frame-fingerprint containment dedup; vocab coverage curve; BPE
-    # merge-candidate round)
+    # merge-candidate round; degree-ordered triangle counting)
     "pagerank_covisit",
     "ann_recall_eval",
     "media_frame_dedup",
     "vocab_coverage_curve",
     "bpe_merge_candidates",
-    # r6 slots 37-50: refresh of the 14 alphabetically-first
+    "covisit_triangles",
+    # r6 slots 38-50: refresh of the 13 alphabetically-first
     # oracle-able rows whose newest driver row is r3 (the displaced
     # incremental_dedup/intersect_customers/json_props_extract and the
     # rows-only r3 pair fuzzy_name_match/kmeans_lloyd queue for r7
@@ -7572,11 +7646,10 @@ _DRIVER_FIRST = [
     "embedding_centroid_assign",
     "event_rate_anomalies",
     "except_customers",
-    "explode_token_counts",
-    "funnel_analysis",
     # past slot 50 from here — the r7 refresh queue, stalest first:
     # the remaining r3 rows, then r4-green sets in registration order
     # via _reorder_registry
+    "explode_token_counts",
     "funnel_analysis",
     "grouping_sets_pricing",
     "incremental_dedup",

@@ -149,6 +149,7 @@ ROUND6 = [
     "media_frame_dedup",
     "vocab_coverage_curve",
     "bpe_merge_candidates",
+    "covisit_triangles",
 ]
 
 

@@ -122,3 +122,45 @@ def test_pagerank_two_node_cycle_closed_form(spark):
     for _ in range(3):
         r = base + (85 * r) // 100
     assert got == {0: r, 1: r}
+
+
+def test_triangle_counts_known_graphs(spark):
+    from aws_ipl_data_pipeline_spark.operators.graph import triangle_counts
+
+    def counts(edge_list):
+        df = spark.createDataFrame(
+            [Row(src=u, dst=v) for u, v in edge_list]
+        )
+        return {r["v"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    # K4: 4 triangles, every node in exactly 3 (duplicates/reversed/self
+    # edges must be inert)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(0, 0)]
+    assert counts(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # star graph: hub never forms a triangle
+    star = [(0, i) for i in range(1, 8)]
+    assert counts(star) == {i: 0 for i in range(8)}
+    # one triangle with a pendant edge
+    tri = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    assert counts(tri) == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_triangle_counts_match_naive_reference(spark):
+    from aws_ipl_data_pipeline_spark.operators.graph import triangle_counts
+
+    nodes, edges = _random_graph(seed=19, n_nodes=15, n_edges=60)
+    und = {(min(u, v), max(u, v)) for u, v, _ in edges}
+    naive = {v: 0 for v in nodes}
+    es = sorted(und)
+    for i, (a, b) in enumerate(es):
+        for c, d in es[i + 1 :]:
+            third = {a, b} ^ {c, d}
+            if len(third) == 2 and tuple(sorted(third)) in und:
+                for x in {a, b} | {c, d}:
+                    naive[x] += 1
+    # each triangle was found 3 times (once per edge pair)
+    naive = {v: n // 3 for v, n in naive.items()}
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in sorted(und)])
+    got = {r["v"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    present = {v for e in und for v in e}
+    assert got == {v: naive[v] for v in present}
