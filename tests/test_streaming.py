@@ -472,3 +472,97 @@ def test_restart_from_checkpoint_is_exactly_once_per_file(
         *[f"cast({c} as {dict(batch.dtypes)[c]}) as {c}" for c in batch.columns]
     )
     assert _canon(streamed) == _canon(batch)
+
+
+def test_covisit_edge_ingest_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming co-visitation edge maintenance: intra-batch transitions
+    plus the tail-stitched boundary transition reproduce the batch
+    operator's edge set exactly; a replayed batch cannot inflate
+    weights (delta idempotence key); a rerun with no new files changes
+    nothing."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.graph import covisit_edges
+    from aws_ipl_data_pipeline_spark.streaming.graph import (
+        read_covisit_edges,
+        run_covisit_edge_ingest,
+    )
+
+    base = str(tmp_path_factory.mktemp("covisit"))
+    events_dir = f"{base}/drop"
+    schema = "event_id long, ts timestamp, user_id long, props string"
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    b1 = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1, '{"k": 10}'),
+            (2, ts("2024-01-01 10:01:00"), 1, '{"k": 20}'),
+            (3, ts("2024-01-01 10:00:30"), 2, '{"k": 5}'),
+            (4, ts("2024-01-01 10:02:00"), 2, '{"k": 5}'),  # self: no edge
+        ],
+        schema,
+    )
+    b1.write.parquet(f"{events_dir}/f1.parquet")
+    kwargs = dict(
+        events_dir=f"{events_dir}/*",
+        out_path=f"{base}/edges",
+        checkpoint_dir=f"{base}/ckpt",
+        schema=b1.schema,
+    )
+    run_covisit_edge_ingest(spark, **kwargs).awaitTermination(300)
+    got1 = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_covisit_edges(spark, f"{base}/edges").collect()
+    }
+    assert got1 == {(10, 20): 1}
+
+    b2 = spark.createDataFrame(
+        [
+            # user 1 boundary: tail 20 -> 30; user 2 boundary 5 -> 5
+            # is a self-transition and must NOT stitch an edge
+            (5, ts("2024-01-01 11:00:00"), 1, '{"k": 30}'),
+            (6, ts("2024-01-01 11:00:30"), 2, '{"k": 5}'),
+            (7, ts("2024-01-01 11:01:00"), 2, '{"k": 7}'),
+            (8, ts("2024-01-01 11:02:00"), 1, '{"k": 10}'),  # 30 -> 10
+            (9, ts("2024-01-01 11:00:00"), 3, '{"k": 1}'),  # lone event
+        ],
+        schema,
+    )
+    b2.write.parquet(f"{events_dir}/f2.parquet")
+    run_covisit_edge_ingest(spark, **kwargs).awaitTermination(300)
+    streamed = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_covisit_edges(spark, f"{base}/edges").collect()
+    }
+    batch = {
+        (r["src"], r["dst"]): r["w"]
+        for r in covisit_edges(
+            b1.unionByName(b2),
+            F.get_json_object("props", "$.k").cast("long"),
+        ).collect()
+    }
+    assert streamed == batch == {
+        (10, 20): 1,
+        (20, 30): 1,
+        (30, 10): 1,
+        (5, 7): 1,
+    }
+
+    # no new files -> no change
+    run_covisit_edge_ingest(spark, **kwargs).awaitTermination(300)
+    again = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_covisit_edges(spark, f"{base}/edges").collect()
+    }
+    assert again == streamed
+
+    # at-least-once replay: re-appending a batch's identical delta rows
+    # must not inflate weights (the (batch_id, src, dst) key dedupes)
+    deltas = spark.read.parquet(f"{base}/edges")
+    deltas.write.mode("append").parquet(f"{base}/edges")
+    replayed = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_covisit_edges(spark, f"{base}/edges").collect()
+    }
+    assert replayed == streamed
