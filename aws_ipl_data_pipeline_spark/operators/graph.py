@@ -198,17 +198,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .dropDuplicates()
     )
-    nodes = (
-        und.select(F.col("u").alias("x"))
-        .unionByName(und.select(F.col("v").alias("x")))
-        .distinct()
-    )
     deg = (
         und.select(F.col("u").alias("x"))
         .unionByName(und.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count("*").alias("_d"))
     )
+    # deg already materializes exactly the distinct node set — deriving
+    # nodes from it saves a second scan+exchange of the edge table
+    nodes = deg.select("x")
     lower_first = F.struct(F.col("_du"), F.col("u")) < F.struct(
         F.col("_dv"), F.col("v")
     )

@@ -7268,6 +7268,23 @@ from aws_ipl_data_pipeline_spark.operators.graph import (  # noqa: E402
 
 _PR_TELEPORT = _PR_RSCALE - (_PR_RSCALE * _PR_DNUM) // _PR_DDEN
 
+# shared by the pagerank and triangle oracles — ONE definition of the
+# co-visitation transition derivation (JSON item extraction, per-user
+# (ts, event_id) lag, self-transition filter lives in each consumer's
+# edge CTE), mirroring operators/graph.covisit_edges
+_COVISIT_TR_SQL = """
+    ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(props->>\'$.k\' AS BIGINT) AS k
+      FROM events WHERE CAST(props->>\'$.k\' AS BIGINT) IS NOT NULL
+    ),
+    tr AS (
+      SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_k
+      FROM ev
+    )
+"""
+
 _PAGERANK_ITER_SQL = f"""
     i{{t}} AS (
       SELECT pe.dst AS v, SUM((r.r * pe.p) // {_PR_PSCALE}) AS infl
@@ -7286,16 +7303,7 @@ _PAGERANK_ITER_SQL = f"""
 @register(
     "pagerank_covisit",
     f"""
-    WITH ev AS (
-      SELECT user_id, ts, event_id,
-             CAST(props->>'$.k' AS BIGINT) AS k
-      FROM events WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
-    ),
-    tr AS (
-      SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_k
-      FROM ev
-    ),
+    WITH {_COVISIT_TR_SQL},
     edges AS (
       SELECT prev_k AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
       FROM tr WHERE prev_k IS NOT NULL AND prev_k <> k
@@ -7348,17 +7356,8 @@ def pagerank_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "covisit_triangles",
-    """
-    WITH ev AS (
-      SELECT user_id, ts, event_id,
-             CAST(props->>'$.k' AS BIGINT) AS k
-      FROM events WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
-    ),
-    tr AS (
-      SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev_k
-      FROM ev
-    ),
+    f"""
+    WITH {_COVISIT_TR_SQL},
     raw AS (
       SELECT prev_k AS src, k AS dst
       FROM tr WHERE prev_k IS NOT NULL AND prev_k <> k
@@ -7367,12 +7366,12 @@ def pagerank_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       FROM raw
     ),
-    nodes AS (SELECT u AS x FROM und UNION SELECT v FROM und),
     deg AS (
       SELECT x, COUNT(*) AS d FROM (
         SELECT u AS x FROM und UNION ALL SELECT v FROM und
       ) GROUP BY 1
     ),
+    nodes AS (SELECT x FROM deg),
     o AS (
       SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
              CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,

@@ -566,3 +566,35 @@ def test_covisit_edge_ingest_stream_equals_batch(spark, tmp_path_factory):
         for r in read_covisit_edges(spark, f"{base}/edges").collect()
     }
     assert replayed == streamed
+
+    # TRUE foreachBatch replay: re-running a batch whose first attempt
+    # already appended deltas AND tails must not stitch phantom
+    # boundary edges — the batch_id visibility filter hides the
+    # attempt's own tail rows, so it recomputes identical deltas
+    from aws_ipl_data_pipeline_spark.streaming.graph import (
+        compact_covisit_tails,
+        process_covisit_batch,
+    )
+
+    process_covisit_batch(spark, b2, 1, f"{base}/edges", f"{base}/edges_tail")
+    after_replay = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_covisit_edges(spark, f"{base}/edges").collect()
+    }
+    assert after_replay == streamed
+
+    # tail compaction preserves the stitch view for future batches
+    compact_covisit_tails(spark, f"{base}/edges_tail")
+    tails = spark.read.parquet(f"{base}/edges_tail")
+    assert tails.groupBy("user_id").count().agg(
+        F.max("count")
+    ).collect()[0][0] == 1
+    b3 = spark.createDataFrame(
+        [(20, ts("2024-01-01 12:00:00"), 1, '{"k": 20}')], schema
+    )
+    process_covisit_batch(spark, b3, 2, f"{base}/edges", f"{base}/edges_tail")
+    final = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_covisit_edges(spark, f"{base}/edges").collect()
+    }
+    assert final == {**streamed, (10, 20): 2}  # tail 10 -> 20 stitched
