@@ -71,6 +71,7 @@ def pagerank_fixed_int(
     iters: int = 3,
     damp_num: int = DAMP_NUM,
     damp_den: int = DAMP_DEN,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank, ``iters`` exact power-iteration rounds in
     pure int64 arithmetic (bit-identical across engines and runs).
@@ -84,9 +85,18 @@ def pagerank_fixed_int(
 
         p(u, v)  = (w(u, v) * EDGE_PROB_SCALE) div out_w(u)   [once]
         infl(v)  = sum_u (r(u) * p(u, v)) div EDGE_PROB_SCALE
-        r'(v)    = base + (damp_num * infl(v)) div damp_den
-        base     = ((RANK_SCALE - damp) .. as fixed literal) div N
-                   where damp = RANK_SCALE * damp_num div damp_den
+        r'(v)    = base(v) + (damp_num * infl(v)) div damp_den
+        base(v)  = teleport div N                 (uniform PageRank)
+                 = teleport div |S| if v in S else 0   (personalized)
+        teleport = RANK_SCALE - RANK_SCALE * damp_num div damp_den
+
+    ``seeds`` (optional, one column ``v`` ⊆ nodes) switches to
+    PERSONALIZED PageRank: the teleport mass and the initial rank
+    concentrate uniformly on the seed set instead of all nodes — the
+    seed-proximity score used for graph-based data selection and
+    similar-item discovery. Identical arithmetic discipline; scores
+    decay with random-walk distance from the seeds and non-seed nodes
+    unreachable from them stay at exactly 0.
 
     Dangling nodes (no out-edges) leak their mass — the standard
     simplification; both engines apply the identical formula, so the
@@ -106,23 +116,52 @@ def pagerank_fixed_int(
     # its lineage (often a full scan + distinct) runs once, not iters+1
     # times
     nodes = nodes.localCheckpoint(eager=False)
-    n = nodes.count()
-    if n == 0:
-        return nodes.select(F.col("v"), F.lit(0).cast("long").alias("rank_scaled"))
     teleport_mass = RANK_SCALE - (RANK_SCALE * damp_num) // damp_den
-    base = teleport_mass // n
-    r = nodes.select("v", F.lit(RANK_SCALE // n).cast("long").alias("r"))
+    if seeds is None:
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                F.col("v"), F.lit(0).cast("long").alias("rank_scaled")
+            )
+        based = nodes.select(
+            "v", F.lit(teleport_mass // n).cast("long").alias("_base")
+        )
+        r = nodes.select("v", F.lit(RANK_SCALE // n).cast("long").alias("r"))
+    else:
+        seeds = seeds.select("v").localCheckpoint(eager=False)
+        ns = seeds.count()
+        if ns == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        is_seed = F.col("_s").isNotNull()
+        marked = nodes.join(
+            seeds.select(F.col("v"), F.lit(1).alias("_s")), "v", "left"
+        )
+        based = marked.select(
+            "v",
+            F.when(is_seed, F.lit(teleport_mass // ns))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_base"),
+        )
+        r = marked.select(
+            "v",
+            F.when(is_seed, F.lit(RANK_SCALE // ns))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("r"),
+        )
+    based = based.localCheckpoint(eager=False)
     for _ in range(iters):
         contrib = pe.join(r.withColumnRenamed("v", "src"), "src").select(
             "dst", F.expr(f"(r * p) div {EDGE_PROB_SCALE}").alias("c")
         )
         infl = contrib.groupBy("dst").agg(F.sum("c").alias("_infl"))
         r = (
-            nodes.join(infl, nodes["v"] == infl["dst"], "left")
+            based.join(infl, based["v"] == infl["dst"], "left")
             .select(
                 "v",
                 (
-                    F.lit(base).cast("long")
+                    F.col("_base")
                     + F.expr(
                         f"({damp_num} * coalesce(_infl, CAST(0 AS BIGINT)))"
                         f" div {damp_den}"
@@ -140,6 +179,7 @@ def pagerank_fixed_int_reference(
     iters: int = 3,
     damp_num: int = DAMP_NUM,
     damp_den: int = DAMP_DEN,
+    seed_ids: list[int] | None = None,
 ) -> dict[int, int]:
     """Pure-Python single-process replica of ``pagerank_fixed_int`` —
     the test oracle (same role numpy parity plays for kmeans). Every
@@ -156,8 +196,18 @@ def pagerank_fixed_int_reference(
         for src, dst, w in weighted_edges
     ]
     teleport_mass = RANK_SCALE - (RANK_SCALE * damp_num) // damp_den
-    base = teleport_mass // n
-    r = {v: RANK_SCALE // n for v in node_ids}
+    if seed_ids is None:
+        base = {v: teleport_mass // n for v in node_ids}
+        r = {v: RANK_SCALE // n for v in node_ids}
+    else:
+        ns = len(seed_ids)
+        if ns == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        seeds = set(seed_ids)
+        base = {
+            v: (teleport_mass // ns if v in seeds else 0) for v in node_ids
+        }
+        r = {v: (RANK_SCALE // ns if v in seeds else 0) for v in node_ids}
     for _ in range(iters):
         infl: dict[int, int] = {}
         for src, dst, p in pe:
@@ -166,7 +216,7 @@ def pagerank_fixed_int_reference(
                 continue  # form's inner join drops it the same way
             infl[dst] = infl.get(dst, 0) + (rs * p) // EDGE_PROB_SCALE
         r = {
-            v: base + (damp_num * infl.get(v, 0)) // damp_den
+            v: base[v] + (damp_num * infl.get(v, 0)) // damp_den
             for v in node_ids
         }
     return r

@@ -7418,6 +7418,84 @@ def covisit_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+_PPR_ITER_SQL = f"""
+    i{{t}} AS (
+      SELECT pe.dst AS v, SUM((r.r * pe.p) // {_PR_PSCALE}) AS infl
+      FROM pe JOIN r{{p}} r ON r.v = pe.src GROUP BY 1
+    ),
+    r{{t}} AS (
+      SELECT n.v,
+             CASE WHEN s.v IS NOT NULL
+                  THEN {_PR_TELEPORT} // nns.ns ELSE 0 END
+               + ({_PR_DNUM} * COALESCE(i.infl, CAST(0 AS BIGINT)))
+                 // {_PR_DDEN} AS r
+      FROM nodes n
+      CROSS JOIN nns
+      LEFT JOIN seeds s ON s.v = n.v
+      LEFT JOIN i{{t}} i ON i.v = n.v
+    )
+"""
+
+
+@register(
+    "personalized_pagerank_covisit",
+    f"""
+    WITH {_COVISIT_TR_SQL},
+    edges AS (
+      SELECT prev_k AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM tr WHERE prev_k IS NOT NULL AND prev_k <> k
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT k AS v FROM ev),
+    seeds AS (SELECT v FROM nodes WHERE v < 10),
+    nns AS (SELECT COUNT(*) AS ns FROM seeds),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    pe AS (
+      SELECT e.src, e.dst, (e.w * {_PR_PSCALE}) // o.ow AS p
+      FROM edges e JOIN outw o ON o.src = e.src
+    ),
+    r0 AS (
+      SELECT n.v,
+             CASE WHEN s.v IS NOT NULL
+                  THEN {_PR_RSCALE} // nns.ns ELSE 0 END AS r
+      FROM nodes n CROSS JOIN nns LEFT JOIN seeds s ON s.v = n.v
+    ),
+    {_PPR_ITER_SQL.format(t=1, p=0)},
+    {_PPR_ITER_SQL.format(t=2, p=1)},
+    {_PPR_ITER_SQL.format(t=3, p=2)}
+    SELECT CAST(v AS BIGINT) AS item_k, CAST(r AS BIGINT) AS rank_scaled
+    FROM r3
+    """,
+)
+def personalized_pagerank_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (seed-restricted teleport) over the same
+    co-visitation graph — the seed-proximity score behind graph-based
+    data selection and similar-item discovery: random-walk mass
+    teleports only to the seed items (here: k < 10, a deterministic
+    rule), so every node's score is its walk-proximity to the seed
+    set, integer-exact under the same arithmetic discipline as
+    pagerank_covisit (quantized mass, integer transition probs,
+    integer damping; nodes unreachable from the seeds stay exactly 0).
+    The oracle unrolls the identical seeded rounds as chained CTEs
+    from the shared transition fragment."""
+    from aws_ipl_data_pipeline_spark.operators.graph import (
+        covisit_edges,
+        pagerank_fixed_int,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    edges = covisit_edges(ev, item)
+    nodes = (
+        ev.select(item.alias("v")).where(F.col("v").isNotNull()).distinct()
+    )
+    seeds = nodes.where(F.col("v") < 10)
+    ranks = pagerank_fixed_int(nodes, edges, iters=3, seeds=seeds)
+    return ranks.select(
+        F.col("v").cast("long").alias("item_k"), "rank_scaled"
+    )
+
+
 # --------------------------------------------------------------------------
 # Retrieval-quality evaluation (recall@k / MRR of ANN vs exact)
 # --------------------------------------------------------------------------
@@ -7620,14 +7698,16 @@ _DRIVER_FIRST = [
     # PageRank over the co-visitation graph; recall@k/MRR retrieval
     # eval composed from the two batch-ANN oracle specs; media
     # frame-fingerprint containment dedup; vocab coverage curve; BPE
-    # merge-candidate round; degree-ordered triangle counting)
+    # merge-candidate round; degree-ordered triangle counting;
+    # personalized PageRank)
     "pagerank_covisit",
     "ann_recall_eval",
     "media_frame_dedup",
     "vocab_coverage_curve",
     "bpe_merge_candidates",
     "covisit_triangles",
-    # r6 slots 38-50: refresh of the 13 alphabetically-first
+    "personalized_pagerank_covisit",
+    # r6 slots 39-50: refresh of the 12 alphabetically-first
     # oracle-able rows whose newest driver row is r3 (the displaced
     # incremental_dedup/intersect_customers/json_props_extract and the
     # rows-only r3 pair fuzzy_name_match/kmeans_lloyd queue for r7
@@ -7644,10 +7724,10 @@ _DRIVER_FIRST = [
     "document_chunking",
     "embedding_centroid_assign",
     "event_rate_anomalies",
-    "except_customers",
     # past slot 50 from here — the r7 refresh queue, stalest first:
     # the remaining r3 rows, then r4-green sets in registration order
     # via _reorder_registry
+    "except_customers",
     "explode_token_counts",
     "funnel_analysis",
     "grouping_sets_pricing",

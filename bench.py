@@ -150,6 +150,7 @@ ROUND6 = [
     "vocab_coverage_curve",
     "bpe_merge_candidates",
     "covisit_triangles",
+    "personalized_pagerank_covisit",
 ]
 
 

@@ -164,3 +164,28 @@ def test_triangle_counts_match_naive_reference(spark):
     got = {r["v"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     present = {v for e in und for v in e}
     assert got == {v: naive[v] for v in present}
+
+
+def test_personalized_pagerank_matches_replica_and_zeroes_unreachable(spark):
+    from aws_ipl_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_int_reference,
+    )
+
+    nodes, edges = _random_graph(seed=23, n_nodes=14, n_edges=30)
+    # isolate node 13 completely: unreachable from any seed -> exactly 0
+    edges = [(u, v, w) for u, v, w in edges if 13 not in (u, v)]
+    seeds = [0, 1, 2]
+    nodes_df = spark.createDataFrame([Row(v=v) for v in nodes])
+    edges_df = spark.createDataFrame(
+        [Row(src=u, dst=v, w=w) for u, v, w in edges]
+    )
+    seeds_df = nodes_df.where(F.col("v") < 3)
+    got = _ranks(
+        pagerank_fixed_int(nodes_df, edges_df, iters=3, seeds=seeds_df)
+    )
+    want = pagerank_fixed_int_reference(nodes, edges, iters=3, seed_ids=seeds)
+    assert got == want
+    assert got[13] == 0
+    # seeds hold teleport mass; total never exceeds the scale
+    assert all(got[s] > 0 for s in seeds)
+    assert sum(got.values()) <= RANK_SCALE
