@@ -90,13 +90,16 @@ def pagerank_fixed_int(
                  = teleport div |S| if v in S else 0   (personalized)
         teleport = RANK_SCALE - RANK_SCALE * damp_num div damp_den
 
-    ``seeds`` (optional, one column ``v`` ⊆ nodes) switches to
-    PERSONALIZED PageRank: the teleport mass and the initial rank
-    concentrate uniformly on the seed set instead of all nodes — the
-    seed-proximity score used for graph-based data selection and
-    similar-item discovery. Identical arithmetic discipline; scores
-    decay with random-walk distance from the seeds and non-seed nodes
-    unreachable from them stay at exactly 0.
+    ``seeds`` (optional, one column ``v`` ⊆ nodes, deduped here)
+    switches to PERSONALIZED PageRank: the teleport mass and the
+    initial rank concentrate uniformly on the seed set instead of all
+    nodes — the seed-proximity score used for graph-based data
+    selection and similar-item discovery. Identical arithmetic
+    discipline; scores decay with random-walk distance from the seeds
+    and non-seed nodes unreachable from them stay at exactly 0. An
+    EMPTY seed set yields all-zero ranks (no teleport mass anywhere is
+    the damped walk's limit — and the total behavior the SQL oracle
+    replica exhibits), not an error.
 
     Dangling nodes (no out-edges) leak their mass — the standard
     simplification; both engines apply the identical formula, so the
@@ -128,10 +131,14 @@ def pagerank_fixed_int(
         )
         r = nodes.select("v", F.lit(RANK_SCALE // n).cast("long").alias("r"))
     else:
-        seeds = seeds.select("v").localCheckpoint(eager=False)
+        seeds = seeds.select("v").distinct().localCheckpoint(eager=False)
         ns = seeds.count()
         if ns == 0:
-            raise ValueError("personalized pagerank needs a non-empty seed set")
+            # no teleport mass anywhere: the damped walk's limit is 0
+            # everywhere — stay total (the SQL oracle form is)
+            return nodes.select(
+                F.col("v"), F.lit(0).cast("long").alias("rank_scaled")
+            )
         is_seed = F.col("_s").isNotNull()
         marked = nodes.join(
             seeds.select(F.col("v"), F.lit(1).alias("_s")), "v", "left"
@@ -200,10 +207,10 @@ def pagerank_fixed_int_reference(
         base = {v: teleport_mass // n for v in node_ids}
         r = {v: RANK_SCALE // n for v in node_ids}
     else:
-        ns = len(seed_ids)
+        seeds = set(seed_ids)  # dedupe exactly as the operator does
+        ns = len(seeds)
         if ns == 0:
-            raise ValueError("personalized pagerank needs a non-empty seed set")
-        seeds = set(seed_ids)
+            return {v: 0 for v in node_ids}
         base = {
             v: (teleport_mass // ns if v in seeds else 0) for v in node_ids
         }

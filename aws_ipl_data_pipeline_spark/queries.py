@@ -7285,17 +7285,48 @@ _COVISIT_TR_SQL = """
     )
 """
 
-_PAGERANK_ITER_SQL = f"""
-    i{{t}} AS (
+# ONE iteration template serves both the uniform and the personalized
+# oracles — only the teleport-base expression and its support joins
+# differ, so the transition/probability arithmetic can never drift
+# between the two (second-review finding)
+_PR_ITER_TMPL = f"""
+    i{{{{t}}}} AS (
       SELECT pe.dst AS v, SUM((r.r * pe.p) // {_PR_PSCALE}) AS infl
-      FROM pe JOIN r{{p}} r ON r.v = pe.src GROUP BY 1
+      FROM pe JOIN r{{{{p}}}} r ON r.v = pe.src GROUP BY 1
     ),
-    r{{t}} AS (
+    r{{{{t}}}} AS (
       SELECT n.v,
-             ({_PR_TELEPORT} // nn.n)
+             {{base}}
                + ({_PR_DNUM} * COALESCE(i.infl, CAST(0 AS BIGINT)))
                  // {_PR_DDEN} AS r
-      FROM nodes n CROSS JOIN nn LEFT JOIN i{{t}} i ON i.v = n.v
+      FROM nodes n {{joins}} LEFT JOIN i{{{{t}}}} i ON i.v = n.v
+    )
+"""
+
+_PAGERANK_ITER_SQL = _PR_ITER_TMPL.format(
+    base=f"({_PR_TELEPORT} // nn.n)", joins="CROSS JOIN nn"
+)
+
+_PPR_ITER_SQL = _PR_ITER_TMPL.format(
+    base=(
+        f"CASE WHEN s.v IS NOT NULL THEN {_PR_TELEPORT} // nns.ns "
+        "ELSE 0 END"
+    ),
+    joins="CROSS JOIN nns LEFT JOIN seeds s ON s.v = n.v",
+)
+
+# the edge/probability derivation shared verbatim by both oracles
+_COVISIT_GRAPH_SQL = f"""
+    edges AS (
+      SELECT prev_k AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM tr WHERE prev_k IS NOT NULL AND prev_k <> k
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT k AS v FROM ev),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    pe AS (
+      SELECT e.src, e.dst, (e.w * {_PR_PSCALE}) // o.ow AS p
+      FROM edges e JOIN outw o ON o.src = e.src
     )
 """
 
@@ -7304,18 +7335,8 @@ _PAGERANK_ITER_SQL = f"""
     "pagerank_covisit",
     f"""
     WITH {_COVISIT_TR_SQL},
-    edges AS (
-      SELECT prev_k AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
-      FROM tr WHERE prev_k IS NOT NULL AND prev_k <> k
-      GROUP BY 1, 2
-    ),
-    nodes AS (SELECT DISTINCT k AS v FROM ev),
+    {_COVISIT_GRAPH_SQL},
     nn AS (SELECT COUNT(*) AS n FROM nodes),
-    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
-    pe AS (
-      SELECT e.src, e.dst, (e.w * {_PR_PSCALE}) // o.ow AS p
-      FROM edges e JOIN outw o ON o.src = e.src
-    ),
     r0 AS (SELECT v, {_PR_RSCALE} // nn.n AS r FROM nodes CROSS JOIN nn),
     {_PAGERANK_ITER_SQL.format(t=1, p=0)},
     {_PAGERANK_ITER_SQL.format(t=2, p=1)},
@@ -7418,42 +7439,13 @@ def covisit_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
-_PPR_ITER_SQL = f"""
-    i{{t}} AS (
-      SELECT pe.dst AS v, SUM((r.r * pe.p) // {_PR_PSCALE}) AS infl
-      FROM pe JOIN r{{p}} r ON r.v = pe.src GROUP BY 1
-    ),
-    r{{t}} AS (
-      SELECT n.v,
-             CASE WHEN s.v IS NOT NULL
-                  THEN {_PR_TELEPORT} // nns.ns ELSE 0 END
-               + ({_PR_DNUM} * COALESCE(i.infl, CAST(0 AS BIGINT)))
-                 // {_PR_DDEN} AS r
-      FROM nodes n
-      CROSS JOIN nns
-      LEFT JOIN seeds s ON s.v = n.v
-      LEFT JOIN i{{t}} i ON i.v = n.v
-    )
-"""
-
-
 @register(
     "personalized_pagerank_covisit",
     f"""
     WITH {_COVISIT_TR_SQL},
-    edges AS (
-      SELECT prev_k AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
-      FROM tr WHERE prev_k IS NOT NULL AND prev_k <> k
-      GROUP BY 1, 2
-    ),
-    nodes AS (SELECT DISTINCT k AS v FROM ev),
+    {_COVISIT_GRAPH_SQL},
     seeds AS (SELECT v FROM nodes WHERE v < 10),
     nns AS (SELECT COUNT(*) AS ns FROM seeds),
-    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
-    pe AS (
-      SELECT e.src, e.dst, (e.w * {_PR_PSCALE}) // o.ow AS p
-      FROM edges e JOIN outw o ON o.src = e.src
-    ),
     r0 AS (
       SELECT n.v,
              CASE WHEN s.v IS NOT NULL

@@ -189,3 +189,31 @@ def test_personalized_pagerank_matches_replica_and_zeroes_unreachable(spark):
     # seeds hold teleport mass; total never exceeds the scale
     assert all(got[s] > 0 for s in seeds)
     assert sum(got.values()) <= RANK_SCALE
+
+
+def test_personalized_pagerank_empty_and_duplicate_seeds(spark):
+    from aws_ipl_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_int_reference,
+    )
+
+    nodes, edges = _random_graph(seed=29, n_nodes=8, n_edges=16)
+    nodes_df = spark.createDataFrame([Row(v=v) for v in nodes])
+    edges_df = spark.createDataFrame(
+        [Row(src=u, dst=v, w=w) for u, v, w in edges]
+    )
+    # empty seed set: total (all-zero) on BOTH forms, matching the SQL
+    # oracle's CASE-guarded behavior — never an error
+    empty = nodes_df.where(F.col("v") < 0)
+    got = _ranks(pagerank_fixed_int(nodes_df, edges_df, iters=2, seeds=empty))
+    assert got == {v: 0 for v in nodes}
+    assert pagerank_fixed_int_reference(nodes, edges, iters=2, seed_ids=[]) == got
+    # duplicate seed rows are deduped, not double-counted
+    dup_seeds = spark.createDataFrame([Row(v=0), Row(v=0), Row(v=1)])
+    got_dup = _ranks(
+        pagerank_fixed_int(nodes_df, edges_df, iters=2, seeds=dup_seeds)
+    )
+    want = pagerank_fixed_int_reference(
+        nodes, edges, iters=2, seed_ids=[0, 0, 1]
+    )
+    clean = pagerank_fixed_int_reference(nodes, edges, iters=2, seed_ids=[0, 1])
+    assert got_dup == want == clean
