@@ -621,3 +621,19 @@ def test_shuffle_shards_no_global_sort(spark):
     p = formatted_plan(spark, "training_shuffle_shards")
     assert "SinglePartition" not in p
     assert _nodes(p, "Exchange") == 1
+
+
+def test_topk_windows_run_on_bounded_prefix(spark):
+    """VERDICT r6 #1-#3: rank_topk / slice_rows / vocab_coverage_curve
+    must take the top-k FIRST (TakeOrderedAndProject — per-partition
+    heaps, no global sort) and run their rank/cumsum window only on the
+    bounded prefix. The `% 1` partition key is the bounded_window_key
+    marker: a window carrying it is the deliberate single-partition
+    form over a <=k-row frame; an unpartitioned window over the full
+    input would show an empty partition spec (and WindowExec's
+    single-partition warning) instead."""
+    for name in ("rank_topk", "slice_rows", "vocab_coverage_curve"):
+        p = formatted_plan(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+        assert "Window" in p, name
+        assert re.search(r"% 1\)", p), name  # bounded_window_key marker
