@@ -662,11 +662,19 @@ def connected_components_star(
     )
 
     def _signature(e: DataFrame) -> tuple:
+        # two INDEPENDENTLY-seeded hashes plus the count: a single
+        # xor-of-hashes could collide (or xor-cancel) between two
+        # different equal-sized edge sets and end the loop early with
+        # silently wrong labels (ADVICE r6); requiring both 64-bit
+        # signatures to agree squares that probability away. The
+        # leading literal reseeds xxhash64 — a different function, not
+        # a salt of the same one.
         row = e.agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("sig"),
+            F.bit_xor(F.xxhash64(F.lit(0x9E3779B9), "u", "v")).alias("sig2"),
         ).collect()[0]
-        return (row["n"], row["sig"])
+        return (row["n"], row["sig"], row["sig2"])
 
     def _star(e: DataFrame, large: bool, dedup: bool) -> DataFrame:
         sym = e.select("u", "v").unionByName(
@@ -732,7 +740,7 @@ def near_dup_groups(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    max_iter: int = 10,
+    max_iter: int = 30,
     algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
@@ -741,9 +749,12 @@ def near_dup_groups(
     ``algorithm="star"`` (default): large-star/small-star contraction
     (connected_components_star) — O(log n) rounds independent of
     component diameter, the production path (VERDICT r5 item 2). For
-    star, ``max_iter`` bounds contraction rounds; the default 10 covers
-    components up to ~2^10 nodes and callers tuning for minlabel
-    diameters (e.g. 40) get strictly more headroom.
+    star, ``max_iter`` bounds contraction rounds; the default 30
+    matches connected_components_star's own default (components up to
+    ~2^30 nodes — ADVICE r6: a max_iter=10 default silently capped
+    no-arg callers at ~2^10-node components, smaller than what the old
+    minlabel default could converge for shallow graphs). Convergence
+    exits early, so the higher bound costs nothing when unused.
 
     ``algorithm="minlabel"``: iterative min-label propagation
     (label ← min(label, neighbors' labels)) — O(component diameter)

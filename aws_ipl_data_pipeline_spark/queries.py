@@ -6112,16 +6112,17 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_suppkey IN (SELECT s_suppkey FROM nsup)
     ),
     pv AS (
-      SELECT l_partkey, SUM(l_extendedprice) AS part_value
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS part_value_cents
       FROM li GROUP BY l_partkey
     ),
     tot AS (
-      SELECT SUM(part_value) AS total, COUNT(*) AS nparts FROM pv
+      SELECT SUM(part_value_cents) AS total_cents, COUNT(*) AS nparts FROM pv
     )
     SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
-           round(part_value, 2) AS part_value
+           round(part_value_cents / 100.0, 2) AS part_value
     FROM pv, tot
-    WHERE round(part_value, 2) > round(1.5 * total / nparts, 2)
+    WHERE 2 * nparts * part_value_cents > 3 * total_cents
     ORDER BY part_value DESC, p_partkey ASC
     LIMIT 100
     """,
@@ -6146,25 +6147,31 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     lif = li.join(F.broadcast(nsup), li.l_suppkey == nsup.s_suppkey, "left_semi")
-    pv = lif.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("part_value"))
-    tot = pv.agg(
-        F.sum("part_value").alias("total"), F.count("*").alias("nparts")
+    # integer-exact gate (ADVICE r6): quantize 2dp money to cents
+    # per-row (exact — l_extendedprice*100 is within fp noise of an
+    # integer, never a rounding tie), sum in int64 (exact and
+    # order-independent), and compare part_value > 1.5 * total/nparts
+    # as 2*nparts*cents > 3*total_cents — no float ever near a
+    # boundary. Display value derives from the exact cents, so both
+    # engines round bit-identical doubles.
+    pv = lif.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("part_value_cents")
     )
-    # threshold compare on 2dp-rounded values BOTH sides (oracle too):
-    # part_value and the mean threshold are order-dependent float sums,
-    # so an unrounded compare could flip a row within an ulp of the
-    # boundary; part_value is cents-exact (sum of 2dp money, fp noise
-    # ~1e-9 against a 0.005 boundary gap), making the rounded compare
-    # deterministic cross-engine (ADVICE r5)
+    tot = pv.agg(
+        F.sum("part_value_cents").alias("total_cents"),
+        F.count("*").alias("nparts"),
+    )
     return (
         pv.crossJoin(F.broadcast(tot))
         .where(
-            F.round("part_value", 2)
-            > F.round(1.5 * F.col("total") / F.col("nparts"), 2)
+            2 * F.col("nparts") * F.col("part_value_cents")
+            > 3 * F.col("total_cents")
         )
         .select(
             F.col("l_partkey").cast("long").alias("p_partkey"),
-            F.round("part_value", 2).alias("part_value"),
+            F.round(F.col("part_value_cents") / 100.0, 2).alias("part_value"),
         )
         .orderBy(F.desc("part_value"), F.asc("p_partkey"))
         .limit(100)

@@ -43,7 +43,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit Hadoop-FS existence probe for the tail state table.
+    ADVICE r6: distinguishing 'first batch, no state yet' by
+    substring-matching AnalysisException text ('PATH_NOT_FOUND') is
+    version/locale-dependent — a Spark upgrade that rewords the error
+    would turn the normal first-batch path into a stream failure. The
+    stream is the only writer of tail_path, so probe-then-read has no
+    race."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
 
 TAIL_SUFFIX = "_tail"
 
@@ -92,14 +105,12 @@ def process_covisit_batch(
         .where(F.col("_rn") == 1)
         .select("user_id", F.col("k").alias("_first_k"))
     )
-    try:
+    if _path_exists(spark, tail_path):
         prior = spark.read.parquet(tail_path).where(
             F.col("batch_id") < F.lit(batch_id)
         )
         tail = _latest_tails(prior)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
+    else:
         tail = None
     boundary = None
     if tail is not None:
