@@ -56,6 +56,16 @@ def batsman_stats(silver: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("times_out"))
     )
 
+    return _finish_batsman(stats, highest, outs)
+
+
+def _finish_batsman(
+    stats: DataFrame, highest: DataFrame, outs: DataFrame
+) -> DataFrame:
+    """Shared batsman finisher (batch builder above; incremental
+    partial-merge path in plans/gold_incremental.py): join the three
+    keyed frames and derive the ratio columns. Input content equal ⇒
+    output equal, which is what pins batch ≡ incremental."""
     out = (
         stats.join(highest, "batsman", "left")
         .join(outs, "batsman", "left")
@@ -89,6 +99,11 @@ def bowler_stats(silver: DataFrame) -> DataFrame:
         F.sum("is_four").alias("fours_conceded"),
         F.sum("is_six").alias("sixes_conceded"),
     )
+    return _finish_bowler(stats)
+
+
+def _finish_bowler(stats: DataFrame) -> DataFrame:
+    """Shared bowler finisher (batch + incremental paths)."""
     return (
         stats.withColumn("overs_bowled", overs_notation(F.col("legal_balls")))
         .withColumn(
@@ -134,6 +149,11 @@ def team_stats(silver: DataFrame) -> DataFrame:
             F.when(F.col("innings_phase") == "Powerplay", F.col("is_legal_delivery"))
         ).alias("_pp_balls"),
     )
+    return _finish_team(stats)
+
+
+def _finish_team(stats: DataFrame) -> DataFrame:
+    """Shared team finisher (batch + incremental paths)."""
     return (
         stats.withColumn("overs_batted", overs_notation(F.col("legal_balls")))
         .withColumn(
@@ -170,6 +190,18 @@ def tournament_standings(silver: DataFrame) -> DataFrame:
             F.sum("is_legal_delivery").alias("legal_balls_bowled"),
         )
     )
+    all_teams = df_clean.select(F.col("batting_team").alias("team")).distinct()
+    return _finish_standings(bat, bowl, all_teams)
+
+
+def _finish_standings(
+    bat: DataFrame, bowl: DataFrame, all_teams: DataFrame
+) -> DataFrame:
+    """Shared standings finisher (batch + incremental paths): from the
+    per-(match, team) batting/bowling totals and the team universe,
+    derive winners, points, NRR and rank. ``bat`` must carry
+    (match, team, runs_scored, legal_balls_batted); ``bowl``
+    (match, team, runs_conceded, legal_balls_bowled)."""
     match_stats = (
         bat.join(bowl, ["match", "team"], "outer")
         .na.fill(
@@ -223,8 +255,6 @@ def tournament_standings(silver: DataFrame) -> DataFrame:
         F.sum("runs_conceded").alias("runs_against"),
         F.sum("legal_balls_bowled").alias("_balls_against"),
     )
-
-    all_teams = df_clean.select(F.col("batting_team").alias("team")).distinct()
 
     st = (
         all_teams.join(outcomes, "team", "left")

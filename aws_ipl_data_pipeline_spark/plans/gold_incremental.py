@@ -1,0 +1,211 @@
+"""Incremental gold maintenance (ST4 at 100×, VERDICT r6 item 4).
+
+The reference recomputes all four gold tables from FULL silver on every
+trigger (ex_match_sg.py:323-347) — faithful, but a scale-killer when
+silver is 100 TB and one match changed. This module decomposes each
+gold table into per-(match, key) PARTIAL aggregates:
+
+  silver (per-delivery, huge)
+    → match partials (one row per key per match — ~|players per match|
+      rows per match, partitioned by match)
+    → gold (merge partials per key + the shared finishers in
+      plans/gold.py)
+
+On a micro-batch only the affected matches' partial partitions are
+recomputed (from the batch's silver rows, already in memory) and
+dynamically overwritten — per-match REPLACE, not keyed upsert, so a
+rescrape that drops a player also drops their stale partial row. The
+final merge then scans the skinny partials table, never silver: per
+batch cost is O(batch deliveries) + O(#keys × #matches), independent
+of total silver size.
+
+Exactness: every partial is an integer sum/count (silver flags and run
+columns are ints), so two-level aggregation is bit-identical to the
+one-pass batch builders; countDistinct(match) becomes a count of
+partial rows; max-of-sum becomes max over per-match sums; the nullable
+Powerplay conditional sums stay null-skipping through both levels
+(null iff no Powerplay rows at any level). All ratio math happens in
+the SHARED finishers (`_finish_*` in plans/gold.py), so batch and
+incremental cannot drift — pinned by tests/test_gold_incremental.py
+(builder ≡ partials-merge on the golden fixtures, and batch backfill ≡
+multi-batch incremental stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_ipl_data_pipeline_spark.functions.scalars import not_na
+from aws_ipl_data_pipeline_spark.plans.gold import (
+    _finish_batsman,
+    _finish_bowler,
+    _finish_standings,
+    _finish_team,
+)
+
+# --------------------------------------------------------------------------
+# partials: one row per (match, key); integer partial aggregates only
+# --------------------------------------------------------------------------
+
+
+def batsman_match_partials(silver: DataFrame) -> DataFrame:
+    """(match, batsman) partials for gold_batsman_stats: the per-match
+    batting sums plus the out count from the UNFILTERED table (the
+    times_out quirk, reference ex_match_sg.py:137-140)."""
+    df_bat = silver.where(not_na("batsman"))
+    bat = df_bat.groupBy("match", "batsman").agg(
+        F.sum("runs").alias("match_runs"),
+        F.sum("is_legal_delivery").alias("legal_balls"),
+        F.sum("is_four").alias("fours"),
+        F.sum("is_six").alias("sixes"),
+        F.sum("is_dot_ball").alias("dot_balls"),
+    )
+    outs = (
+        silver.where(not_na("out_batsman"))
+        .groupBy("match", F.col("out_batsman").alias("batsman"))
+        .agg(F.count("*").alias("times_out"))
+    )
+    return (
+        bat.withColumn("batted", F.lit(True))
+        .join(outs, ["match", "batsman"], "outer")
+        .withColumn("batted", F.coalesce("batted", F.lit(False)))
+    )
+
+
+def bowler_match_partials(silver: DataFrame) -> DataFrame:
+    """(match, bowler) partials for gold_bowler_stats."""
+    return (
+        silver.where(not_na("bowler"))
+        .groupBy("match", "bowler")
+        .agg(
+            F.sum("total_runs").alias("total_runs_conceded"),
+            F.sum("is_legal_delivery").alias("legal_balls"),
+            F.sum("wicket").alias("wickets"),
+            F.sum("is_dot_ball").alias("dot_balls"),
+            F.sum("is_four").alias("fours_conceded"),
+            F.sum("is_six").alias("sixes_conceded"),
+        )
+    )
+
+
+def team_match_partials(silver: DataFrame) -> DataFrame:
+    """(match, team) partials feeding BOTH gold_team_stats and
+    gold_tournament_standings. The two consumers filter differently
+    (team stats: not_na(batting_team); standings: not_na of both
+    teams), so each side's sums are kept separately with a presence
+    flag — the finishers re-select exactly their input population."""
+    df_team = silver.where(not_na("batting_team"))
+    tstat = df_team.groupBy(F.col("batting_team").alias("team"), "match").agg(
+        F.sum("total_runs").alias("total_runs"),
+        F.sum("wicket").alias("wickets_lost"),
+        F.sum("is_legal_delivery").alias("legal_balls"),
+        F.sum("is_four").alias("fours"),
+        F.sum("is_six").alias("sixes"),
+        F.sum(
+            F.when(F.col("innings_phase") == "Powerplay", F.col("total_runs"))
+        ).alias("pp_runs"),
+        F.sum(
+            F.when(F.col("innings_phase") == "Powerplay", F.col("is_legal_delivery"))
+        ).alias("pp_balls"),
+    )
+    df_clean = silver.where(not_na("batting_team") & not_na("bowling_team"))
+    cbat = df_clean.groupBy("match", F.col("batting_team").alias("team")).agg(
+        F.sum("total_runs").alias("runs_scored"),
+        F.sum("is_legal_delivery").alias("legal_balls_batted"),
+    )
+    cbowl = df_clean.groupBy("match", F.col("bowling_team").alias("team")).agg(
+        F.sum("total_runs").alias("runs_conceded"),
+        F.sum("is_legal_delivery").alias("legal_balls_bowled"),
+    )
+    return (
+        tstat.withColumn("has_bat", F.lit(True))
+        .join(cbat.withColumn("has_clean_bat", F.lit(True)), ["match", "team"], "outer")
+        .join(
+            cbowl.withColumn("has_clean_bowl", F.lit(True)), ["match", "team"], "outer"
+        )
+        .withColumn("has_bat", F.coalesce("has_bat", F.lit(False)))
+        .withColumn("has_clean_bat", F.coalesce("has_clean_bat", F.lit(False)))
+        .withColumn("has_clean_bowl", F.coalesce("has_clean_bowl", F.lit(False)))
+    )
+
+
+# --------------------------------------------------------------------------
+# finishers: merge partials per key, then the SHARED ratio/rank stages
+# --------------------------------------------------------------------------
+
+
+def batsman_stats_from_partials(p: DataFrame) -> DataFrame:
+    """gold_batsman_stats from (match, batsman) partials — equal to
+    plans.gold.batsman_stats(silver) by construction: integer sums of
+    sums, countDistinct(match) ≡ count of batted partial rows,
+    max-of-sum ≡ max over per-match sums; ratios in _finish_batsman."""
+    pb = p.where("batted")
+    highest = pb.groupBy("batsman").agg(F.max("match_runs").alias("highest_score"))
+    stats = pb.groupBy("batsman").agg(
+        F.count("*").alias("matches"),
+        F.sum("match_runs").alias("total_runs"),
+        F.sum("legal_balls").alias("legal_balls"),
+        F.sum("fours").alias("fours"),
+        F.sum("sixes").alias("sixes"),
+        F.sum("dot_balls").alias("dot_balls"),
+    )
+    outs = (
+        p.where(F.col("times_out").isNotNull())
+        .groupBy("batsman")
+        .agg(F.sum("times_out").alias("times_out"))
+    )
+    return _finish_batsman(stats, highest, outs)
+
+
+def bowler_stats_from_partials(p: DataFrame) -> DataFrame:
+    stats = p.groupBy("bowler").agg(
+        F.count("*").alias("matches"),
+        F.sum("total_runs_conceded").alias("total_runs_conceded"),
+        F.sum("legal_balls").alias("legal_balls"),
+        F.sum("wickets").alias("wickets"),
+        F.sum("dot_balls").alias("dot_balls"),
+        F.sum("fours_conceded").alias("fours_conceded"),
+        F.sum("sixes_conceded").alias("sixes_conceded"),
+    )
+    return _finish_bowler(stats)
+
+
+def team_stats_from_partials(p: DataFrame) -> DataFrame:
+    pb = p.where("has_bat")
+    stats = pb.groupBy("team").agg(
+        F.count("*").alias("matches"),
+        F.sum("total_runs").alias("total_runs"),
+        F.sum("wickets_lost").alias("total_wickets_lost"),
+        F.sum("legal_balls").alias("legal_balls"),
+        F.sum("fours").alias("fours"),
+        F.sum("sixes").alias("sixes"),
+        F.sum("pp_runs").alias("_pp_runs"),
+        F.sum("pp_balls").alias("_pp_balls"),
+    )
+    return _finish_team(stats)
+
+
+def tournament_standings_from_partials(p: DataFrame) -> DataFrame:
+    bat = p.where("has_clean_bat").select(
+        "match", "team", "runs_scored", "legal_balls_batted"
+    )
+    bowl = p.where("has_clean_bowl").select(
+        "match", "team", "runs_conceded", "legal_balls_bowled"
+    )
+    all_teams = bat.select("team").distinct()
+    return _finish_standings(bat, bowl, all_teams)
+
+
+PARTIAL_BUILDERS = {
+    "batsman": batsman_match_partials,
+    "bowler": bowler_match_partials,
+    "team": team_match_partials,
+}
+
+GOLD_FROM_PARTIALS = {
+    "gold_batsman_stats": ("batsman", batsman_stats_from_partials),
+    "gold_bowler_stats": ("bowler", bowler_stats_from_partials),
+    "gold_team_stats": ("team", team_stats_from_partials),
+    "gold_tournament_standings": ("team", tournament_standings_from_partials),
+}

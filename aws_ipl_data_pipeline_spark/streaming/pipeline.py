@@ -56,12 +56,26 @@ def run_incremental_pipeline(
     checkpoint_dir: str,
     bronze_path: str | None = None,
     available_now: bool = True,
+    gold_mode: str = "full",
 ):
     """Start the raw→bronze→silver→gold incremental stream.
 
     Returns the StreamingQuery; with ``available_now`` it processes the
     current backlog and finishes (use ``query.awaitTermination()``).
+
+    ``gold_mode``: ``"full"`` (default) recomputes every gold table
+    from full silver each micro-batch — the reference's literal
+    behavior (ex_match_sg.py:323-347). ``"incremental"`` maintains
+    per-(match, key) partial-aggregate tables under
+    ``{gold_dir}/_partials_*`` (plans/gold_incremental.py): only the
+    affected matches' partial partitions are rewritten per batch, and
+    gold merges the skinny partials table instead of rescanning silver
+    — per-batch cost O(batch) + O(keys × matches), not O(silver).
+    Both modes produce identical gold tables
+    (tests/test_gold_incremental.py).
     """
+    if gold_mode not in ("full", "incremental"):
+        raise ValueError(f"gold_mode must be 'full' or 'incremental': {gold_mode!r}")
     bronze_path = bronze_path or f"{silver_path.rstrip('/')}_bronze_acc"
     raw_stream = (
         spark.readStream.schema(RAW_DELIVERIES)
@@ -107,16 +121,47 @@ def run_incremental_pipeline(
         write_partitioned(
             silver, silver_path, partition_by=["match", "innings"], mode="overwrite"
         )
-        # gold: always a full recompute over silver (ST4, reference
-        # ex_match_sg.py:323-347)
-        full_silver = spark.read.parquet(silver_path)
-        for name, builder in (
-            ("gold_batsman_stats", batsman_stats),
-            ("gold_bowler_stats", bowler_stats),
-            ("gold_team_stats", team_stats),
-            ("gold_tournament_standings", tournament_standings),
-        ):
-            builder(full_silver).write.mode("overwrite").parquet(f"{gold_dir}/{name}")
+        if gold_mode == "full":
+            # gold: full recompute over silver (ST4, reference
+            # ex_match_sg.py:323-347 — reference-parity default)
+            full_silver = spark.read.parquet(silver_path)
+            for name, builder in (
+                ("gold_batsman_stats", batsman_stats),
+                ("gold_bowler_stats", bowler_stats),
+                ("gold_team_stats", team_stats),
+                ("gold_tournament_standings", tournament_standings),
+            ):
+                builder(full_silver).write.mode("overwrite").parquet(
+                    f"{gold_dir}/{name}"
+                )
+        else:
+            # incremental: rewrite ONLY the affected matches' partial
+            # partitions (dynamic partition overwrite — per-match
+            # REPLACE, so a rescrape dropping a player drops their
+            # stale partial row too), then merge the skinny partials
+            # tables. silver here already holds just the affected
+            # matches, so partials cost O(batch); the merge never
+            # touches silver again.
+            from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+                GOLD_FROM_PARTIALS,
+                PARTIAL_BUILDERS,
+            )
+
+            for pname, pbuilder in PARTIAL_BUILDERS.items():
+                write_partitioned(
+                    pbuilder(silver),
+                    f"{gold_dir}/_partials_{pname}",
+                    partition_by=["match"],
+                    mode="overwrite",
+                )
+            partials = {
+                pname: spark.read.parquet(f"{gold_dir}/_partials_{pname}")
+                for pname in PARTIAL_BUILDERS
+            }
+            for name, (pname, finisher) in GOLD_FROM_PARTIALS.items():
+                finisher(partials[pname]).write.mode("overwrite").parquet(
+                    f"{gold_dir}/{name}"
+                )
 
     writer = (
         raw_stream.writeStream.foreachBatch(process_batch)
