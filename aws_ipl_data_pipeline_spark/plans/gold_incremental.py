@@ -89,6 +89,30 @@ def bowler_match_partials(silver: DataFrame) -> DataFrame:
     )
 
 
+def standings_match_partials(silver: DataFrame) -> DataFrame:
+    """(match, team) partials for gold_tournament_standings alone —
+    only needs the five standings columns (match, batting_team,
+    bowling_team, total_runs, is_legal_delivery), so it also runs on
+    the team-grain standings fixtures."""
+    df_clean = silver.where(not_na("batting_team") & not_na("bowling_team"))
+    cbat = df_clean.groupBy("match", F.col("batting_team").alias("team")).agg(
+        F.sum("total_runs").alias("runs_scored"),
+        F.sum("is_legal_delivery").alias("legal_balls_batted"),
+    )
+    cbowl = df_clean.groupBy("match", F.col("bowling_team").alias("team")).agg(
+        F.sum("total_runs").alias("runs_conceded"),
+        F.sum("is_legal_delivery").alias("legal_balls_bowled"),
+    )
+    return (
+        cbat.withColumn("has_clean_bat", F.lit(True))
+        .join(
+            cbowl.withColumn("has_clean_bowl", F.lit(True)), ["match", "team"], "outer"
+        )
+        .withColumn("has_clean_bat", F.coalesce("has_clean_bat", F.lit(False)))
+        .withColumn("has_clean_bowl", F.coalesce("has_clean_bowl", F.lit(False)))
+    )
+
+
 def team_match_partials(silver: DataFrame) -> DataFrame:
     """(match, team) partials feeding BOTH gold_team_stats and
     gold_tournament_standings. The two consumers filter differently
@@ -109,21 +133,9 @@ def team_match_partials(silver: DataFrame) -> DataFrame:
             F.when(F.col("innings_phase") == "Powerplay", F.col("is_legal_delivery"))
         ).alias("pp_balls"),
     )
-    df_clean = silver.where(not_na("batting_team") & not_na("bowling_team"))
-    cbat = df_clean.groupBy("match", F.col("batting_team").alias("team")).agg(
-        F.sum("total_runs").alias("runs_scored"),
-        F.sum("is_legal_delivery").alias("legal_balls_batted"),
-    )
-    cbowl = df_clean.groupBy("match", F.col("bowling_team").alias("team")).agg(
-        F.sum("total_runs").alias("runs_conceded"),
-        F.sum("is_legal_delivery").alias("legal_balls_bowled"),
-    )
     return (
         tstat.withColumn("has_bat", F.lit(True))
-        .join(cbat.withColumn("has_clean_bat", F.lit(True)), ["match", "team"], "outer")
-        .join(
-            cbowl.withColumn("has_clean_bowl", F.lit(True)), ["match", "team"], "outer"
-        )
+        .join(standings_match_partials(silver), ["match", "team"], "outer")
         .withColumn("has_bat", F.coalesce("has_bat", F.lit(False)))
         .withColumn("has_clean_bat", F.coalesce("has_clean_bat", F.lit(False)))
         .withColumn("has_clean_bowl", F.coalesce("has_clean_bowl", F.lit(False)))

@@ -7689,90 +7689,20 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r6 slots 1-20: the 20 queries whose newest driver row is still
-    # r1/r2 (VERDICT r5 item 1 — newest-row audit over
-    # CORRECTNESS_r01..r05; 18 oracle-backed + 2 rows-only). After r6
-    # every registry query's newest driver row is r3+.
-    "filter_in_list",
-    "filter_pattern",
-    "deterministic_sample",
-    "slice_rows",
-    "running_totals",
-    "lag_lookback",
-    "rank_topk",
-    "multi_key_sort_limit",
-    "union_distinct",
-    "keyed_dedupe_first",
-    "date_functions_battery",
-    "time_rollup_hierarchy",
-    "tumbling_window",
-    "sliding_window",
-    "leakage_safe_split",
-    "source_mixing",
-    "ann_brute_force_topk",
-    "text_token_stats",
-    "approx_distinct_counts",
-    "near_dup_groups",
-    # r6 slots 21-23: the IPL medallion golden surface holds a seat
-    # every round (VERDICT r5 item 8 — the reference parity contract)
-    "ipl_bronze_fold",
-    "ipl_gold_e2e",
-    "ipl_standings",
-    # r6 slots 24-29: new or oracle-upgraded this round (IVF
-    # edge-sourced semantic clustering, long-chain CC proof for the
-    # star-contraction rewrite, kmeans oracle companion, Levenshtein
-    # fuzzy-join twin, multimodal rows-only->oracle upgrade,
-    # deterministic epoch shuffle)
-    "semantic_dedup_clusters_ivf",
-    "near_dup_chain_clusters",
-    "kmeans_lloyd_oracle",
-    "fuzzy_match_levenshtein",
-    "multimodal_features",
-    "training_shuffle_shards",
-    # r6 slots 30-31, semantics-changed re-proof (rotation rule 3):
-    # both now label via star contraction instead of min-label
-    "near_dup_clusters",
-    "semantic_dedup_clusters",
-    # r6 slots 32-37: new this round, second batch (integer-exact
-    # PageRank over the co-visitation graph; recall@k/MRR retrieval
-    # eval composed from the two batch-ANN oracle specs; media
-    # frame-fingerprint containment dedup; vocab coverage curve; BPE
-    # merge-candidate round; degree-ordered triangle counting;
-    # personalized PageRank)
-    "pagerank_covisit",
-    "ann_recall_eval",
-    "media_frame_dedup",
-    "vocab_coverage_curve",
-    "bpe_merge_candidates",
-    "covisit_triangles",
-    "personalized_pagerank_covisit",
-    # r6 slots 39-50: refresh of the 12 alphabetically-first
-    # oracle-able rows whose newest driver row is r3 (the displaced
-    # incremental_dedup/intersect_customers/json_props_extract and the
-    # rows-only r3 pair fuzzy_name_match/kmeans_lloyd queue for r7
-    # behind hash-checkable ones, kmeans covered by its companion)
-    "ann_lsh_topk",
-    "array_functions_battery",
-    "bigram_counts",
-    "canonical_selection",
-    "chunk_then_pack",
-    "correlated_subquery",
-    "cube_pricing",
-    "data_quality_report",
-    "decontamination_overlap",
-    "document_chunking",
-    "embedding_centroid_assign",
-    "event_rate_anomalies",
-    # past slot 50 from here — the r7 refresh queue, stalest first:
-    # the remaining r3 rows, then r4-green sets in registration order
-    # via _reorder_registry
+    # r7 slots 1-28: ALL 28 queries whose newest driver row is r3
+    # (VERDICT r6 item 1 — newest-row audit over CORRECTNESS_r01..r06;
+    # 26 oracle-backed + the rows-only r3 pair fuzzy_name_match /
+    # kmeans_lloyd). After the r7 driver run no query's newest row is
+    # older than r4.
     "except_customers",
     "explode_token_counts",
     "funnel_analysis",
+    "fuzzy_name_match",
     "grouping_sets_pricing",
     "incremental_dedup",
     "intersect_customers",
     "json_props_extract",
+    "kmeans_lloyd",
     "percentiles_by_segment",
     "pivot_status_qty",
     "quality_weighted_sample",
@@ -7780,8 +7710,8 @@ _DRIVER_FIRST = [
     "retention_cohorts",
     "rollup_pricing",
     "sequence_packing",
-    "skew_salted_agg",
     "sequence_packing_sharded",
+    "skew_salted_agg",
     "stratified_sample_by_source",
     "text_fingerprint",
     "text_language_id",
@@ -7792,8 +7722,79 @@ _DRIVER_FIRST = [
     "training_data_prep",
     "vocab_top_terms",
     "window_battery",
-    "fuzzy_name_match",
-    "kmeans_lloyd",
+    # r7 slots 29-31: the IPL medallion golden surface holds a seat
+    # every round (rotation rule 4 — the reference parity contract)
+    "ipl_bronze_fold",
+    "ipl_gold_e2e",
+    "ipl_standings",
+    # r7 slots 32-33: new this round — the incremental-gold partials
+    # path hash-proven against the batch oracles at league volume
+    # (standings grain + the trickier batsman grain)
+    "ipl_standings_incremental",
+    "ipl_batsman_incremental",
+    # r7 slots 33-36: semantics/plan changed this round (rotation rule
+    # 3 — driver re-proof): top-k windows now run on a
+    # TakeOrderedAndProject prefix (VERDICT r6 items 1-3) and q11's
+    # threshold gate went integer-exact (ADVICE r6)
+    "rank_topk",
+    "slice_rows",
+    "vocab_coverage_curve",
+    "q11_important_stock",
+    # r7 slots 38-50: refresh of the 13 alphabetically-first
+    # ORACLE-BACKED rows whose newest driver row is r4 (the rows-only
+    # r4 set ann_ivfpq_topk / ann_pq_topk / datasketches_battery
+    # queues behind hash-checkable ones, per rotation priority)
+    "ann_batch_ivf_topk",
+    "ann_batch_topk",
+    "ann_ivf_topk",
+    "bigram_perplexity",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "diversity_sample",
+    "domain_cap",
+    "ipl_batsman_stats",
+    "ipl_batsman_stats_big",
+    "ipl_bowler_stats",
+    "lateral_topn_per_key",
+    # past slot 50 from here — the r8 refresh queue, stalest first:
+    # the remaining r4 rows (rows-only trio first only if upgraded to
+    # oracles by then), then r5 sets in registration order via
+    # _reorder_registry
+    "q10_returned_items",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "datasketches_battery",
+    "ipl_standings_big",
+    "ipl_team_stats",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_pushdown",
+    "q22_dormant_customers",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_classifier",
+    "random_projection_embed",
+    "recursive_date_spine",
+    "robust_outlier_stats",
+    "scd2_user_state",
+    "segment_dedup",
+    "semantic_chunking",
+    "seq_length_histogram",
+    "sessionize_events",
+    "source_mixing_temperature",
+    "stats_aggregates_battery",
+    "token_budget_mix",
+    "token_entropy",
+    "unpivot_measures",
+    "variant_props_extract",
+    "vocab_zipf_fit",
 ]
 
 

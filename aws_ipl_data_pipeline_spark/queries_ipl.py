@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_ipl_data_pipeline_spark.queries import register
+from aws_ipl_data_pipeline_spark.queries import REGISTRY, register
 from aws_ipl_data_pipeline_spark.schemas import RAW_DELIVERIES
 from aws_ipl_data_pipeline_spark.session import tune_session
 
@@ -376,6 +376,67 @@ def ipl_standings_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ipl_standings_incremental",
+    None,  # oracle assigned right below — identical to ipl_standings_big
+)
+def ipl_standings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL gold path (plans/gold_incremental.py, VERDICT r6
+    item 4) hash-proven through the driver at league volume: standings
+    derived from per-(match, team) partial aggregates —
+    tournament_standings_from_partials(standings_match_partials(silver))
+    — over the same 3001-replica fixture as ipl_standings_big, against
+    that query's direct-SQL oracle. A hash match here proves the
+    two-level decomposition (per-match integer partials → per-team
+    merge → shared finisher) is bit-identical to the one-pass batch
+    builder on ~60k team-match rows with replica-varying winners and
+    ties."""
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        standings_match_partials,
+        tournament_standings_from_partials,
+    )
+
+    tune_session(spark)
+
+    def _build() -> DataFrame:
+        reps = spark.range(3001).select(F.col("id").alias("_rep"))
+        return (
+            _silver_df(spark)
+            .crossJoin(reps)
+            .withColumn(
+                "match", F.concat_ws("_", "match", F.col("_rep").cast("string"))
+            )
+            .withColumn(
+                "total_runs",
+                (F.col("total_runs") + F.pmod("_rep", F.lit(2))).cast("int"),
+            )
+            .drop("_rep")
+        )
+
+    silver = _session_fixture(spark, "standings_big_3001", _build)
+    st = tournament_standings_from_partials(standings_match_partials(silver))
+    return st.select(
+        F.col("rank").cast("long"),
+        "team",
+        F.col("played").cast("long"),
+        F.col("won").cast("long"),
+        F.col("lost").cast("long"),
+        F.col("tied_nr").cast("long"),
+        F.col("points").cast("long"),
+        "net_run_rate",
+        "avg_run_rate",
+        "runs_for",
+        "overs_for",
+        "runs_against",
+        "overs_against",
+    )
+
+
+# same independent SQL derivation as the batch-path query — the whole
+# point: two implementations, one spec
+REGISTRY["ipl_standings_incremental"].oracle = REGISTRY["ipl_standings_big"].oracle
+
+
 # delivery-grain silver fixture for the player gold tables:
 # (match, batsman, bowler, out_batsman, runs, total_runs,
 #  is_legal_delivery, is_four, is_six, is_dot_ball, wicket)
@@ -546,6 +607,62 @@ def ipl_batsman_stats_big(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batting_avg",
         "dot_ball_pct",
     )
+
+
+@register(
+    "ipl_batsman_incremental",
+    None,  # oracle assigned right below — identical to ipl_batsman_stats_big
+)
+def ipl_batsman_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The player-grain incremental gold path
+    (batsman_stats_from_partials(batsman_match_partials(silver)),
+    plans/gold_incremental.py) hash-proven through the driver at
+    ~50k-delivery volume against ipl_batsman_stats_big's direct-SQL
+    oracle — the partials twin of ipl_standings_incremental, covering
+    the trickier batsman decomposition: the unfiltered-table times_out
+    attribution rides the same (match, batsman) partial rows as the
+    batting sums, and matches/highest become partial-row count /
+    max-of-per-match-sums."""
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        batsman_match_partials,
+        batsman_stats_from_partials,
+    )
+
+    tune_session(spark)
+
+    def _build() -> DataFrame:
+        reps = spark.range(4999).select(F.col("id").alias("_rep"))
+        return (
+            _player_df(spark)
+            .crossJoin(reps)
+            .withColumn(
+                "match", F.concat_ws("_", "match", F.col("_rep").cast("string"))
+            )
+            .withColumn(
+                "runs", (F.col("runs") + F.pmod("_rep", F.lit(3))).cast("int")
+            )
+            .drop("_rep")
+        )
+
+    silver = _session_fixture(spark, "batsman_big_4999", _build)
+    out = batsman_stats_from_partials(batsman_match_partials(silver))
+    return out.select(
+        "batsman",
+        F.col("matches").cast("long"),
+        F.col("total_runs").cast("long"),
+        F.col("legal_balls").cast("long"),
+        F.col("fours").cast("long"),
+        F.col("sixes").cast("long"),
+        F.col("dot_balls").cast("long"),
+        F.col("highest_score").cast("long"),
+        F.col("times_out").cast("long"),
+        "strike_rate",
+        "batting_avg",
+        "dot_ball_pct",
+    )
+
+
+REGISTRY["ipl_batsman_incremental"].oracle = REGISTRY["ipl_batsman_stats_big"].oracle
 
 
 @register(
