@@ -142,6 +142,28 @@ def team_match_partials(silver: DataFrame) -> DataFrame:
     )
 
 
+def with_match_tombstones(pdf: DataFrame, matches: DataFrame) -> DataFrame:
+    """Union one null-key tombstone row per affected match into a
+    partials frame (`matches`: single column ``match``). Dynamic
+    partition overwrite replaces only the partitions PRESENT in the
+    written frame — so a rescraped match whose new scrape yields zero
+    partial rows for a builder (e.g. every batsman became the N/A
+    sentinel) would silently keep its stale partition. The tombstone
+    guarantees every affected match's partition is rewritten (possibly
+    to just the tombstone); finishers ignore tombstones by
+    construction: key columns are null (batch keys pass not_na, never
+    null) and presence flags are False."""
+    cols = []
+    for f in pdf.schema.fields:
+        if f.name == "match":
+            cols.append(F.col("match"))
+        elif f.dataType.typeName() == "boolean":
+            cols.append(F.lit(False).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return pdf.unionByName(matches.select(*cols))
+
+
 # --------------------------------------------------------------------------
 # finishers: merge partials per key, then the SHARED ratio/rank stages
 # --------------------------------------------------------------------------
@@ -171,7 +193,9 @@ def batsman_stats_from_partials(p: DataFrame) -> DataFrame:
 
 
 def bowler_stats_from_partials(p: DataFrame) -> DataFrame:
-    stats = p.groupBy("bowler").agg(
+    # the isNotNull guard drops match tombstones (batch partials never
+    # carry a null bowler — not_na filters nulls upstream)
+    stats = p.where(F.col("bowler").isNotNull()).groupBy("bowler").agg(
         F.count("*").alias("matches"),
         F.sum("total_runs_conceded").alias("total_runs_conceded"),
         F.sum("legal_balls").alias("legal_balls"),

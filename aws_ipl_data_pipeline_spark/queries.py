@@ -7732,7 +7732,7 @@ _DRIVER_FIRST = [
     # (standings grain + the trickier batsman grain)
     "ipl_standings_incremental",
     "ipl_batsman_incremental",
-    # r7 slots 33-36: semantics/plan changed this round (rotation rule
+    # r7 slots 34-37: semantics/plan changed this round (rotation rule
     # 3 — driver re-proof): top-k windows now run on a
     # TakeOrderedAndProject prefix (VERDICT r6 items 1-3) and q11's
     # threshold gate went integer-exact (ADVICE r6)

@@ -13,6 +13,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """S10 object-store existence probe via the Hadoop FileSystem API —
+    the explicit form of 'does this table exist yet', instead of
+    catching AnalysisException and substring-matching its message
+    (version/locale-dependent; ADVICE r6). Used by the streaming state
+    tables (covisit tails, gold partials) to distinguish first-write
+    bootstrap from a real read failure."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = True
 ) -> DataFrame:

@@ -45,18 +45,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _path_exists(spark: SparkSession, path: str) -> bool:
-    """Explicit Hadoop-FS existence probe for the tail state table.
-    ADVICE r6: distinguishing 'first batch, no state yet' by
-    substring-matching AnalysisException text ('PATH_NOT_FOUND') is
-    version/locale-dependent — a Spark upgrade that rewords the error
-    would turn the normal first-batch path into a stream failure. The
-    stream is the only writer of tail_path, so probe-then-read has no
-    race."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(hpath)
+# Explicit Hadoop-FS existence probe (ADVICE r6): distinguishing
+# 'first batch, no state yet' by substring-matching AnalysisException
+# text is version/locale-dependent. Probe-then-read on tail_path is
+# race-free only because writes are serialized: the stream appends
+# from within its own micro-batches, and compact_covisit_tails (which
+# OVERWRITES tail_path) is documented offline-only — running it
+# concurrently was never safe and the probe does not change that.
+from aws_ipl_data_pipeline_spark.sources.readers import path_exists as _path_exists
 
 TAIL_SUFFIX = "_tail"
 
@@ -183,9 +179,11 @@ def run_covisit_edge_ingest(
 
 
 def compact_covisit_tails(spark: SparkSession, tail_path: str) -> None:
-    """Rewrite the tail table to one (latest) row per user — offline
+    """Rewrite the tail table to one (latest) row per user — OFFLINE
     maintenance for the append-only history, which otherwise grows by
     one row per (batch, active user) and is window-scanned per batch.
+    Must run only while the ingest stream is stopped: this overwrite
+    can delete part files under an in-flight micro-batch read.
     Preserves each kept row's batch_id so replay visibility filters
     keep working after compaction."""
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))

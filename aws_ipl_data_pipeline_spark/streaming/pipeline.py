@@ -137,22 +137,44 @@ def run_incremental_pipeline(
         else:
             # incremental: rewrite ONLY the affected matches' partial
             # partitions (dynamic partition overwrite — per-match
-            # REPLACE, so a rescrape dropping a player drops their
-            # stale partial row too), then merge the skinny partials
-            # tables. silver here already holds just the affected
-            # matches, so partials cost O(batch); the merge never
-            # touches silver again.
+            # REPLACE), then merge the skinny partials tables instead
+            # of rescanning silver. Three correctness guards (r7
+            # self-review):
+            #  * BOOTSTRAP — a missing partials table (first
+            #    incremental batch, or a deployment switching from
+            #    gold_mode="full" / attaching to pre-existing silver)
+            #    is built ONCE from full stored silver; otherwise the
+            #    merge would see only matches processed since the
+            #    switch and silently truncate gold.
+            #  * TOMBSTONES — every affected match's partition is
+            #    rewritten even when a rescrape yields zero partial
+            #    rows for a builder (with_match_tombstones), so stale
+            #    rows from the retracted scrape cannot survive.
+            #  * READ-BACK — partials read the just-written silver
+            #    partitions back (partition-pruned scan) instead of
+            #    re-executing the bronze→silver plan per builder.
             from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
                 GOLD_FROM_PARTIALS,
                 PARTIAL_BUILDERS,
+                with_match_tombstones,
             )
+            from aws_ipl_data_pipeline_spark.sources.readers import path_exists
 
+            stored_silver = spark.read.parquet(silver_path).withColumn(
+                "match", F.col("match").cast("string")
+            )
+            affected_silver = stored_silver.where(F.col("match").isin(affected))
+            affected_df = spark.createDataFrame(
+                [(m,) for m in affected], "match string"
+            )
             for pname, pbuilder in PARTIAL_BUILDERS.items():
+                ppath = f"{gold_dir}/_partials_{pname}"
+                if path_exists(spark, ppath):
+                    pdf = with_match_tombstones(pbuilder(affected_silver), affected_df)
+                else:
+                    pdf = pbuilder(stored_silver)  # one-time full bootstrap
                 write_partitioned(
-                    pbuilder(silver),
-                    f"{gold_dir}/_partials_{pname}",
-                    partition_by=["match"],
-                    mode="overwrite",
+                    pdf, ppath, partition_by=["match"], mode="overwrite"
                 )
             partials = {
                 pname: spark.read.parquet(f"{gold_dir}/_partials_{pname}")

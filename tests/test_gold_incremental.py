@@ -98,7 +98,7 @@ def test_incremental_stream_gold_equals_batch(spark, tmp_path_factory):
         available_now=True,
         gold_mode="incremental",
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "incremental stream did not drain in 300s"
 
     batch_silver = to_silver(
         to_bronze(raw_deliveries(spark)), match_meta(spark), players(spark)
@@ -107,3 +107,98 @@ def test_incremental_stream_gold_equals_batch(spark, tmp_path_factory):
         got = _canon(spark.read.parquet(f"{base}/gold/{name}"))
         want = _canon(builder(batch_silver))
         assert got == want, name
+
+
+@pytest.mark.slow
+def test_mode_switch_bootstraps_partials(spark, tmp_path_factory):
+    """Switching gold_mode full -> incremental on an existing
+    deployment must NOT truncate gold to the matches seen since the
+    switch: the first incremental batch bootstraps the partials tables
+    from full stored silver (r7 self-review finding)."""
+    base = str(tmp_path_factory.mktemp("goldsw"))
+    raw_dir = f"{base}/raw"
+    by_match: dict[str, list] = {}
+    for row in RAW_ROWS:
+        by_match.setdefault(row[0], []).append(row)
+    matches = sorted(by_match)
+    # phase 1 (full mode): every match except the last
+    for m in matches[:-1]:
+        _write_csv(f"{raw_dir}/{m}/{m}-1.csv", by_match[m])
+    kwargs = dict(
+        raw_dir=f"{raw_dir}/*/",
+        silver_path=f"{base}/silver",
+        gold_dir=f"{base}/gold",
+        meta_df=match_meta(spark),
+        players_df=players(spark),
+        checkpoint_dir=f"{base}/ckpt",
+        bronze_path=f"{base}/bronze",
+        available_now=True,
+    )
+    assert run_incremental_pipeline(spark, **kwargs, gold_mode="full").awaitTermination(300)
+    # phase 2 (incremental mode, same checkpoint): only the held-out
+    # match arrives — the batch touches 1 match but gold must cover all
+    m_last = matches[-1]
+    _write_csv(f"{raw_dir}/{m_last}/{m_last}-1.csv", by_match[m_last])
+    assert run_incremental_pipeline(
+        spark, **kwargs, gold_mode="incremental"
+    ).awaitTermination(300)
+
+    batch_silver = to_silver(
+        to_bronze(raw_deliveries(spark)), match_meta(spark), players(spark)
+    )
+    for name, builder in BATCH_BUILDERS.items():
+        got = _canon(spark.read.parquet(f"{base}/gold/{name}"))
+        want = _canon(builder(batch_silver))
+        assert got == want, name
+
+
+def test_tombstones_retract_stale_partials(spark, tmp_path):
+    """A rescrape that leaves a match with ZERO partial rows for a
+    builder must still retract that match's stale partials: dynamic
+    partition overwrite only touches partitions present in the written
+    frame, so with_match_tombstones guarantees the rewrite (r7
+    self-review finding)."""
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        bowler_match_partials,
+        bowler_stats_from_partials,
+        with_match_tombstones,
+    )
+    from aws_ipl_data_pipeline_spark.sources.writers import write_partitioned
+
+    path = str(tmp_path / "partials_bowler")
+    schema = (
+        "match string, bowler string, total_runs int, is_legal_delivery int, "
+        "wicket int, is_dot_ball int, is_four int, is_six int"
+    )
+    silver_v1 = spark.createDataFrame(
+        [("M1", "Xavi", 4, 1, 0, 0, 1, 0), ("M2", "Yusu", 1, 1, 1, 0, 0, 0)],
+        schema,
+    )
+    write_partitioned(
+        bowler_match_partials(silver_v1), path, partition_by=["match"], mode="overwrite"
+    )
+    # rescrape of M1: every bowler is now the N/A sentinel — zero
+    # partial rows for the bowler builder
+    silver_m1_v2 = spark.createDataFrame([("M1", "N/A", 4, 1, 0, 0, 1, 0)], schema)
+    affected = spark.createDataFrame([("M1",)], "match string")
+    pdf = with_match_tombstones(bowler_match_partials(silver_m1_v2), affected)
+    write_partitioned(pdf, path, partition_by=["match"], mode="overwrite")
+
+    final = bowler_stats_from_partials(spark.read.parquet(path))
+    bowlers = sorted(r["bowler"] for r in final.select("bowler").collect())
+    assert bowlers == ["Yusu"], bowlers  # Xavi retracted, M2 untouched
+
+    # and WITHOUT the tombstone the stale row would have survived —
+    # pin that the guard is actually what fixes it
+    write_partitioned(
+        bowler_match_partials(silver_v1), path, partition_by=["match"], mode="overwrite"
+    )
+    bare = bowler_match_partials(silver_m1_v2)  # zero rows, no tombstone
+    write_partitioned(bare, path, partition_by=["match"], mode="overwrite")
+    stale = sorted(
+        r["bowler"]
+        for r in bowler_stats_from_partials(spark.read.parquet(path))
+        .select("bowler")
+        .collect()
+    )
+    assert stale == ["Xavi", "Yusu"]  # documents the hazard tombstones close
