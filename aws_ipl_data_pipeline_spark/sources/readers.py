@@ -26,6 +26,21 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def table_exists(spark: SparkSession, path: str, fmt: str = "parquet") -> bool:
+    """True iff ``path`` holds a SUCCESSFULLY committed table, not just
+    a directory. A crashed first write leaves the output dir in place
+    (the committer creates it at job setup; abortJob removes only
+    ``_temporary``), so a bare existence probe would treat the debris
+    as live state and silently truncate derived tables on the retry
+    (r7 second review). Parquet/ORC probe the ``_SUCCESS`` job marker
+    — rewritten at the table root by every successful batch job,
+    appends and dynamic partition overwrites included; Delta probes
+    ``_delta_log``. Use for state/derived tables where 'never
+    successfully written' must route to the bootstrap path."""
+    marker = "_delta_log" if fmt == "delta" else "_SUCCESS"
+    return path_exists(spark, f"{path}/{marker}")
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = True
 ) -> DataFrame:

@@ -127,15 +127,18 @@ def upsert_by_key(
     # Only a missing path means "first write". Any other read error
     # (corrupt footer, storage hiccup) must propagate — treating it as
     # first-write would overwrite the table with just this batch.
-    from pyspark.errors import AnalysisException
+    # Existence is an explicit FS probe (r7 review: AnalysisException
+    # message matching is version/locale-fragile); an existing-but-
+    # empty dir from a crashed first write reads as an empty table
+    # when a schema is pinned (merge degrades to just the batch —
+    # correct retry semantics) and raises without one (safe).
+    from aws_ipl_data_pipeline_spark.sources.readers import path_exists
 
     reader = spark.read.schema(schema) if schema is not None else spark.read
-    try:
+    if path_exists(spark, path):
         existing = reader.parquet(path)
         exists = True
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
+    else:
         exists = False
     if not exists:
         w = new_df.write
@@ -161,6 +164,19 @@ def upsert_by_key(
         # dynamic overwrite: only the touched partitions are replaced
         w = w.partitionBy(*partition_by).option("partitionOverwriteMode", "dynamic")
     w.parquet(path)
+
+
+def delete_path(spark, path: str) -> bool:
+    """Recursively delete a table path via the Hadoop FileSystem API.
+    Used to INVALIDATE derived state whose source of truth moved on
+    without it — e.g. the gold partials tables during full-recompute
+    batches (r7 second review: a full→incremental mode round-trip
+    would otherwise trust partials that missed every match processed
+    while full mode ran). Returns True if anything was deleted."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.delete(hpath, True)
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

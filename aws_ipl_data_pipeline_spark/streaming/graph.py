@@ -45,14 +45,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-# Explicit Hadoop-FS existence probe (ADVICE r6): distinguishing
-# 'first batch, no state yet' by substring-matching AnalysisException
-# text is version/locale-dependent. Probe-then-read on tail_path is
-# race-free only because writes are serialized: the stream appends
-# from within its own micro-batches, and compact_covisit_tails (which
-# OVERWRITES tail_path) is documented offline-only — running it
-# concurrently was never safe and the probe does not change that.
-from aws_ipl_data_pipeline_spark.sources.readers import path_exists as _path_exists
+# Explicit committed-table probe (ADVICE r6 + r7 second review):
+# distinguishing 'first batch, no state yet' by substring-matching
+# AnalysisException text is version/locale-dependent, and a bare
+# dir-exists probe would treat the empty dir a CRASHED first append
+# leaves behind as a live table (schema-less read -> crash loop on
+# every retry). table_exists requires the _SUCCESS job marker.
+# Probe-then-read on tail_path is race-free only because writes are
+# serialized: the stream appends from within its own micro-batches,
+# and compact_covisit_tails (which OVERWRITES tail_path) is documented
+# offline-only — running it concurrently was never safe and the probe
+# does not change that.
+from aws_ipl_data_pipeline_spark.sources.readers import table_exists as _table_exists
 
 TAIL_SUFFIX = "_tail"
 
@@ -101,7 +105,7 @@ def process_covisit_batch(
         .where(F.col("_rn") == 1)
         .select("user_id", F.col("k").alias("_first_k"))
     )
-    if _path_exists(spark, tail_path):
+    if _table_exists(spark, tail_path):
         prior = spark.read.parquet(tail_path).where(
             F.col("batch_id") < F.lit(batch_id)
         )

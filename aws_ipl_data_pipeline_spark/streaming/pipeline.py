@@ -117,9 +117,16 @@ def run_incremental_pipeline(
         bronze = to_bronze(acc)
         silver = to_silver(bronze, meta_df, players_df)
         # idempotent per-match partition rewrite (ST3): latest scrape
-        # wins for the whole match, like replaceWhere("match = ...")
+        # wins for the whole match, like replaceWhere("match = ...").
+        # Partitioned by MATCH ONLY — the reference lays silver out as
+        # ["match", "innings"] but its replace unit is the match
+        # (predicate match='X', ex_match_bs.py:464-471); under parquet
+        # dynamic overwrite the replace unit IS the partition key, so
+        # partitioning by (match, innings) would leak a stale innings
+        # partition whenever a rescrape changes a match's innings set
+        # (r7 second review) — the match dir is the correct atom.
         write_partitioned(
-            silver, silver_path, partition_by=["match", "innings"], mode="overwrite"
+            silver, silver_path, partition_by=["match"], mode="overwrite"
         )
         if gold_mode == "full":
             # gold: full recompute over silver (ST4, reference
@@ -134,6 +141,19 @@ def run_incremental_pipeline(
                 builder(full_silver).write.mode("overwrite").parquet(
                     f"{gold_dir}/{name}"
                 )
+            # invalidate any partials left by a previous incremental
+            # deployment: full mode does not maintain them, so after
+            # even one full-mode batch they miss matches — a later
+            # switch back to incremental must re-bootstrap, not trust
+            # them (r7 second review: incremental→full→incremental
+            # silently dropped the full-interval matches from gold)
+            from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+                PARTIAL_BUILDERS as _PB,
+            )
+            from aws_ipl_data_pipeline_spark.sources.writers import delete_path
+
+            for pname in _PB:
+                delete_path(spark, f"{gold_dir}/_partials_{pname}")
         else:
             # incremental: rewrite ONLY the affected matches' partial
             # partitions (dynamic partition overwrite — per-match
@@ -158,21 +178,32 @@ def run_incremental_pipeline(
                 PARTIAL_BUILDERS,
                 with_match_tombstones,
             )
-            from aws_ipl_data_pipeline_spark.sources.readers import path_exists
+            from aws_ipl_data_pipeline_spark.sources.readers import table_exists
 
-            stored_silver = spark.read.parquet(silver_path).withColumn(
-                "match", F.col("match").cast("string")
-            )
-            affected_silver = stored_silver.where(F.col("match").isin(affected))
+            # schema pinned from the in-memory frame: partition-value
+            # type inference on read-back could retype `match` (e.g.
+            # all-numeric ids → int), and a cast-to-string on top would
+            # defeat the partition pruning this read exists for
+            stored_silver = spark.read.schema(silver.schema).parquet(silver_path)
+            # one materialized scan of the affected partitions feeds
+            # all three partial builders (team alone consumes it 3×)
+            affected_silver = stored_silver.where(
+                F.col("match").isin(affected)
+            ).localCheckpoint(eager=True)
             affected_df = spark.createDataFrame(
                 [(m,) for m in affected], "match string"
             )
             for pname, pbuilder in PARTIAL_BUILDERS.items():
                 ppath = f"{gold_dir}/_partials_{pname}"
-                if path_exists(spark, ppath):
+                # table_exists (not a bare dir probe): a crashed
+                # bootstrap write leaves the dir without a _SUCCESS
+                # marker — the retry must re-bootstrap, not trust it
+                if table_exists(spark, ppath):
                     pdf = with_match_tombstones(pbuilder(affected_silver), affected_df)
                 else:
-                    pdf = pbuilder(stored_silver)  # one-time full bootstrap
+                    # one-time full bootstrap (first incremental batch,
+                    # or arriving from full mode / pre-existing silver)
+                    pdf = pbuilder(stored_silver)
                 write_partitioned(
                     pdf, ppath, partition_by=["match"], mode="overwrite"
                 )

@@ -151,6 +151,24 @@ def test_mode_switch_bootstraps_partials(spark, tmp_path_factory):
         want = _canon(builder(batch_silver))
         assert got == want, name
 
+    # phase 3+4 (incremental → full → incremental round-trip, r7
+    # second review): full mode must INVALIDATE the partials it does
+    # not maintain, so the return to incremental re-bootstraps instead
+    # of trusting tables that missed the full-mode interval
+    _write_csv(f"{raw_dir}/{matches[0]}/{matches[0]}-re.csv", by_match[matches[0]][:5])
+    assert run_incremental_pipeline(
+        spark, **kwargs, gold_mode="full"
+    ).awaitTermination(300)
+    assert not os.path.exists(f"{base}/gold/_partials_batsman")  # invalidated
+    _write_csv(f"{raw_dir}/{matches[1]}/{matches[1]}-re.csv", by_match[matches[1]][:5])
+    assert run_incremental_pipeline(
+        spark, **kwargs, gold_mode="incremental"
+    ).awaitTermination(300)
+    for name, builder in BATCH_BUILDERS.items():
+        got = _canon(spark.read.parquet(f"{base}/gold/{name}"))
+        want = _canon(builder(batch_silver))
+        assert got == want, name
+
 
 def test_tombstones_retract_stale_partials(spark, tmp_path):
     """A rescrape that leaves a match with ZERO partial rows for a
