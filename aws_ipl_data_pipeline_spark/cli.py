@@ -59,13 +59,10 @@ def cmd_silver(args) -> None:
     meta = read_json_object(spark, args.meta, MATCH_META)
     players = read_jsonl(spark, args.players, PLAYERS) if args.players else None
     silver = to_silver(bronze, meta, players)
-    # match-only partitioning: the replace unit is the match (the
-    # reference's predicate is match='X' even though it lays out
-    # ["match","innings"]); see streaming/pipeline.py ST3 note
     write_partitioned(
         silver,
         args.out,
-        partition_by=["match"],
+        partition_by=["match", "innings"],
         replace_where=args.replace_where,
     )
 

@@ -13,32 +13,71 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """Shared Hadoop FileSystem acquisition: returns (fs, hpath) for
+    ``path`` under the session's Hadoop conf. One definition for every
+    FS-touching utility (path_exists/table_exists here,
+    writers.delete_path) so conf/encoding fixes land once."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
 def path_exists(spark: SparkSession, path: str) -> bool:
     """S10 object-store existence probe via the Hadoop FileSystem API —
     the explicit form of 'does this table exist yet', instead of
     catching AnalysisException and substring-matching its message
-    (version/locale-dependent; ADVICE r6). Used by the streaming state
-    tables (covisit tails, gold partials) to distinguish first-write
-    bootstrap from a real read failure."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    (version/locale-dependent; ADVICE r6)."""
+    fs, hpath = hadoop_fs(spark, path)
     return fs.exists(hpath)
 
 
-def table_exists(spark: SparkSession, path: str, fmt: str = "parquet") -> bool:
+def table_exists(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    unmarked_data: str = "raise",
+) -> bool:
     """True iff ``path`` holds a SUCCESSFULLY committed table, not just
-    a directory. A crashed first write leaves the output dir in place
-    (the committer creates it at job setup; abortJob removes only
-    ``_temporary``), so a bare existence probe would treat the debris
-    as live state and silently truncate derived tables on the retry
-    (r7 second review). Parquet/ORC probe the ``_SUCCESS`` job marker
-    — rewritten at the table root by every successful batch job,
-    appends and dynamic partition overwrites included; Delta probes
-    ``_delta_log``. Use for state/derived tables where 'never
-    successfully written' must route to the bootstrap path."""
-    marker = "_delta_log" if fmt == "delta" else "_SUCCESS"
-    return path_exists(spark, f"{path}/{marker}")
+    a directory. A crashed first write can leave the output dir (and,
+    mid-commit, even data files) in place, so a bare existence probe
+    would treat the debris as live state and silently truncate derived
+    tables on the retry (r7 second review). Delta probes
+    ``_delta_log``; parquet/ORC probe the ``_SUCCESS`` root marker.
+    NOTE: Spark only writes ``_SUCCESS`` for UNPARTITIONED writes —
+    partitioned writes leave nothing at the table root (measured on
+    this Spark version, r7 third review) — so partitioned state tables
+    must stamp their own marker after a successful write
+    (``writers.mark_success``), which is exactly the wanted semantics:
+    marker ⇒ at least one fully successful commit.
+
+    ``unmarked_data`` decides the ambiguous case (data files, no
+    marker — either a mid-commit crash or
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``):
+    ``"raise"`` (default) for NON-rebuildable state where guessing
+    either way corrupts silently; ``"absent"`` for derived/rebuildable
+    tables whose bootstrap path simply rebuilds over the debris."""
+    if fmt == "delta":
+        return path_exists(spark, f"{path}/_delta_log")
+    if path_exists(spark, f"{path}/_SUCCESS"):
+        return True
+    fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            if unmarked_data == "absent":
+                return False
+            raise RuntimeError(
+                f"{path} contains data but no _SUCCESS marker: either a "
+                "write crashed mid-commit (clean up or rebuild the table) "
+                "or success markers are disabled "
+                "(mapreduce.fileoutputcommitter.marksuccessfuljobs=false "
+                "is unsupported for state tables — a bare existence probe "
+                "cannot distinguish committed state from crash debris)"
+            )
+    return False
 
 
 def read_csv(

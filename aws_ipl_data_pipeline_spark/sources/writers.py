@@ -169,14 +169,36 @@ def upsert_by_key(
 def delete_path(spark, path: str) -> bool:
     """Recursively delete a table path via the Hadoop FileSystem API.
     Used to INVALIDATE derived state whose source of truth moved on
-    without it — e.g. the gold partials tables during full-recompute
-    batches (r7 second review: a full→incremental mode round-trip
-    would otherwise trust partials that missed every match processed
-    while full mode ran). Returns True if anything was deleted."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    without it (e.g. the gold partials tables during full-recompute
+    batches) and to drop partition directories a replace predicate
+    retracts entirely. Returns True if anything was deleted."""
+    from aws_ipl_data_pipeline_spark.sources.readers import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, path)
     return fs.delete(hpath, True)
+
+
+def mark_success(spark, path: str) -> None:
+    """Stamp a ``_SUCCESS`` marker at a table root AFTER a successful
+    write. Needed because Spark leaves no root marker for PARTITIONED
+    writes (r7 third review) — state-table probes (readers.table_exists)
+    use the marker to distinguish 'committed at least once' from
+    crashed-write debris. Call only right after a write call returned
+    successfully."""
+    from aws_ipl_data_pipeline_spark.sources.readers import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, f"{path}/_SUCCESS")
+    fs.create(hpath, True).close()
+
+
+def partition_dir(spark, col: str, value) -> str:
+    """Hive-style partition directory segment ``col=<escaped value>``,
+    escaped exactly the way Spark writes it (control chars, '%', ':',
+    '=', '/' etc. are percent-encoded), so callers can address a
+    partition directory for explicit deletion without re-implementing
+    the escaping table."""
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    return f"{esc.escapePathName(col)}={esc.escapePathName(str(value))}"
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

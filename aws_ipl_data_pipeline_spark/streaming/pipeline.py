@@ -41,6 +41,10 @@ from aws_ipl_data_pipeline_spark.plans.gold import (
 from aws_ipl_data_pipeline_spark.plans.silver import to_silver
 from aws_ipl_data_pipeline_spark.schemas import RAW_DELIVERIES
 from aws_ipl_data_pipeline_spark.sources.writers import (
+    HAVE_DELTA,
+    delete_path,
+    mark_success,
+    partition_dir,
     upsert_by_key,
     write_partitioned,
 )
@@ -118,20 +122,28 @@ def run_incremental_pipeline(
         silver = to_silver(bronze, meta_df, players_df)
         # idempotent per-match partition rewrite (ST3): latest scrape
         # wins for the whole match, like replaceWhere("match = ...").
-        # Partitioned by MATCH ONLY — the reference lays silver out as
-        # ["match", "innings"] but its replace unit is the match
-        # (predicate match='X', ex_match_bs.py:464-471); under parquet
-        # dynamic overwrite the replace unit IS the partition key, so
-        # partitioning by (match, innings) would leak a stale innings
-        # partition whenever a rescrape changes a match's innings set
-        # (r7 second review) — the match dir is the correct atom.
+        # The layout stays the reference's ["match", "innings"]
+        # (ex_match_bs.py:467), but the REPLACE UNIT is the match (the
+        # reference's predicate is match='X'): parquet dynamic
+        # overwrite only replaces partitions present in the new frame,
+        # so a rescrape that changes a match's innings set would leak
+        # the vanished innings partition (r7 reviews). Deleting the
+        # affected match directories first makes the rewrite a true
+        # match-level replace; a crash between delete and write is
+        # healed by the micro-batch retry, which rebuilds the same
+        # matches from accumulated bronze.
+        for m in affected:
+            delete_path(spark, f"{silver_path}/{partition_dir(spark, 'match', m)}")
         write_partitioned(
-            silver, silver_path, partition_by=["match"], mode="overwrite"
+            silver, silver_path, partition_by=["match", "innings"], mode="overwrite"
         )
         if gold_mode == "full":
             # gold: full recompute over silver (ST4, reference
-            # ex_match_sg.py:323-347 — reference-parity default)
-            full_silver = spark.read.parquet(silver_path)
+            # ex_match_sg.py:323-347 — reference-parity default).
+            # Schema pinned from the in-memory frame so both modes see
+            # identical partition-column types (inference could retype
+            # an all-numeric match id; r7 third review)
+            full_silver = spark.read.schema(silver.schema).parquet(silver_path)
             for name, builder in (
                 ("gold_batsman_stats", batsman_stats),
                 ("gold_bowler_stats", bowler_stats),
@@ -150,7 +162,6 @@ def run_incremental_pipeline(
             from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
                 PARTIAL_BUILDERS as _PB,
             )
-            from aws_ipl_data_pipeline_spark.sources.writers import delete_path
 
             for pname in _PB:
                 delete_path(spark, f"{gold_dir}/_partials_{pname}")
@@ -178,18 +189,44 @@ def run_incremental_pipeline(
                 PARTIAL_BUILDERS,
                 with_match_tombstones,
             )
-            from aws_ipl_data_pipeline_spark.sources.readers import table_exists
+            from aws_ipl_data_pipeline_spark.sources.readers import (
+                read_table,
+                table_exists,
+            )
 
+            # probe/write/read the partials in ONE format: with
+            # delta-spark on the classpath write_partitioned writes
+            # delta, which has no _SUCCESS marker — a parquet-format
+            # probe would re-bootstrap every batch and a parquet read
+            # of a delta dir would double-count superseded files
+            # (r7 third review)
+            pfmt = "delta" if HAVE_DELTA else "parquet"
             # schema pinned from the in-memory frame: partition-value
             # type inference on read-back could retype `match` (e.g.
             # all-numeric ids → int), and a cast-to-string on top would
             # defeat the partition pruning this read exists for
             stored_silver = spark.read.schema(silver.schema).parquet(silver_path)
-            # one materialized scan of the affected partitions feeds
-            # all three partial builders (team alone consumes it 3×)
-            affected_silver = stored_silver.where(
-                F.col("match").isin(affected)
-            ).localCheckpoint(eager=True)
+            # probe all three tables BEFORE materializing anything: the
+            # affected-partition checkpoint is only consumed on the
+            # incremental path, and bootstrap batches (all tables
+            # missing) should not pay for it
+            # unmarked_data="absent": partials are DERIVED state — the
+            # bootstrap path rebuilds over any crashed-write debris, so
+            # the ambiguous case routes to re-bootstrap, not an error
+            exists = {
+                pname: table_exists(
+                    spark,
+                    f"{gold_dir}/_partials_{pname}",
+                    fmt=pfmt,
+                    unmarked_data="absent",
+                )
+                for pname in PARTIAL_BUILDERS
+            }
+            affected_silver = stored_silver.where(F.col("match").isin(affected))
+            if any(exists.values()):
+                # one materialized scan feeds all three partial
+                # builders (team alone consumes it 3×)
+                affected_silver = affected_silver.localCheckpoint(eager=True)
             affected_df = spark.createDataFrame(
                 [(m,) for m in affected], "match string"
             )
@@ -198,17 +235,21 @@ def run_incremental_pipeline(
                 # table_exists (not a bare dir probe): a crashed
                 # bootstrap write leaves the dir without a _SUCCESS
                 # marker — the retry must re-bootstrap, not trust it
-                if table_exists(spark, ppath):
+                if exists[pname]:
                     pdf = with_match_tombstones(pbuilder(affected_silver), affected_df)
                 else:
                     # one-time full bootstrap (first incremental batch,
                     # or arriving from full mode / pre-existing silver)
                     pdf = pbuilder(stored_silver)
                 write_partitioned(
-                    pdf, ppath, partition_by=["match"], mode="overwrite"
+                    pdf, ppath, partition_by=["match"], mode="overwrite", fmt=pfmt
                 )
+                if pfmt == "parquet":
+                    # partitioned writes leave no root _SUCCESS; stamp
+                    # the commit marker the existence probe relies on
+                    mark_success(spark, ppath)
             partials = {
-                pname: spark.read.parquet(f"{gold_dir}/_partials_{pname}")
+                pname: read_table(spark, f"{gold_dir}/_partials_{pname}", fmt=pfmt)
                 for pname in PARTIAL_BUILDERS
             }
             for name, (pname, finisher) in GOLD_FROM_PARTIALS.items():

@@ -107,6 +107,12 @@ def test_incremental_stream_gold_equals_batch(spark, tmp_path_factory):
         got = _canon(spark.read.parquet(f"{base}/gold/{name}"))
         want = _canon(builder(batch_silver))
         assert got == want, name
+    # the INCREMENTAL branch (not per-batch re-bootstrap) must actually
+    # have run: tombstone rows are only written on that branch (r7: a
+    # probe bug made every batch silently re-bootstrap — correct output,
+    # O(silver) per batch; this pins the fast path)
+    parts = spark.read.parquet(f"{base}/gold/_partials_bowler")
+    assert parts.where("bowler IS NULL").count() > 0
 
 
 @pytest.mark.slow
