@@ -59,12 +59,41 @@ def cmd_silver(args) -> None:
     meta = read_json_object(spark, args.meta, MATCH_META)
     players = read_jsonl(spark, args.players, PLAYERS) if args.players else None
     silver = to_silver(bronze, meta, players)
-    write_partitioned(
-        silver,
-        args.out,
-        partition_by=["match", "innings"],
-        replace_where=args.replace_where,
+    # Match-level replace semantics on the (match, innings) layout
+    # (r7 review; same reasoning as streaming/pipeline.py ST3): under
+    # parquet dynamic overwrite the replace unit is the partition key,
+    # so a rebuild that shrinks a match's innings set would leak the
+    # vanished innings dir. With a predicate: pre-delete the affected
+    # match dirs (the delta branch instead does a real logged
+    # replaceWhere inside write_partitioned). Without: a full rebuild
+    # replaces the whole table (the reference's no-predicate
+    # write_deltalake mode="overwrite" is a full-table overwrite).
+    from aws_ipl_data_pipeline_spark.sources.writers import (
+        HAVE_DELTA,
+        delete_path,
+        partition_dir,
     )
+
+    if args.replace_where:
+        if not HAVE_DELTA:
+            affected = [
+                r[0]
+                for r in silver.where(args.replace_where)
+                .select("match")
+                .distinct()
+                .collect()
+            ]
+            for m in affected:
+                delete_path(spark, f"{args.out}/{partition_dir(spark, 'match', m)}")
+        write_partitioned(
+            silver,
+            args.out,
+            partition_by=["match", "innings"],
+            replace_where=args.replace_where,
+        )
+    else:
+        delete_path(spark, args.out)
+        write_partitioned(silver, args.out, partition_by=["match", "innings"])
 
 
 def cmd_gold(args) -> None:

@@ -58,7 +58,18 @@ def table_exists(
     either way corrupts silently; ``"absent"`` for derived/rebuildable
     tables whose bootstrap path simply rebuilds over the debris."""
     if fmt == "delta":
-        return path_exists(spark, f"{path}/_delta_log")
+        # a bare _delta_log dir is not enough: a crashed FIRST commit
+        # can leave the log dir with no committed version file (r7
+        # review) — require at least one <version>.json commit
+        log = f"{path}/_delta_log"
+        if not path_exists(spark, log):
+            return False
+        fs, hlog = hadoop_fs(spark, log)
+        for status in fs.listStatus(hlog):
+            name = status.getPath().getName()
+            if name.endswith(".json") and not name.startswith((".", "_")):
+                return True
+        return False
     if path_exists(spark, f"{path}/_SUCCESS"):
         return True
     fs, hpath = hadoop_fs(spark, path)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from aws_ipl_data_pipeline_spark.sources.readers import hadoop_fs, path_exists
+
 try:  # delta-spark is optional; everything works on parquet without it
     from delta.tables import DeltaTable  # noqa: F401
 
@@ -40,11 +42,14 @@ def write_partitioned(
     filters like ``match = 'X'``).
     """
     fmt = fmt or ("delta" if HAVE_DELTA else "parquet")
-    if replace_where is not None and fmt != "delta":
-        # dynamic overwrite only touches partitions present in df; keep
-        # the predicate as a guard on the written rows
+    if replace_where is not None:
+        # filter on BOTH branches: parquet keeps the predicate as a
+        # guard on the written rows; Delta REQUIRES written data ⊆
+        # predicate and rejects the write otherwise (r7 review — an
+        # unfiltered frame made every multi-match replaceWhere throw)
         df = df.where(replace_where)
-        mode = "overwrite"
+        if fmt != "delta":
+            mode = "overwrite"
     w = df.write.format(fmt).partitionBy(*partition_by).mode(mode)
     if replace_where is not None and fmt == "delta":
         w = w.option("replaceWhere", replace_where)
@@ -132,8 +137,6 @@ def upsert_by_key(
     # empty dir from a crashed first write reads as an empty table
     # when a schema is pinned (merge degrades to just the batch —
     # correct retry semantics) and raises without one (safe).
-    from aws_ipl_data_pipeline_spark.sources.readers import path_exists
-
     reader = spark.read.schema(schema) if schema is not None else spark.read
     if path_exists(spark, path):
         existing = reader.parquet(path)
@@ -172,8 +175,6 @@ def delete_path(spark, path: str) -> bool:
     without it (e.g. the gold partials tables during full-recompute
     batches) and to drop partition directories a replace predicate
     retracts entirely. Returns True if anything was deleted."""
-    from aws_ipl_data_pipeline_spark.sources.readers import hadoop_fs
-
     fs, hpath = hadoop_fs(spark, path)
     return fs.delete(hpath, True)
 
@@ -185,8 +186,6 @@ def mark_success(spark, path: str) -> None:
     use the marker to distinguish 'committed at least once' from
     crashed-write debris. Call only right after a write call returned
     successfully."""
-    from aws_ipl_data_pipeline_spark.sources.readers import hadoop_fs
-
     fs, hpath = hadoop_fs(spark, f"{path}/_SUCCESS")
     fs.create(hpath, True).close()
 

@@ -127,16 +127,32 @@ def run_incremental_pipeline(
         # reference's predicate is match='X'): parquet dynamic
         # overwrite only replaces partitions present in the new frame,
         # so a rescrape that changes a match's innings set would leak
-        # the vanished innings partition (r7 reviews). Deleting the
-        # affected match directories first makes the rewrite a true
-        # match-level replace; a crash between delete and write is
-        # healed by the micro-batch retry, which rebuilds the same
-        # matches from accumulated bronze.
-        for m in affected:
-            delete_path(spark, f"{silver_path}/{partition_dir(spark, 'match', m)}")
-        write_partitioned(
-            silver, silver_path, partition_by=["match", "innings"], mode="overwrite"
-        )
+        # the vanished innings partition (r7 reviews). Delta gets a
+        # real logged replaceWhere on the match set; parquet deletes
+        # the affected match directories first (an FS delete under a
+        # Delta log would corrupt the table — never mix the two). A
+        # crash between delete and write is healed by the micro-batch
+        # retry, which rebuilds the same matches from accumulated
+        # bronze.
+        if HAVE_DELTA:
+            in_list = ", ".join("'" + m.replace("'", "''") + "'" for m in affected)
+            write_partitioned(
+                silver,
+                silver_path,
+                partition_by=["match", "innings"],
+                replace_where=f"match IN ({in_list})",
+            )
+        else:
+            for m in affected:
+                delete_path(
+                    spark, f"{silver_path}/{partition_dir(spark, 'match', m)}"
+                )
+            write_partitioned(
+                silver,
+                silver_path,
+                partition_by=["match", "innings"],
+                mode="overwrite",
+            )
         if gold_mode == "full":
             # gold: full recompute over silver (ST4, reference
             # ex_match_sg.py:323-347 — reference-parity default).
