@@ -153,6 +153,13 @@ ROUND6 = [
     "personalized_pagerank_covisit",
 ]
 
+# round-7 additions (the incremental-gold partials path proven against
+# the batch oracles): same frozen-set policy
+ROUND7 = [
+    "ipl_standings_incremental",
+    "ipl_batsman_incremental",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -233,6 +240,7 @@ def main() -> None:
     round4b = time_set(ROUND4B, "round4b")
     round5 = time_set(ROUND5, "round5")
     round6 = time_set(ROUND6, "round6")
+    round7 = time_set(ROUND7, "round7")
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -246,6 +254,7 @@ def main() -> None:
         "queries_round4b": round4b,
         "queries_round5": round5,
         "queries_round6": round6,
+        "queries_round7": round7,
         "iters": iters,
         "sf": sf,
     }
