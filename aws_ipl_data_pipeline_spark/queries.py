@@ -88,17 +88,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def bounded_window_key(col: str):
-    """Constant, non-foldable partition key (`col % 1` == 0 for every
-    row) marking a DELIBERATELY single-partition window over a frame
-    already bounded by an upstream limit/agg (e.g. a
-    TakeOrderedAndProject top-k prefix). Semantically identical to an
-    unpartitioned window, but keeps `WindowExec: No Partition Defined`
-    a true full-table-scale warning elsewhere: bounded frames opt out
-    explicitly instead of spamming the log. Non-foldable on purpose —
-    a literal would be constant-folded out of the partition spec and
-    the warning would return."""
-    return F.col(col) % F.lit(1)
+# re-exported for the query battery; defined beside the other shared
+# column helpers so plan builders (plans/gold.py) can use it without
+# importing this module
+from aws_ipl_data_pipeline_spark.functions.scalars import (  # noqa: E402
+    bounded_window_key,
+)
 
 
 # --------------------------------------------------------------------------
@@ -326,7 +321,11 @@ def standings_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("points", (F.col("won") * 2 + F.col("tied")).cast("long"))
     )
-    w = Window.orderBy(F.desc("points"), F.desc("volume"), F.asc("segment"))
+    # post-agg segment frame (bounded by segment cardinality) — the
+    # single-partition rank is deliberate, marked per the r7 audit
+    w = Window.partitionBy(bounded_window_key("points")).orderBy(
+        F.desc("points"), F.desc("volume"), F.asc("segment")
+    )
     return s.select(
         F.row_number().over(w).cast("long").alias("rank"),
         "segment",
