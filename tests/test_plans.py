@@ -637,3 +637,39 @@ def test_topk_windows_run_on_bounded_prefix(spark):
         assert "TakeOrderedAndProject" in p, name
         assert "Window" in p, name
         assert re.search(r"% 1\)", p), name  # bounded_window_key marker
+
+
+def test_no_cartesian_anywhere_and_bnlj_only_broadcast_sided(spark):
+    """Registry-wide scale gate (r7, modeled on the EvalPython gate):
+    NO query may plan a CartesianProduct — quadratic at scale, always a
+    bug here. BroadcastNestedLoopJoin is allowed ONLY for queries that
+    deliberately broadcast a tiny side against the fact (batched ANN:
+    the query set broadcasts; scalar-subquery shapes) — everywhere else
+    it means a join lost its equi-condition."""
+    bnlj_ok = {
+        # query/term-set-broadcast scoring joins (tiny side broadcast
+        # by design; gated tighter in their dedicated plan tests)
+        "ann_batch_topk",
+        "ann_batch_ivf_topk",
+        "ann_recall_eval",  # composes the two above
+        "bm25_retrieval",  # broadcast query-term frame
+        "dedup_embedding_cosine",  # broadcast probe/threshold block
+        # broadcast 1-row global-stats/threshold frames crossJoined
+        # back (never a driver collect)
+        "q11_important_stock",
+        "q22_dormant_customers",
+        "vocab_coverage_curve",
+        "corpus_drift_psi",
+        "source_mixing_temperature",
+        "token_budget_mix",
+        "curriculum_order",
+        "hybrid_rank_fusion",  # post-limit fused frame + 1-row norms
+    }
+    offenders = []
+    for name in REGISTRY:
+        p = formatted_plan(spark, name)
+        if _nodes(p, "CartesianProduct"):
+            offenders.append((name, "CartesianProduct"))
+        if name not in bnlj_ok and _nodes(p, "BroadcastNestedLoopJoin"):
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
