@@ -766,3 +766,88 @@ def test_pagerank_distributed_equals_reference(graph):
         for r in pagerank_fixed_int(nodes_df, edges_df, iters=2).collect()
     }
     assert got == pagerank_fixed_int_reference(nodes, edges, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# incremental gold: partials-merge ≡ batch builders on ARBITRARY silver
+# frames (generalizes tests/test_gold_incremental.py's fixture equality —
+# random N/A sentinels, nulls, missing phases, single-team matches)
+# ---------------------------------------------------------------------------
+
+_SILVER_COLS = (
+    "match string, batsman string, bowler string, out_batsman string, "
+    "batting_team string, bowling_team string, innings_phase string, "
+    "runs int, total_runs int, wicket int, is_legal_delivery int, "
+    "is_four int, is_six int, is_dot_ball int"
+)
+
+_name = st.sampled_from(["Asha", "Bela", "Chand", "N/A"]) | st.none()
+_team = st.sampled_from(["AA", "BB", "CC", "N/A"]) | st.none()
+_phase = st.sampled_from(["Powerplay", "Middle Overs"]) | st.none()
+
+
+@st.composite
+def silver_rows(draw):
+    n = draw(st.integers(1, 24))
+    rows = []
+    for _ in range(n):
+        rows.append(
+            (
+                draw(st.sampled_from(["M1", "M2", "M3"])),
+                draw(_name),
+                draw(_name),
+                draw(_name),
+                draw(_team),
+                draw(_team),
+                draw(_phase),
+                draw(st.integers(0, 6)),
+                draw(st.integers(0, 7)),
+                draw(st.integers(0, 1)),
+                draw(st.integers(0, 1)),
+                draw(st.integers(0, 1)),
+                draw(st.integers(0, 1)),
+                draw(st.integers(0, 1)),
+            )
+        )
+    return rows
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=silver_rows())
+def test_gold_partials_merge_equals_builders_on_random_silver(rows):
+    """finisher(partials(silver)) must be row-identical to
+    builder(silver) for EVERY silver frame, not just the golden
+    fixture: the two-level integer decomposition (count-distinct ≡
+    partial-row count, max-of-sum, null-skipping Powerplay sums,
+    unfiltered times_out attribution, standings team universe) has to
+    survive N/A sentinels, nulls and degenerate matches."""
+    from aws_ipl_data_pipeline_spark.plans.gold import (
+        batsman_stats,
+        bowler_stats,
+        team_stats,
+        tournament_standings,
+    )
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        GOLD_FROM_PARTIALS,
+        PARTIAL_BUILDERS,
+    )
+
+    spark = _get_spark()
+    silver = spark.createDataFrame(rows, _SILVER_COLS)
+    builders = {
+        "gold_batsman_stats": batsman_stats,
+        "gold_bowler_stats": bowler_stats,
+        "gold_team_stats": team_stats,
+        "gold_tournament_standings": tournament_standings,
+    }
+    partials = {n: b(silver) for n, b in PARTIAL_BUILDERS.items()}
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+            for r in df.select(*cols).collect()
+        )
+
+    for name, (pname, finisher) in GOLD_FROM_PARTIALS.items():
+        assert canon(finisher(partials[pname])) == canon(builders[name](silver)), name
