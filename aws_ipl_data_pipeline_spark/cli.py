@@ -47,15 +47,27 @@ def cmd_bronze(args) -> None:
 
 def cmd_silver(args) -> None:
     from aws_ipl_data_pipeline_spark.plans import to_silver
-    from aws_ipl_data_pipeline_spark.schemas import MATCH_META, PLAYERS
+    from aws_ipl_data_pipeline_spark.schemas import BRONZE_DELIVERIES, MATCH_META, PLAYERS
     from aws_ipl_data_pipeline_spark.sources.readers import (
+        path_exists,
         read_json_object,
         read_jsonl,
+        read_table,
     )
-    from aws_ipl_data_pipeline_spark.sources.writers import write_partitioned
+    from aws_ipl_data_pipeline_spark.sources.writers import (
+        HAVE_DELTA,
+        delete_path,
+        overwrite_table,
+        partition_dir,
+        write_partitioned,
+    )
 
     spark = _spark("silver")
-    bronze = spark.read.parquet(args.bronze)
+    tfmt = "delta" if HAVE_DELTA else "parquet"
+    # same-format read-back as cmd_bronze's write (ADVICE r7: reading a
+    # Delta table as raw parquet double-counts superseded files);
+    # schema pin guards partition-value inference on parquet
+    bronze = read_table(spark, args.bronze, fmt=tfmt, schema=BRONZE_DELIVERIES)
     meta = read_json_object(spark, args.meta, MATCH_META)
     players = read_jsonl(spark, args.players, PLAYERS) if args.players else None
     silver = to_silver(bronze, meta, players)
@@ -68,20 +80,37 @@ def cmd_silver(args) -> None:
     # replaceWhere inside write_partitioned). Without: a full rebuild
     # replaces the whole table (the reference's no-predicate
     # write_deltalake mode="overwrite" is a full-table overwrite).
-    from aws_ipl_data_pipeline_spark.sources.writers import (
-        HAVE_DELTA,
-        delete_path,
-        partition_dir,
-    )
-
     if args.replace_where:
         if not HAVE_DELTA:
+            # The parquet replace unit is the whole match directory, so
+            # the predicate MUST be match-grain (ADVICE r7, medium): a
+            # sub-match predicate like "match='X' AND innings=1" would
+            # delete all of X but rewrite only innings 1. Validate by
+            # resolving the predicate against a match-only schema —
+            # any other column reference fails analysis.
+            try:
+                spark.createDataFrame([], "match string").where(args.replace_where)
+            except Exception:
+                sys.exit(
+                    "--replace-where on the parquet branch must be match-grain"
+                    " (reference only the `match` column, e.g. \"match = 'X'\");"
+                    " sub-partition predicates need delta-spark's replaceWhere"
+                )
+            # Affected matches come from the PREDICATE evaluated over
+            # stored ∪ new match ids — not from the new silver alone: a
+            # retraction predicate whose match is absent from the new
+            # frame must still delete that match's directory (Delta
+            # replaceWhere parity).
+            cand = silver.select("match")
+            if path_exists(spark, args.out):
+                cand = cand.unionByName(
+                    read_table(
+                        spark, args.out, fmt=tfmt, schema=silver.schema
+                    ).select("match")
+                )
             affected = [
                 r[0]
-                for r in silver.where(args.replace_where)
-                .select("match")
-                .distinct()
-                .collect()
+                for r in cand.distinct().where(args.replace_where).collect()
             ]
             for m in affected:
                 delete_path(spark, f"{args.out}/{partition_dir(spark, 'match', m)}")
@@ -92,26 +121,108 @@ def cmd_silver(args) -> None:
             replace_where=args.replace_where,
         )
     else:
-        delete_path(spark, args.out)
-        write_partitioned(silver, args.out, partition_by=["match", "innings"])
+        # full rebuild: one atomic versioned commit on Delta, Spark's
+        # own static overwrite on parquet (ADVICE r7 — the manual
+        # delete-then-write discarded Delta history and a crash between
+        # the two left no table at all)
+        overwrite_table(silver, args.out, partition_by=["match", "innings"], fmt=tfmt)
 
 
 def cmd_gold(args) -> None:
-    from aws_ipl_data_pipeline_spark.plans.gold import (
-        batsman_stats,
-        bowler_stats,
-        team_stats,
-        tournament_standings,
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.schemas import SILVER_DELIVERIES
+    from aws_ipl_data_pipeline_spark.sources.readers import read_table
+    from aws_ipl_data_pipeline_spark.sources.writers import (
+        HAVE_DELTA,
+        delete_path,
+        mark_success,
+        write_partitioned,
     )
 
     spark = _spark("gold")
-    silver = spark.read.parquet(args.silver)
-    for name, builder in (
-        ("gold_batsman_stats", batsman_stats),
-        ("gold_bowler_stats", bowler_stats),
-        ("gold_team_stats", team_stats),
-        ("gold_tournament_standings", tournament_standings),
-    ):
+    tfmt = "delta" if HAVE_DELTA else "parquet"
+    # same-format read-back as cmd_silver's write (ADVICE r7, high);
+    # schema pin guards partition-value inference on parquet
+    silver = read_table(spark, args.silver, fmt=tfmt, schema=SILVER_DELIVERIES)
+    if getattr(args, "gold_mode", "full") == "incremental":
+        # Incremental maintenance (VERDICT r7 #8): same partials layout,
+        # bootstrap and tombstone semantics as the streaming ST4 branch
+        # (streaming/pipeline.py), so CLI and stream runs can alternate
+        # over one gold directory. --affected-matches scopes the
+        # partials rewrite to a rescrape's matches; without it every
+        # match in silver is (re)built — a bootstrap-equivalent refresh.
+        from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+            GOLD_FROM_PARTIALS,
+            PARTIAL_BUILDERS,
+            with_match_tombstones,
+        )
+        from aws_ipl_data_pipeline_spark.sources.readers import table_exists
+
+        exists = {
+            pname: table_exists(
+                spark,
+                f"{args.out_dir}/_partials_{pname}",
+                fmt=tfmt,
+                unmarked_data="absent",
+            )
+            for pname in PARTIAL_BUILDERS
+        }
+        affected = (
+            [m.strip() for m in args.affected_matches.split(",") if m.strip()]
+            if args.affected_matches
+            else None
+        )
+        if affected and any(exists.values()):
+            scoped = silver.where(F.col("match").isin(affected)).localCheckpoint(
+                eager=True
+            )
+            affected_df = spark.createDataFrame([(m,) for m in affected], "match string")
+        for pname, pbuilder in PARTIAL_BUILDERS.items():
+            ppath = f"{args.out_dir}/_partials_{pname}"
+            if affected and exists[pname]:
+                pdf = with_match_tombstones(pbuilder(scoped), affected_df)
+            else:
+                # bootstrap / full refresh: (re)build partials for every
+                # match in silver (a missing table must never be merged
+                # from a scoped rewrite — it would truncate gold)
+                pdf = pbuilder(silver)
+            write_partitioned(
+                pdf, ppath, partition_by=["match"], mode="overwrite", fmt=tfmt
+            )
+            if tfmt == "parquet":
+                mark_success(spark, ppath)
+        partials = {
+            pname: read_table(spark, f"{args.out_dir}/_partials_{pname}", fmt=tfmt)
+            for pname in PARTIAL_BUILDERS
+        }
+        gold_frames = {
+            name: finisher(partials[pname])
+            for name, (pname, finisher) in GOLD_FROM_PARTIALS.items()
+        }
+    else:
+        from aws_ipl_data_pipeline_spark.plans.gold import (
+            batsman_stats,
+            bowler_stats,
+            team_stats,
+            tournament_standings,
+        )
+        from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+            PARTIAL_BUILDERS as _PB,
+        )
+
+        gold_frames = {
+            "gold_batsman_stats": batsman_stats(silver),
+            "gold_bowler_stats": bowler_stats(silver),
+            "gold_team_stats": team_stats(silver),
+            "gold_tournament_standings": tournament_standings(silver),
+        }
+        # full mode does not maintain partials — invalidate any left by
+        # a previous incremental run so a later switch back re-bootstraps
+        # (same guard as the streaming full branch)
+        for pname in _PB:
+            delete_path(spark, f"{args.out_dir}/_partials_{pname}")
+    for name, frame in gold_frames.items():
         out = f"{args.out_dir}/{name}"
         if getattr(args, "versioned", False):
             # snapshot-isolated full overwrite (the Delta-table property
@@ -120,10 +231,10 @@ def cmd_gold(args) -> None:
                 write_snapshot,
             )
 
-            v = write_snapshot(builder(silver), out)
+            v = write_snapshot(frame, out)
             print(f"{name}: snapshot v{v}")
         else:
-            builder(silver).write.mode("overwrite").parquet(out)
+            frame.write.mode("overwrite").parquet(out)
 
 
 def cmd_stream(args) -> None:
@@ -146,6 +257,7 @@ def cmd_stream(args) -> None:
         players_df=players,
         checkpoint_dir=args.checkpoint,
         available_now=not args.continuous,
+        gold_mode=args.gold_mode,
     )
     q.awaitTermination()
 
@@ -392,6 +504,26 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="write snapshot-isolated versions with time travel",
     )
+    g.add_argument(
+        "--gold-mode",
+        choices=["full", "incremental"],
+        default="full",
+        help=(
+            "full: recompute every gold table from all of silver;"
+            " incremental: maintain per-match partial aggregates under"
+            " OUT_DIR/_partials_* and merge those instead"
+        ),
+    )
+    g.add_argument(
+        "--affected-matches",
+        default=None,
+        metavar="M1,M2,...",
+        help=(
+            "incremental only: rewrite just these matches' partials"
+            " (a rescrape's scope); omit to (re)build partials for"
+            " every match in silver"
+        ),
+    )
     g.set_defaults(fn=cmd_gold)
 
     st = sub.add_parser("stream", help="incremental raw->bronze->silver->gold")
@@ -402,6 +534,12 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--players")
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--continuous", action="store_true")
+    st.add_argument(
+        "--gold-mode",
+        choices=["full", "incremental"],
+        default="full",
+        help="gold maintenance per micro-batch: full recompute or partials merge",
+    )
     st.set_defaults(fn=cmd_stream)
 
     q = sub.add_parser("sql", help="ad-hoc SQL over parquet tables")

@@ -52,8 +52,8 @@ def not_na(col: Column | str) -> Column:
 
 
 def bounded_window_key(col: Column | str) -> Column:
-    """Constant, non-foldable partition key (`col % 1` == 0 for every
-    row; for strings, `length(col) % 1`) marking a DELIBERATELY
+    """Constant, non-foldable partition key (`xxhash64(col) % 1` == 0
+    for EVERY row of ANY type, nulls included) marking a DELIBERATELY
     single-partition window over a frame already bounded by an
     upstream limit/agg (a TakeOrderedAndProject top-k prefix, a
     post-agg teams/buckets frame). Semantically identical to an
@@ -61,9 +61,14 @@ def bounded_window_key(col: Column | str) -> Column:
     a true full-table-scale warning elsewhere: bounded frames opt out
     explicitly instead of spamming the log. Non-foldable on purpose —
     a literal would be constant-folded out of the partition spec and
-    the warning would return."""
+    the warning would return. xxhash64 (ADVICE r7) makes the key TOTAL:
+    a bare `col % 1` implicitly casts strings to double (non-numeric →
+    null) and passes nulls through, silently splitting the window into
+    a null partition + a zero partition and duplicating ranks; xxhash64
+    returns a non-null bigint for every input type, so the key is
+    always exactly 0. Plan gates keep matching on the `% 1)` marker."""
     c = F.col(col) if isinstance(col, str) else col
-    return c % F.lit(1)
+    return F.xxhash64(c) % F.lit(1)
 
 
 def flag(cond: Column) -> Column:

@@ -2935,7 +2935,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sequence_packing",
+    "sequence_packing_global",
     """
     WITH toks AS (
       SELECT doc_id,
@@ -2958,17 +2958,18 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ordered
     """,
 )
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-sequence packing: documents are laid head-to-tail in a
-    deterministic hash order and chunked into fixed 2048-token packs;
-    each doc gets the pack it STARTS in plus its offset there (docs may
-    span packs — the standard concat-then-chunk LM data layout, not
-    bin-packing). The running total is one window over the hash order;
-    at corpus scale the same layout runs per-shard (hash-partition
-    first, window within shards) so no global single-partition sort is
-    needed — noted here because this registered form IS the global
-    layout, the per-shard variant just adds the shard key to the
-    window."""
+def sequence_packing_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT single-stream packing layout, under an explicit name
+    (VERDICT r7 #4 flipped the `sequence_packing` default to the
+    sharded form): documents are laid head-to-tail in ONE deterministic
+    hash order and chunked into fixed 2048-token packs; each doc gets
+    the pack it STARTS in plus its offset there (docs may span packs —
+    the standard concat-then-chunk LM data layout, not bin-packing).
+    The running total is one window over the hash order, which is
+    single-partition BY CONSTRUCTION — a global prefix sum cannot be
+    sharded without changing the layout. Reach for this name only for
+    final small-corpus assembly (or per-shard post-processing);
+    `sequence_packing` is the form that runs at 100 TB."""
     from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
     from aws_ipl_data_pipeline_spark.operators.packing import pack_sequences
 
@@ -2983,7 +2984,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sequence_packing_sharded",
+    "sequence_packing",
     """
     WITH toks AS (
       SELECT doc_id, source,
@@ -3015,17 +3016,19 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ns
     """,
 )
-def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale-safe packing layout: hash-partition by shard (here the
-    document's source), run the SAME running-total window within each
-    shard, and namespace pack ids by the shard's 20-bit md5 prefix so
-    ids stay unique and sortable across shards with zero coordination.
-    This is the form that survives 100 TB — the plan shuffles once on
-    the shard key and every window partition is one shard, never a
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing — the DEFAULT registered form is the
+    scale-safe sharded layout (VERDICT r7 #4: the global prefix-sum
+    variant was the last registered plan that could not run at 100 TB;
+    it now lives under the explicit name `sequence_packing_global`):
+    hash-partition by shard (here the document's source), run the
+    running-total window within each shard, and namespace pack ids by
+    the shard's 20-bit md5 prefix so ids stay unique and sortable
+    across shards with zero coordination. The plan shuffles once on the
+    shard key and every window partition is one shard, never a
     single-partition global window (plan-gated in
-    tests/test_operators.py::test_sharded_packing_no_single_partition_window).
-    The global form (`sequence_packing`) remains the small-corpus
-    baseline."""
+    tests/test_operators.py::test_sharded_packing_no_single_partition_window
+    and the registry-level default-path gate in tests/test_plans.py)."""
     from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
     from aws_ipl_data_pipeline_spark.operators.packing import pack_sequences
 
@@ -7688,84 +7691,18 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r7 slots 1-28: ALL 28 queries whose newest driver row is r3
-    # (VERDICT r6 item 1 — newest-row audit over CORRECTNESS_r01..r06;
-    # 26 oracle-backed + the rows-only r3 pair fuzzy_name_match /
-    # kmeans_lloyd). After the r7 driver run no query's newest row is
-    # older than r4.
-    "except_customers",
-    "explode_token_counts",
-    "funnel_analysis",
-    "fuzzy_name_match",
-    "grouping_sets_pricing",
-    "incremental_dedup",
-    "intersect_customers",
-    "json_props_extract",
-    "kmeans_lloyd",
-    "percentiles_by_segment",
-    "pivot_status_qty",
-    "quality_weighted_sample",
-    "regional_revenue_rollup",
-    "retention_cohorts",
-    "rollup_pricing",
-    "sequence_packing",
-    "sequence_packing_sharded",
-    "skew_salted_agg",
-    "stratified_sample_by_source",
-    "text_fingerprint",
-    "text_language_id",
-    "text_pii_redaction",
-    "text_quality",
-    "text_repetition",
-    "tfidf_top_terms",
-    "training_data_prep",
-    "vocab_top_terms",
-    "window_battery",
-    # r7 slots 29-31: the IPL medallion golden surface holds a seat
-    # every round (rotation rule 4 — the reference parity contract)
-    "ipl_bronze_fold",
-    "ipl_gold_e2e",
-    "ipl_standings",
-    # r7 slots 32-33: new this round — the incremental-gold partials
-    # path hash-proven against the batch oracles at league volume
-    # (standings grain + the trickier batsman grain)
-    "ipl_standings_incremental",
-    "ipl_batsman_incremental",
-    # r7 slots 34-37: semantics/plan changed this round (rotation rule
-    # 3 — driver re-proof): top-k windows now run on a
-    # TakeOrderedAndProject prefix (VERDICT r6 items 1-3) and q11's
-    # threshold gate went integer-exact (ADVICE r6)
-    "rank_topk",
-    "slice_rows",
-    "vocab_coverage_curve",
-    "q11_important_stock",
-    # r7 slots 38-50: refresh of the 13 alphabetically-first
-    # ORACLE-BACKED rows whose newest driver row is r4 (the rows-only
-    # r4 set ann_ivfpq_topk / ann_pq_topk / datasketches_battery
-    # queues behind hash-checkable ones, per rotation priority)
-    "ann_batch_ivf_topk",
-    "ann_batch_topk",
-    "ann_ivf_topk",
-    "bigram_perplexity",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash",
-    "diversity_sample",
-    "domain_cap",
-    "ipl_batsman_stats",
-    "ipl_batsman_stats_big",
-    "ipl_bowler_stats",
-    "lateral_topn_per_key",
-    # past slot 50 from here — the r8 refresh queue, stalest first:
-    # the remaining r4 rows (rows-only trio first only if upgraded to
-    # oracles by then), then r5 sets in registration order via
-    # _reorder_registry
-    "q10_returned_items",
+    # r8 slots 1-34: ALL 34 queries whose newest driver row is r4
+    # (VERDICT r7 item 1 — newest-row audit over CORRECTNESS_r01..r07;
+    # 31 oracle-backed + the rows-only trio ann_ivfpq_topk /
+    # ann_pq_topk / datasketches_battery, each of which has an
+    # oracle-backed companion already green in later rounds). After the
+    # r8 driver run no query's newest row is older than r5.
     "ann_ivfpq_topk",
     "ann_pq_topk",
     "datasketches_battery",
     "ipl_standings_big",
     "ipl_team_stats",
+    "q10_returned_items",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -7794,6 +7731,69 @@ _DRIVER_FIRST = [
     "unpivot_measures",
     "variant_props_extract",
     "vocab_zipf_fit",
+    # r8 slots 35-37: the IPL medallion golden surface holds a seat
+    # every round (rotation rule 4 — the reference parity contract)
+    "ipl_bronze_fold",
+    "ipl_gold_e2e",
+    "ipl_standings",
+    # r8 slots 38-39: semantics changed this round (rotation rule 3 —
+    # driver re-proof): VERDICT r7 #4 flipped `sequence_packing` to the
+    # sharded scale-safe layout (its oracle moved with it) and the
+    # exact global layout re-registered as `sequence_packing_global`
+    "sequence_packing",
+    "sequence_packing_global",
+    # r8 slots 40-50: refresh of the 11 alphabetically-first rows whose
+    # newest driver row is r5
+    "ann_ivfpq_topk_reranked",
+    "ann_pq_topk_reranked",
+    "anti_join_customers",
+    "asof_join_events",
+    "bm25_retrieval",
+    "broadcast_dim_revenue",
+    "composite_key_agg",
+    "conditional_agg",
+    "corpus_drift_psi",
+    "corpus_snapshot_diff",
+    "curriculum_order",
+    # past slot 50 from here — the r9 refresh queue, stalest first: the
+    # remaining r5 rows alphabetically, then r6/r7 sets in registration
+    # order via _reorder_registry
+    "date_battery",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_substring",
+    "distinct_counts",
+    "distinct_pairs",
+    "filter_not_na",
+    "group_sizes",
+    "hybrid_rank_fusion",
+    "left_join_coalesce",
+    "max_of_order_revenue",
+    "ngram_novelty",
+    "null_semantics_battery",
+    "outer_join_composite",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
+    "q21_sole_blame_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "range_join_events",
+    "renamed_key_join",
+    "scalar_battery",
+    "semi_join_customers",
+    "session_window",
+    "sql_pipe_syntax",
+    "sql_udf_battery",
+    "standings_points",
+    "string_battery",
+    "top_customers_by_revenue",
+    "winner_per_group",
 ]
 
 

@@ -127,10 +127,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
     """S5: table scan; `delta` when delta-spark is on the classpath,
-    parquet otherwise (partition layout is identical)."""
-    return spark.read.format(fmt).load(path)
+    parquet otherwise (partition layout is identical).
+
+    ``schema`` pins column types on the parquet branch (partition-value
+    directory-name inference could retype an all-numeric partition
+    key); Delta ignores it — the table schema comes from the
+    transaction log, which is already exact (user-specified schemas are
+    rejected by the delta source)."""
+    reader = spark.read.format(fmt)
+    if schema is not None and fmt != "delta":
+        reader = reader.schema(schema)
+    return reader.load(path)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

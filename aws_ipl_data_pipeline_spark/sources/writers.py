@@ -63,6 +63,35 @@ def write_partitioned(
     w.save(path)
 
 
+def overwrite_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str | None = None,
+) -> None:
+    """S7: full-table STATIC overwrite — the reference's no-predicate
+    ``write_deltalake(mode="overwrite")`` (ex_match_bs.py:461-471).
+
+    On Delta this is one atomic, versioned commit: readers never see a
+    missing table mid-rebuild and history survives (ADVICE r7 — an FS
+    delete-then-write discards the transaction log and a crash between
+    the two leaves NO table). On parquet, static overwrite is Spark's
+    own delete-then-write of the whole path — same crash window as the
+    manual delete (unavoidable without a log), but it drops vanished
+    partitions, which dynamic overwrite cannot."""
+    fmt = fmt or ("delta" if HAVE_DELTA else "parquet")
+    (
+        df.write.format(fmt)
+        .partitionBy(*partition_by)
+        .mode("overwrite")
+        # explicit STATIC writer option: a session that globally set
+        # partitionOverwriteMode=dynamic would otherwise silently keep
+        # partitions absent from df
+        .option("partitionOverwriteMode", "static")
+        .save(path)
+    )
+
+
 def upsert_by_key(
     spark,
     new_df: DataFrame,

@@ -40,6 +40,7 @@ from aws_ipl_data_pipeline_spark.plans.gold import (
 )
 from aws_ipl_data_pipeline_spark.plans.silver import to_silver
 from aws_ipl_data_pipeline_spark.schemas import RAW_DELIVERIES
+from aws_ipl_data_pipeline_spark.sources.readers import read_table
 from aws_ipl_data_pipeline_spark.sources.writers import (
     HAVE_DELTA,
     delete_path,
@@ -81,6 +82,13 @@ def run_incremental_pipeline(
     if gold_mode not in ("full", "incremental"):
         raise ValueError(f"gold_mode must be 'full' or 'incremental': {gold_mode!r}")
     bronze_path = bronze_path or f"{silver_path.rstrip('/')}_bronze_acc"
+    # Every managed table here (bronze accumulator, silver, gold
+    # partials) is written via write_partitioned/upsert_by_key, which
+    # pick delta when delta-spark is on the classpath — so every
+    # read-back MUST use the same format (ADVICE r7, high: a raw
+    # parquet read of a Delta table sees logically-removed files and
+    # double-counts every rescraped delivery).
+    tfmt = "delta" if HAVE_DELTA else "parquet"
     raw_stream = (
         spark.readStream.schema(RAW_DELIVERIES)
         .option("header", True)
@@ -111,10 +119,8 @@ def run_incremental_pipeline(
         # the silver rebuild reads back ONLY the affected partitions
         # (partition-pruned scan; the collect is O(#matches per batch))
         affected = [r[0] for r in batch_df.select("match").distinct().collect()]
-        acc = (
-            spark.read.schema(RAW_DELIVERIES)
-            .parquet(bronze_path)
-            .where(F.col("match").isin(affected))
+        acc = read_table(spark, bronze_path, fmt=tfmt, schema=RAW_DELIVERIES).where(
+            F.col("match").isin(affected)
         )
 
         # ST3: rebuild the affected matches end-to-end from accumulated raw
@@ -156,10 +162,11 @@ def run_incremental_pipeline(
         if gold_mode == "full":
             # gold: full recompute over silver (ST4, reference
             # ex_match_sg.py:323-347 — reference-parity default).
-            # Schema pinned from the in-memory frame so both modes see
-            # identical partition-column types (inference could retype
-            # an all-numeric match id; r7 third review)
-            full_silver = spark.read.schema(silver.schema).parquet(silver_path)
+            # Same-format read-back (tfmt); schema pinned on the
+            # parquet branch so both modes see identical partition-
+            # column types (inference could retype an all-numeric
+            # match id; r7 third review)
+            full_silver = read_table(spark, silver_path, fmt=tfmt, schema=silver.schema)
             for name, builder in (
                 ("gold_batsman_stats", batsman_stats),
                 ("gold_bowler_stats", bowler_stats),
@@ -205,10 +212,7 @@ def run_incremental_pipeline(
                 PARTIAL_BUILDERS,
                 with_match_tombstones,
             )
-            from aws_ipl_data_pipeline_spark.sources.readers import (
-                read_table,
-                table_exists,
-            )
+            from aws_ipl_data_pipeline_spark.sources.readers import table_exists
 
             # probe/write/read the partials in ONE format: with
             # delta-spark on the classpath write_partitioned writes
@@ -216,12 +220,12 @@ def run_incremental_pipeline(
             # probe would re-bootstrap every batch and a parquet read
             # of a delta dir would double-count superseded files
             # (r7 third review)
-            pfmt = "delta" if HAVE_DELTA else "parquet"
-            # schema pinned from the in-memory frame: partition-value
-            # type inference on read-back could retype `match` (e.g.
-            # all-numeric ids → int), and a cast-to-string on top would
-            # defeat the partition pruning this read exists for
-            stored_silver = spark.read.schema(silver.schema).parquet(silver_path)
+            pfmt = tfmt
+            # same-format silver read-back as the full branch (a
+            # parquet read of a Delta silver would corrupt the partials
+            # bootstrap); schema pin guards parquet partition-value
+            # inference from retyping `match`
+            stored_silver = read_table(spark, silver_path, fmt=tfmt, schema=silver.schema)
             # probe all three tables BEFORE materializing anything: the
             # affected-partition checkpoint is only consumed on the
             # incremental path, and bootstrap batches (all tables

@@ -369,3 +369,141 @@ def test_cli_prep_shuffle(spark, tmp_path_factory):
     assert shuf.count() == n
     assert set(shuf.columns) == {"doc_id", "shard", "position"}
     assert shuf.select("shard").distinct().count() <= 4
+
+
+GOLD_TABLES = [
+    "gold_batsman_stats",
+    "gold_bowler_stats",
+    "gold_team_stats",
+    "gold_tournament_standings",
+]
+
+
+@pytest.mark.slow
+def test_cli_gold_incremental_equals_full(spark, tmp_path_factory):
+    """VERDICT r7 #8: `gold --gold-mode incremental` end-to-end —
+    bootstrap, scoped rescrape (--affected-matches), and a full-match
+    retraction (tombstone path) each produce gold identical to a full
+    recompute over the same silver."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.sources.writers import overwrite_table
+
+    base = str(tmp_path_factory.mktemp("cligoldinc"))
+    silver = to_silver(
+        to_bronze(raw_deliveries(spark)), match_meta(spark), players(spark)
+    )
+    m0 = silver.select("match").distinct().orderBy("match").first()[0]
+
+    def _write_silver(df):
+        overwrite_table(
+            df, f"{base}/silver", partition_by=["match", "innings"], fmt="parquet"
+        )
+
+    def _gold(out, mode, affected=None):
+        argv = ["gold", "--silver", f"{base}/silver", "--out-dir", out,
+                "--gold-mode", mode]
+        if affected:
+            argv += ["--affected-matches", affected]
+        main(argv)
+
+    def _assert_equal(a, b):
+        for name in GOLD_TABLES:
+            assert _canon(spark.read.parquet(f"{a}/{name}")) == _canon(
+                spark.read.parquet(f"{b}/{name}")
+            ), name
+
+    # v1: bootstrap (no partials yet) — incremental must build them
+    _write_silver(silver)
+    _gold(f"{base}/gold_full", "full")
+    _gold(f"{base}/gold_inc", "incremental")
+    _assert_equal(f"{base}/gold_full", f"{base}/gold_inc")
+    # partials exist after an incremental run
+    assert os.path.isdir(f"{base}/gold_inc/_partials_team")
+
+    # v2: rescrape changes match m0's rows — scoped partials rewrite
+    silver_v2 = silver.where(
+        ~((F.col("match") == m0) & (F.col("over") >= 10))
+    )
+    _write_silver(silver_v2)
+    _gold(f"{base}/gold_full", "full")
+    _gold(f"{base}/gold_inc", "incremental", affected=m0)
+    _assert_equal(f"{base}/gold_full", f"{base}/gold_inc")
+
+    # v3: m0 retracted entirely — the tombstone path must purge its
+    # stale partials partition, not keep serving v2 numbers
+    silver_v3 = silver_v2.where(F.col("match") != m0)
+    _write_silver(silver_v3)
+    _gold(f"{base}/gold_full2", "full")
+    _gold(f"{base}/gold_inc", "incremental", affected=m0)
+    _assert_equal(f"{base}/gold_full2", f"{base}/gold_inc")
+
+    # a full-mode run over the incremental dir invalidates the partials
+    # (mode-switch safety, same guard as the streaming branch)
+    _gold(f"{base}/gold_inc", "full")
+    assert not os.path.isdir(f"{base}/gold_inc/_partials_team")
+
+
+@pytest.mark.slow
+def test_cli_silver_replace_where_guards(spark, tmp_path_factory):
+    """ADVICE r7 (medium): on the parquet branch --replace-where must be
+    match-grain (sub-partition predicates are rejected, not silently
+    destructive), and a retraction predicate whose match is absent from
+    the new silver still deletes that match (Delta replaceWhere parity)."""
+    base = str(tmp_path_factory.mktemp("clirw"))
+
+    # reference layouts (same construction as the medallion test)
+    by_match: dict[str, list] = {}
+    for row in RAW_ROWS:
+        by_match.setdefault(row[0], []).append(row)
+    for m, rows in by_match.items():
+        d = f"{base}/raw/{m}"
+        os.makedirs(d)
+        with open(f"{d}/{m}-1.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(HEADER)
+            w.writerows(rows)
+    os.makedirs(f"{base}/meta")
+    meta_fields = [f.name for f in MATCH_META.fields]
+    for row in META_ROWS:
+        obj = dict(zip(meta_fields, row))
+        with open(f"{base}/meta/{obj['short_name']}_meta.json", "w") as f:
+            json.dump(obj, f)
+    players(spark).write.mode("overwrite").json(f"{base}/players")
+
+    main(["bronze", "--raw-dir", f"{base}/raw/*/", "--out", f"{base}/bronze"])
+    silver_args = [
+        "silver",
+        "--bronze", f"{base}/bronze",
+        "--meta", f"{base}/meta",
+        "--players", f"{base}/players",
+        "--out", f"{base}/silver",
+    ]
+    main(silver_args)
+    matches = sorted(by_match)
+    m0 = matches[0]
+
+    # sub-match predicate → rejected before anything is deleted
+    with pytest.raises(SystemExit):
+        main(silver_args + ["--replace-where", f"match = '{m0}' AND innings = 1"])
+    assert os.path.isdir(f"{base}/silver/match={m0}")
+
+    # retraction: bronze without m0, predicate naming m0 — the match
+    # directory must be deleted even though the new silver has no m0 rows
+    spark.read.parquet(f"{base}/bronze").where(
+        f"match != '{m0}'"
+    ).write.mode("overwrite").parquet(f"{base}/bronze2")
+    main(
+        [
+            "silver",
+            "--bronze", f"{base}/bronze2",
+            "--meta", f"{base}/meta",
+            "--players", f"{base}/players",
+            "--out", f"{base}/silver",
+            "--replace-where", f"match = '{m0}'",
+        ]
+    )
+    assert not os.path.isdir(f"{base}/silver/match={m0}")
+    # the other matches' partitions survive untouched
+    for m in matches[1:]:
+        assert os.path.isdir(f"{base}/silver/match={m}")

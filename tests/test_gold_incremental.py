@@ -226,3 +226,78 @@ def test_tombstones_retract_stale_partials(spark, tmp_path):
         .collect()
     )
     assert stale == ["Xavi", "Yusu"]  # documents the hazard tombstones close
+
+
+@pytest.mark.slow
+def test_incremental_fat_partition_leaves_neighbors_byte_identical(
+    spark, tmp_path_factory
+):
+    """VERDICT r7 #6: a skewed rescrape — one match's silver partition
+    ~300× its neighbors — through the incremental CLI path must rewrite
+    ONLY that match's partials partitions: every neighbor partition
+    file stays BYTE-identical (hash compare, not value compare), and
+    the merged gold still equals the batch builders over the new
+    silver."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.cli import main
+    from aws_ipl_data_pipeline_spark.sources.writers import overwrite_table
+
+    base = str(tmp_path_factory.mktemp("fatpart"))
+    silver = to_silver(
+        to_bronze(raw_deliveries(spark)), match_meta(spark), players(spark)
+    )
+    m0 = silver.select("match").distinct().orderBy("match").first()[0]
+    # fatten m0: replicate its deliveries 300x (aggregation input scale;
+    # partials stay per-key skinny, which is the point of the design)
+    fat = silver.where(F.col("match") == m0).crossJoin(
+        spark.range(300).select(F.col("id").alias("_rep"))
+    ).drop("_rep")
+    silver_v1 = silver.where(F.col("match") != m0).unionByName(fat)
+    overwrite_table(
+        silver_v1, f"{base}/silver", partition_by=["match", "innings"], fmt="parquet"
+    )
+
+    gold = f"{base}/gold"
+    main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
+          "--gold-mode", "incremental"])
+
+    def _neighbor_hashes():
+        out = {}
+        for pname in PARTIAL_BUILDERS:
+            root = f"{gold}/_partials_{pname}"
+            for dirpath, _dirs, files in os.walk(root):
+                if f"match={m0}" in dirpath:
+                    continue
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, gold)] = hashlib.sha256(
+                            fh.read()
+                        ).hexdigest()
+        return out
+
+    before = _neighbor_hashes()
+    assert before  # neighbors exist
+
+    # rescrape: the fat match shrinks to 100x and loses its last overs
+    fat_v2 = silver.where((F.col("match") == m0) & (F.col("over") < 15)).crossJoin(
+        spark.range(100).select(F.col("id").alias("_rep"))
+    ).drop("_rep")
+    silver_v2 = silver.where(F.col("match") != m0).unionByName(fat_v2)
+    overwrite_table(
+        silver_v2, f"{base}/silver", partition_by=["match", "innings"], fmt="parquet"
+    )
+    main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
+          "--gold-mode", "incremental", "--affected-matches", m0])
+
+    after = _neighbor_hashes()
+    assert before == after  # neighbors untouched, byte for byte
+
+    # and the merged gold equals the batch builders over the new silver
+    for name, builder in BATCH_BUILDERS.items():
+        got = _canon(spark.read.parquet(f"{gold}/{name}"))
+        want = _canon(builder(silver_v2))
+        assert got == want, name

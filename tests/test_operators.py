@@ -686,7 +686,7 @@ def test_global_packing_matches_registered_query(spark):
 
     want = {
         (r["doc_id"], r["pack_id"], r["pack_offset"])
-        for r in REGISTRY["sequence_packing"].fn(spark, SF).collect()
+        for r in REGISTRY["sequence_packing_global"].fn(spark, SF).collect()
     }
     docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
         "doc_id",
