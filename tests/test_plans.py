@@ -623,6 +623,17 @@ def test_shuffle_shards_no_global_sort(spark):
     assert _nodes(p, "Exchange") == 1
 
 
+def test_sequence_packing_default_is_sharded(spark):
+    """VERDICT r7 #4: the registered `sequence_packing` default must be
+    the scale path — one hash exchange on the shard key, never a
+    single-partition global window or sort. The exact concat-then-chunk
+    global layout survives only under the explicit
+    `sequence_packing_global` name."""
+    p = formatted_plan(spark, "sequence_packing")
+    assert "SinglePartition" not in p
+    assert re.search(r"hashpartitioning\(source", p)
+
+
 def test_topk_windows_run_on_bounded_prefix(spark):
     """VERDICT r6 #1-#3: rank_topk / slice_rows / vocab_coverage_curve
     must take the top-k FIRST (TakeOrderedAndProject — per-partition
@@ -645,26 +656,14 @@ def test_no_cartesian_anywhere_and_bnlj_only_broadcast_sided(spark):
     bug here. BroadcastNestedLoopJoin is allowed ONLY for queries that
     deliberately broadcast a tiny side against the fact (batched ANN:
     the query set broadcasts; scalar-subquery shapes) — everywhere else
-    it means a join lost its equi-condition."""
-    bnlj_ok = {
-        # query/term-set-broadcast scoring joins (tiny side broadcast
-        # by design; gated tighter in their dedicated plan tests)
-        "ann_batch_topk",
-        "ann_batch_ivf_topk",
-        "ann_recall_eval",  # composes the two above
-        "bm25_retrieval",  # broadcast query-term frame
-        "dedup_embedding_cosine",  # broadcast probe/threshold block
-        # broadcast 1-row global-stats/threshold frames crossJoined
-        # back (never a driver collect)
-        "q11_important_stock",
-        "q22_dormant_customers",
-        "vocab_coverage_curve",
-        "corpus_drift_psi",
-        "source_mixing_temperature",
-        "token_budget_mix",
-        "curriculum_order",
-        "hybrid_rank_fusion",  # post-limit fused frame + 1-row norms
-    }
+    it means a join lost its equi-condition.
+
+    r8 (VERDICT r7 #5): the allowlist is no longer name-only — for
+    every allowlisted query, EVERY BNLJ's build side must carry
+    structural evidence that it is bounded (see
+    test_bnlj_build_sides_are_bounded below), so a future edit cannot
+    silently grow a "tiny" side."""
+    bnlj_ok = set(BNLJ_OK)
     offenders = []
     for name in REGISTRY:
         p = formatted_plan(spark, name)
@@ -673,3 +672,83 @@ def test_no_cartesian_anywhere_and_bnlj_only_broadcast_sided(spark):
         if name not in bnlj_ok and _nodes(p, "BroadcastNestedLoopJoin"):
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+# The BNLJ allowlist, shared by the registry-wide gate above and the
+# bound gate below. Every entry deliberately broadcasts a tiny side:
+# query/term-set scoring joins (ann_*/bm25: literal query sets, the
+# memoized IVF cell table), or 1-row global-stats/threshold frames
+# crossJoined back (never a driver collect).
+BNLJ_OK = (
+    "ann_batch_topk",
+    "ann_batch_ivf_topk",
+    "ann_recall_eval",  # composes the two above
+    "bm25_retrieval",  # broadcast query-term frame
+    "dedup_embedding_cosine",  # broadcast probe/threshold block
+    "q11_important_stock",
+    "q22_dormant_customers",
+    "vocab_coverage_curve",
+    "corpus_drift_psi",
+    "source_mixing_temperature",
+    "token_budget_mix",
+    "curriculum_order",
+    "hybrid_rank_fusion",  # post-limit fused frame + 1-row norms
+)
+
+# Structural evidence that a broadcast side cannot grow with the data:
+# a global (no-key) aggregate collapses to one row; limits/top-k cap the
+# row count; LocalTableScan/ExistingRDD are driver-materialized literal
+# frames (here: the memoized IVF cell table, literal query sets); a
+# pushed literal IN-list caps rows at the list length. A literal Range
+# is handled separately so its extent can be asserted too.
+_BNLJ_BOUND = re.compile(
+    r"HashAggregate\(keys=\[\]"
+    r"|SortAggregate\(key=\[\]"
+    r"|ObjectHashAggregate\(keys=\[\]"
+    r"|GlobalLimit|TakeOrderedAndProject|CollectLimit"
+    r"|LocalTableScan|Scan ExistingRDD"
+    r"|\bIN \("
+)
+
+
+def _walk_jplan(node):
+    yield node
+    kids = node.children()
+    it = kids.iterator()
+    while it.hasNext():
+        yield from _walk_jplan(it.next())
+
+
+def test_bnlj_build_sides_are_bounded(spark):
+    """VERDICT r7 #5: tighten the BNLJ allowlist from names to BOUNDS.
+    For each allowlisted query, every BroadcastNestedLoopJoin's build
+    side subtree must contain an upstream bound — a keyless (1-row)
+    aggregate, a limit/top-k, a driver-materialized literal frame, a
+    literal IN-list filter, or a small literal Range. The pre-AQE
+    ``sparkPlan`` is walked (AQE wraps ``executedPlan`` into a single
+    opaque node; the r7 audit note) and the build side is picked by the
+    join's own buildSide, not guessed from string layout. If this gate
+    fails, an allowlisted query's broadcast side lost its bound — fix
+    the query, don't widen the regex."""
+    unbounded = []
+    n_joins = 0
+    for name in BNLJ_OK:
+        df = REGISTRY[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().sparkPlan()
+        for node in _walk_jplan(plan):
+            if node.getClass().getSimpleName() != "BroadcastNestedLoopJoinExec":
+                continue
+            n_joins += 1
+            kids = node.children()
+            build = kids.apply(0 if node.buildSide().toString() == "BuildLeft" else 1)
+            ts = build.treeString()
+            if _BNLJ_BOUND.search(ts):
+                continue
+            m = re.search(r"Range \((\d+), (\d+)", ts)
+            if m and int(m.group(2)) - int(m.group(1)) <= (1 << 12):
+                continue
+            unbounded.append((name, ts.splitlines()[0]))
+    # every allowlisted query actually plans >=1 BNLJ at this SF — a
+    # zero count would mean the gate is asserting nothing
+    assert n_joins >= len(BNLJ_OK), n_joins
+    assert not unbounded, unbounded
