@@ -6,11 +6,18 @@ Queries run against the noop sink (full execution, no driver-side
 materialization cost), after a small JIT warmup.
 
 The stdout line is kept COMPACT (headline total + the frozen 24-query
-set only): the driver preserves a bounded tail of stdout, and r4's full
-breakdown outgrew it, truncating the JSON into unparseability
-(BENCH_r04.json "parsed": null). The full breakdown — medians and the
-extended/round4/round4b/round5 sets — is written to BENCH_FULL.json in
-the working directory and echoed per-query on stderr.
+set + a 4-number calibration summary): the driver preserves a bounded
+tail of stdout, and r4's full breakdown outgrew it, truncating the JSON
+into unparseability (BENCH_r04.json "parsed": null). The full breakdown
+— medians, the extended/roundN sets, the full calibration series, and
+loadavg snapshots — is written to BENCH_FULL.json in the working
+directory and echoed per-query on stderr.
+
+Calibration (r8, VERDICT r7 #2): a fixed-shape probe (constant
+synthetic volume, one Exchange, no file I/O) runs interleaved through
+the whole recording. Its series moves with BOX conditions only, so a
+drifting headline total can be attributed inside the artifact: flat
+calib + higher queries = plan drift; elevated calib = environment.
 """
 
 from __future__ import annotations
@@ -160,6 +167,36 @@ ROUND7 = [
     "ipl_batsman_incremental",
 ]
 
+# round-8 additions (VERDICT r7 #4: the packing default flipped to the
+# sharded layout; the exact global form re-registered under an explicit
+# name): same frozen-set policy
+ROUND8 = [
+    "sequence_packing",
+    "sequence_packing_global",
+]
+
+
+def _calib_once(spark) -> float:
+    """One reading of the FIXED calibration probe: constant synthetic
+    volume (30M rows from range(), no file I/O), one hash Exchange, one
+    plan shape — independent of sf_dir and of every registered query.
+    Its reading moves with BOX conditions only (CPU contention,
+    residual JVMs, thermal state), so the series interleaved through
+    the run separates environment noise from plan drift inside the
+    recorded artifact itself (VERDICT r7 #2: the r5→r7 driver-recorded
+    trend needed an environment-anchored explanation)."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 30_000_000, 1, 32)
+        .selectExpr("id % 9973 AS k", "id")
+        .groupBy("k")
+        .agg({"id": "sum", "*": "count"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -168,6 +205,15 @@ def main() -> None:
 
     # warmup: JIT + parquet footer caches on a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # calibration probe: two warm-up readings (codegen + C2 for the
+    # probe's own plan), then an interleaved series through the run
+    _calib_once(spark)
+    _calib_once(spark)
+    calib_series: list[float] = [round(_calib_once(spark), 3)]
+    try:
+        load_start = os.getloadavg()
+    except OSError:  # pragma: no cover
+        load_start = None
 
     # steady-state throughput: >=6 runs per query, report best AND
     # median — the first execution of each plan shape pays one-time JVM
@@ -194,6 +240,10 @@ def main() -> None:
             f"  {name}: best {timings[name]}s median {medians[name]}s",
             file=sys.stderr,
         )
+        # interleaved calibration reading after every 4th query block:
+        # a box-wide slowdown shows up here; a plan regression doesn't
+        if len(timings) % 4 == 0:
+            calib_series.append(round(_calib_once(spark), 3))
 
     # trend line vs the last recorded round: report per-query deltas and
     # flag anything regressing >1.5x so a regression can't hide in the
@@ -237,6 +287,8 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             out[name] = round(min(runs), 3)
             print(f"  [{label}] {name}: best {out[name]}s", file=sys.stderr)
+            if len(out) % 8 == 0:
+                calib_series.append(round(_calib_once(spark), 3))
         return out
 
     extended = time_set(EXTENDED, "extended")
@@ -245,6 +297,20 @@ def main() -> None:
     round5 = time_set(ROUND5, "round5")
     round6 = time_set(ROUND6, "round6")
     round7 = time_set(ROUND7, "round7")
+    round8 = time_set(ROUND8, "round8")
+
+    calib_series.append(round(_calib_once(spark), 3))
+    try:
+        load_end = os.getloadavg()
+    except OSError:  # pragma: no cover
+        load_end = None
+    calib = {
+        "min": min(calib_series),
+        "med": round(statistics.median(calib_series), 3),
+        "max": max(calib_series),
+        "n": len(calib_series),
+    }
+    print(f"  calib probe: {calib} series={calib_series}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -259,6 +325,12 @@ def main() -> None:
         "queries_round5": round5,
         "queries_round6": round6,
         "queries_round7": round7,
+        "queries_round8": round8,
+        "calib_series": calib_series,
+        "calib": calib,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "cpus_visible": os.cpu_count(),
         "iters": iters,
         "sf": sf,
     }
@@ -274,6 +346,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calib": calib,
                 "iters": iters,
                 "sf": sf,
             },
