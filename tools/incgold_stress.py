@@ -35,10 +35,10 @@ from aws_ipl_data_pipeline_spark.sources.writers import (  # noqa: E402
 )
 
 
-def build_silver(spark, n_matches: int, fat_rows: int):
+def build_silver(spark, n_matches: int, fat_rows: int, neighbor_rep: int = 1):
     """Synthetic silver: match m0000 carries ``fat_rows`` deliveries,
-    every other match ~240 (a real T20 volume). Columns cover what the
-    partial builders consume."""
+    every other match ~240 x ``neighbor_rep`` (a real T20 volume at
+    rep=1). Columns cover what the partial builders consume."""
     import sys as _sys
 
     _sys.path.insert(0, "tests")
@@ -62,15 +62,17 @@ def build_silver(spark, n_matches: int, fat_rows: int):
         .drop("_rep")
         .withColumn("match", F.lit("m0000"))
     )
-    # neighbors: one replica of m0's deliveries per synthetic match id
+    # neighbors: ``neighbor_rep`` replicas of m0's deliveries per
+    # synthetic match id
     neigh = (
         one.crossJoin(
             spark.range(1, n_matches).select(
                 F.format_string("m%04d", F.col("id")).alias("_m")
             )
         )
+        .crossJoin(spark.range(neighbor_rep).select(F.col("id").alias("_nr")))
         .withColumn("match", F.col("_m"))
-        .drop("_m")
+        .drop("_m", "_nr")
     )
     return fat.unionByName(neigh), n_one
 
@@ -104,16 +106,30 @@ def main() -> None:
     spark = get_spark(app_name="incgold-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
-    s1, _ = build_silver(spark, n_matches=40, fat_rows=1_000_000)
+    s1, n_one = build_silver(spark, n_matches=40, fat_rows=1_000_000)
     b1 = run_phase(spark, "1x (40 matches, 1M-row fat match)",
                    s1, f"{work}/silver1", f"{work}/gold1")
-    s10, _ = build_silver(spark, n_matches=400, fat_rows=1_000_000)
-    b10 = run_phase(spark, "10x (400 matches, same fat match)",
-                    s10, f"{work}/silver10", f"{work}/gold10")
+    # VOLUME axis: ~10x the silver DELIVERIES (neighbor rows x~900,
+    # match count constant), batch unchanged — the O(batch)-not-
+    # O(silver) claim measured on the axis that grows at 100 TB
+    vol_rep = (9_000_000 // ((40 - 1) * n_one)) + 1
+    s10v, _ = build_silver(
+        spark, n_matches=40, fat_rows=1_000_000, neighbor_rep=vol_rep
+    )
+    b10v = run_phase(spark, "10x volume (40 matches, ~10M silver rows)",
+                     s10v, f"{work}/silver10v", f"{work}/gold10v")
+    # MATCHES axis: 10x the partials partitions (the finisher merge's
+    # O(keys x matches) term + per-partition listing), batch unchanged
+    s10m, _ = build_silver(spark, n_matches=400, fat_rows=1_000_000)
+    b10m = run_phase(spark, "10x matches (400 matches, same fat match)",
+                     s10m, f"{work}/silver10m", f"{work}/gold10m")
     print(
-        f"summary: constant-batch cost 1x={b1:.2f}s 10x={b10:.2f}s "
-        f"ratio={b10 / b1:.2f} (flat ~= O(batch) proven; the finisher "
-        f"merge's O(keys x matches) term is the only growth)",
+        f"summary: constant-batch cost 1x={b1:.2f}s "
+        f"10x-volume={b10v:.2f}s (ratio {b10v / b1:.2f}; flat = the "
+        f"scoped path never rescans silver) "
+        f"10x-matches={b10m:.2f}s (ratio {b10m / b1:.2f}; growth = the "
+        f"documented O(keys x matches) finisher merge + partition "
+        f"listing, never O(silver deliveries))",
         flush=True,
     )
     spark.stop()
