@@ -8,9 +8,11 @@ same operational surface as subcommands over a shared SparkSession:
     python -m aws_ipl_data_pipeline_spark bronze --raw-dir D --out P
     python -m aws_ipl_data_pipeline_spark silver --bronze P --meta M \
         [--players PL] --out P2
-    python -m aws_ipl_data_pipeline_spark gold --silver P2 --out-dir D2
+    python -m aws_ipl_data_pipeline_spark gold --silver P2 --out-dir D2 \
+        [--gold-mode incremental [--affected-matches M1,M2]]
     python -m aws_ipl_data_pipeline_spark stream --raw-dir D --silver P2 \
-        --gold D2 --meta M [--players PL] --checkpoint C
+        --gold D2 --meta M [--players PL] --checkpoint C \
+        [--gold-mode incremental]
     python -m aws_ipl_data_pipeline_spark sql "SELECT ..." \
         --table deliveries=P2 [--table g=path ...]
 
