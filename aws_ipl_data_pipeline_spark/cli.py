@@ -184,14 +184,25 @@ def cmd_gold(args) -> None:
             ppath = f"{args.out_dir}/_partials_{pname}"
             if affected and exists[pname]:
                 pdf = with_match_tombstones(pbuilder(scoped), affected_df)
+                write_partitioned(
+                    pdf, ppath, partition_by=["match"], mode="overwrite", fmt=tfmt
+                )
             else:
                 # bootstrap / full refresh: (re)build partials for every
                 # match in silver (a missing table must never be merged
-                # from a scoped rewrite — it would truncate gold)
-                pdf = pbuilder(silver)
-            write_partitioned(
-                pdf, ppath, partition_by=["match"], mode="overwrite", fmt=tfmt
-            )
+                # from a scoped rewrite — it would truncate gold). This
+                # write is STATIC — the refresh is authoritative, and a
+                # dynamic overwrite would keep the partition of any
+                # match retracted from silver since the last run (r8
+                # self-review: stale gold with value-level wrongness,
+                # exactly the class tombstones kill on the scoped path)
+                from aws_ipl_data_pipeline_spark.sources.writers import (
+                    overwrite_table,
+                )
+
+                overwrite_table(
+                    pbuilder(silver), ppath, partition_by=["match"], fmt=tfmt
+                )
             if tfmt == "parquet":
                 mark_success(spark, ppath)
         partials = {

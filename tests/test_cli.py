@@ -438,6 +438,17 @@ def test_cli_gold_incremental_equals_full(spark, tmp_path_factory):
     _gold(f"{base}/gold_inc", "incremental", affected=m0)
     _assert_equal(f"{base}/gold_full2", f"{base}/gold_inc")
 
+    # v4: retraction WITHOUT --affected-matches — the no-scope refresh
+    # must be authoritative: rebuild partials from v2 (m0 back, real
+    # rows), then refresh over v3 (m0 absent) with no scope. A dynamic
+    # overwrite would keep m0's stale partials partition and serve its
+    # numbers in gold (r8 self-review); the static refresh drops it.
+    _write_silver(silver_v2)
+    _gold(f"{base}/gold_inc", "incremental")
+    _write_silver(silver_v3)
+    _gold(f"{base}/gold_inc", "incremental")
+    _assert_equal(f"{base}/gold_full2", f"{base}/gold_inc")
+
     # a full-mode run over the incremental dir invalidates the partials
     # (mode-switch safety, same guard as the streaming branch)
     _gold(f"{base}/gold_inc", "full")
