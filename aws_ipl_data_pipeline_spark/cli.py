@@ -380,6 +380,14 @@ def cmd_prep(args) -> None:
                 "n_tokens",
                 F.size(F.split(normalized_text(args.text_col), " ")).cast("long"),
             )
+        if args.shard_col is None:
+            print(
+                "prep pack: no --shard-col — using the EXACT global"
+                " concat-then-chunk layout, which is a single-partition"
+                " prefix sum by construction; pass --shard-col for the"
+                " sharded layout on any corpus that doesn't fit one task",
+                file=sys.stderr,
+            )
         out = pack_sequences(
             df,
             budget=args.budget,

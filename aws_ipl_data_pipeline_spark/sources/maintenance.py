@@ -43,7 +43,9 @@ def data_file_count(spark: SparkSession, path: str) -> int:
     )
 
 
-def publish_atomically(df: DataFrame, path: str) -> None:
+def publish_atomically(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
     """Write ``df`` to a staging dir, then swap it into ``path`` with
     FS renames — readers see the old table or the new one, never a mix.
     (Rename is atomic on HDFS/local; on S3 it is copy-based but still
@@ -57,7 +59,10 @@ def publish_atomically(df: DataFrame, path: str) -> None:
     _, jbackup = _fs_and_path(spark, backup)
     fs.delete(jstaging, True)
     fs.delete(jbackup, True)
-    df.write.mode("overwrite").parquet(staging)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
     if fs.exists(jpath):
         if not fs.rename(jpath, jbackup):
             raise IOError(f"could not stage out old table at {path}")
@@ -156,14 +161,59 @@ def compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
-    """Rewrite the parquet table at ``path`` into ⌈bytes/target⌉
+    """Rewrite the parquet table at ``path`` into ~⌈bytes/target⌉
     evenly-sized files and atomically swap it in. Returns the new file
     count. Row-for-row identical content — only the file layout
-    changes."""
+    changes.
+
+    PARTITION-AWARE (r8): a hive-partitioned table (e.g. the
+    incremental-gold ``_partials_*`` tables, ``match=``-partitioned)
+    keeps its directory layout — partition columns are detected by
+    diffing the table schema against one data file's physical schema
+    (partition values live in dir names, not in the files), rows are
+    hash-clustered on the partition tuple plus a per-partition salt
+    sized from average row width (Delta OPTIMIZE's per-partition bin
+    packing, approximated), and the staged write re-applies
+    ``partitionBy``. The previous flat rewrite silently DESTROYED the
+    layout, breaking every downstream partition-pruned scan and
+    dynamic-overwrite writer on the table."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    files = [f for f in df.inputFiles() if "_SUCCESS" not in f]
+    if not files:
+        return 0
+    file_cols = set(spark.read.parquet(files[0]).columns)
+    pcols = [c for c in df.columns if c not in file_cols]
     total = table_bytes(spark, path)
     n = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path).repartition(n)
+    if not pcols:
+        out = spark.read.parquet(path).repartition(n)
+    else:
+        # per-partition file budget from row counts × average row width
+        # (exact per-dir byte stats would need fragile URI parsing of
+        # escaped partition values; row counts come from one cheap agg)
+        counts = df.groupBy(*pcols).agg(F.count("*").alias("_rows"))
+        total_rows = df.count()
+        bytes_per_row = total / max(1, total_rows)
+        counts = counts.withColumn(
+            "_k",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_rows") * F.lit(bytes_per_row / target_file_bytes)),
+            ).cast("int"),
+        )
+        data_cols = [c for c in df.columns if c not in pcols]
+        salt = (
+            F.pmod(F.xxhash64(*data_cols), F.col("_k")) if data_cols else F.lit(0)
+        )
+        out = (
+            df.join(F.broadcast(counts), pcols)
+            .withColumn("_salt", salt)
+            .repartition(n, *[F.col(c) for c in pcols], F.col("_salt"))
+            .drop("_rows", "_k", "_salt")
+        )
     # cut lineage from the path being replaced before the swap
-    df = df.localCheckpoint(eager=True)
-    publish_atomically(df, path)
+    out = out.localCheckpoint(eager=True)
+    publish_atomically(out, path, partition_by=pcols or None)
     return data_file_count(spark, path)

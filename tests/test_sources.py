@@ -601,3 +601,51 @@ def test_versioned_snapshots_compose_with_corpus_diff(spark, tmp_path):
     new = read_snapshot(spark, path)  # latest
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_compaction_preserves_partition_layout(spark, tmp_path_factory):
+    """r8: compacting a hive-partitioned table (the incremental-gold
+    partials shape) must keep the partition directory layout — the flat
+    rewrite it replaced silently destroyed it — shrink the per-partition
+    file count, keep rows identical, and leave the table writable by
+    the dynamic-overwrite path that maintains it."""
+    import os
+
+    from aws_ipl_data_pipeline_spark.sources.maintenance import (
+        compact,
+        data_file_count,
+    )
+    from aws_ipl_data_pipeline_spark.sources.writers import write_partitioned
+
+    path = str(tmp_path_factory.mktemp("compactp")) + "/t"
+    df = spark.range(9_000).selectExpr(
+        "CONCAT('m', CAST(id % 3 AS STRING)) AS match",
+        "id",
+        "md5(CAST(id AS STRING)) AS payload",
+    )
+    # many small files per partition: 3 partitions x 20 shuffle files
+    df.repartition(20).write.partitionBy("match").parquet(path)
+    assert data_file_count(spark, path) == 60
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).select("match", "id", "payload").collect()
+    )
+
+    n_after = compact(spark, path, target_file_bytes=1 << 30)
+    assert n_after <= 3  # at most one file per partition at this size
+    # layout preserved: the match= dirs still exist, no flat files
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("match="))
+    assert dirs == ["match=m0", "match=m1", "match=m2"]
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(path).select("match", "id", "payload").collect()
+    )
+    assert after == before
+
+    # the table is still maintainable by dynamic partition overwrite:
+    # replace one partition, neighbors keep their compacted content
+    repl = spark.range(5).selectExpr(
+        "'m1' AS match", "id + 100000 AS id", "md5('x') AS payload"
+    )
+    write_partitioned(repl, path, partition_by=["match"], mode="overwrite", fmt="parquet")
+    got = spark.read.parquet(path)
+    assert got.where("match = 'm1'").count() == 5
+    assert got.where("match != 'm1'").count() == 6_000

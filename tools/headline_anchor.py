@@ -38,6 +38,10 @@ def main() -> None:
     SW.build_tpch(spark, 10, ten)
     dirs = {"1x": SW.BASE, "10x": ten}
 
+    from bench import _calib_once  # fixed-shape box-noise probe (r8)
+
+    _calib_once(spark)  # warm the probe's own codegen
+    calib: list[float] = []
     best: dict[str, dict[str, float]] = {q: {} for q in HEADLINE}
     for it in range(iters):
         for name in HEADLINE:
@@ -49,7 +53,8 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 cur = best[name].get(label)
                 best[name][label] = dt if cur is None or dt < cur else cur
-        print(f"iter {it + 1}/{iters} done", file=sys.stderr)
+        calib.append(round(_calib_once(spark), 3))
+        print(f"iter {it + 1}/{iters} done (calib {calib[-1]}s)", file=sys.stderr)
 
     print("| query | 1x (s) | 10x (s) | growth |")
     print("|---|---|---|---|")
@@ -61,6 +66,7 @@ def main() -> None:
         note = " (sf-independent IPL fixtures)" if name in SF_INDEPENDENT else ""
         print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x{note} |")
     print(f"| **total** | **{t1:.2f}** | **{t10:.2f}** | **{t10 / t1:.1f}x** |")
+    print(f"calib probe per iter: {calib}")
 
 
 if __name__ == "__main__":
