@@ -65,3 +65,43 @@ def pack_sequences(
             "pack_offset"
         ),
     )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-minimizing batch
+    layout for non-packed LLM training/inference: within each shard,
+    docs are ranked by descending token count (unique ``id_col``
+    tiebreak) and chunked into fixed ``batch_size`` batches, so each
+    batch holds near-equal-length docs and pads to its own max instead
+    of the corpus max. Output adds ``batch_id``, ``batch_max_tokens``
+    (the batch's padded width) and ``pad_waste`` (tokens of padding
+    this doc costs at that width).
+
+    Scale shape: two keyed exchanges (shard; shard+batch) — per-shard
+    windows bounded by shard size, never a global sort; shard by a
+    finer key when a single shard outgrows one task's sort budget (the
+    same contract as shuffle_shards/pack_sequences)."""
+    rn_w = Window.partitionBy(shard_col).orderBy(
+        F.col(tokens_col).desc(), F.col(id_col)
+    )
+    out = (
+        docs.withColumn("_rn", F.row_number().over(rn_w))
+        .withColumn(
+            "batch_id",
+            F.floor((F.col("_rn") - 1) / batch_size).cast("long"),
+        )
+        .drop("_rn")
+    )
+    bmax_w = Window.partitionBy(shard_col, "batch_id")
+    return out.withColumn(
+        "batch_max_tokens", F.max(tokens_col).over(bmax_w).cast("long")
+    ).withColumn(
+        "pad_waste",
+        (F.col("batch_max_tokens") - F.col(tokens_col)).cast("long"),
+    )

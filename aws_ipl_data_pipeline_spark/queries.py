@@ -3044,6 +3044,62 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_bucketed_batches",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id
+             ) AS rn
+      FROM toks
+    ),
+    batched AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(FLOOR((rn - 1) / 32) AS BIGINT) AS batch_id
+      FROM ranked
+    )
+    SELECT doc_id, source, n_tokens, batch_id,
+           CAST(MAX(n_tokens) OVER (PARTITION BY source, batch_id)
+             AS BIGINT) AS batch_max_tokens,
+           CAST(MAX(n_tokens) OVER (PARTITION BY source, batch_id)
+             - n_tokens AS BIGINT) AS pad_waste
+    FROM batched
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (r8-new LLM-prep surface): within each
+    source shard, rank docs by descending token count and chunk into
+    fixed 32-doc batches, so every batch pads to ITS max length rather
+    than the corpus max — the standard padding-waste reducer for
+    non-packed training/inference batching (the packed alternative is
+    `sequence_packing`). Emits each doc's batch, the batch's padded
+    width, and the doc's padding cost at that width. Two keyed
+    exchanges (source; source+batch), per-shard windows bounded by
+    shard size — no global sort at any scale."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.packing import (
+        length_bucketed_batches as lbb,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(normalized_text("text"), " "), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    return lbb(toks, batch_size=32)
+
+
+@register(
     "quality_weighted_sample",
     """
     WITH q AS (
@@ -7742,7 +7798,10 @@ _DRIVER_FIRST = [
     # exact global layout re-registered as `sequence_packing_global`
     "sequence_packing",
     "sequence_packing_global",
-    # r8 slots 40-50: refresh of the 11 alphabetically-first rows whose
+    # r8 slot 40: new this round (rotation rule 2) — length-bucketed
+    # batch assignment, the padding-minimizing non-packed batch layout
+    "length_bucketed_batches",
+    # r8 slots 41-50: refresh of the 10 alphabetically-first rows whose
     # newest driver row is r5
     "ann_ivfpq_topk_reranked",
     "ann_pq_topk_reranked",
@@ -7754,10 +7813,10 @@ _DRIVER_FIRST = [
     "conditional_agg",
     "corpus_drift_psi",
     "corpus_snapshot_diff",
-    "curriculum_order",
     # past slot 50 from here — the r9 refresh queue, stalest first: the
     # remaining r5 rows alphabetically, then r6/r7 sets in registration
     # order via _reorder_registry
+    "curriculum_order",
     "date_battery",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf",

@@ -173,6 +173,7 @@ ROUND7 = [
 ROUND8 = [
     "sequence_packing",
     "sequence_packing_global",
+    "length_bucketed_batches",
 ]
 
 
