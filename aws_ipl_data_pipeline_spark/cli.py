@@ -142,6 +142,10 @@ def cmd_gold(args) -> None:
         write_partitioned,
     )
 
+    if getattr(args, "affected_matches", None) and args.gold_mode != "incremental":
+        # a scope flag silently ignored under full mode would read as
+        # "only these matches were recomputed" when everything was
+        sys.exit("--affected-matches requires --gold-mode incremental")
     spark = _spark("gold")
     tfmt = "delta" if HAVE_DELTA else "parquet"
     # same-format read-back as cmd_silver's write (ADVICE r7, high);

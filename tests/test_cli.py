@@ -518,3 +518,10 @@ def test_cli_silver_replace_where_guards(spark, tmp_path_factory):
     # the other matches' partitions survive untouched
     for m in matches[1:]:
         assert os.path.isdir(f"{base}/silver/match={m}")
+
+
+def test_cli_gold_affected_requires_incremental(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("cligguard"))
+    with pytest.raises(SystemExit):
+        main(["gold", "--silver", f"{base}/nope", "--out-dir", f"{base}/g",
+              "--affected-matches", "m1"])
