@@ -851,3 +851,52 @@ def test_gold_partials_merge_equals_builders_on_random_silver(rows):
 
     for name, (pname, finisher) in GOLD_FROM_PARTIALS.items():
         assert canon(finisher(partials[pname])) == canon(builders[name](silver)), name
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000),  # doc_id
+            st.integers(0, 3),       # shard
+            st.integers(0, 5_000),   # n_tokens
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 4, 32]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_length_bucketed_batches_invariants(rows, batch_size):
+    """Length-bucketed batching invariants for any doc/shard/length
+    multiset and batch size: every batch holds <= batch_size docs (and
+    only the last batch of a shard holds fewer), batch_max_tokens is
+    exactly the max length in the batch, pad_waste = batch_max - len,
+    and batches partition each shard's docs in descending length order
+    (every doc in batch b is >= every doc in batch b+1)."""
+    spark = _get_spark()
+    from aws_ipl_data_pipeline_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, source int, n_tokens long")
+    got = length_bucketed_batches(
+        docs, batch_size=batch_size, shard_col="source"
+    ).collect()
+    assert len(got) == len(rows)
+    by_batch: dict[tuple, list] = {}
+    for r in got:
+        assert r["pad_waste"] == r["batch_max_tokens"] - r["n_tokens"]
+        by_batch.setdefault((r["source"], r["batch_id"]), []).append(r)
+    for (shard, bid), rs in by_batch.items():
+        assert len(rs) <= batch_size
+        assert max(x["n_tokens"] for x in rs) == rs[0]["batch_max_tokens"]
+        assert all(x["batch_max_tokens"] == rs[0]["batch_max_tokens"] for x in rs)
+        nxt = by_batch.get((shard, bid + 1))
+        if nxt is not None:
+            # a non-final batch is exactly full, and strictly ordered
+            # ahead of the next batch
+            assert len(rs) == batch_size
+            assert min(x["n_tokens"] for x in rs) >= max(
+                x["n_tokens"] for x in nxt
+            )
