@@ -135,12 +135,7 @@ def cmd_gold(args) -> None:
 
     from aws_ipl_data_pipeline_spark.schemas import SILVER_DELIVERIES
     from aws_ipl_data_pipeline_spark.sources.readers import read_table
-    from aws_ipl_data_pipeline_spark.sources.writers import (
-        HAVE_DELTA,
-        delete_path,
-        mark_success,
-        write_partitioned,
-    )
+    from aws_ipl_data_pipeline_spark.sources.writers import HAVE_DELTA, delete_path
 
     if getattr(args, "affected_matches", None) and args.gold_mode != "incremental":
         # a scope flag silently ignored under full mode would read as
@@ -162,6 +157,7 @@ def cmd_gold(args) -> None:
             GOLD_FROM_PARTIALS,
             PARTIAL_BUILDERS,
             with_match_tombstones,
+            write_partials,
         )
         from aws_ipl_data_pipeline_spark.sources.readers import table_exists
 
@@ -188,27 +184,16 @@ def cmd_gold(args) -> None:
             ppath = f"{args.out_dir}/_partials_{pname}"
             if affected and exists[pname]:
                 pdf = with_match_tombstones(pbuilder(scoped), affected_df)
-                write_partitioned(
-                    pdf, ppath, partition_by=["match"], mode="overwrite", fmt=tfmt
-                )
+                write_partials(pdf, ppath, scoped=True, fmt=tfmt)
             else:
                 # bootstrap / full refresh: (re)build partials for every
                 # match in silver (a missing table must never be merged
-                # from a scoped rewrite — it would truncate gold). This
-                # write is STATIC — the refresh is authoritative, and a
-                # dynamic overwrite would keep the partition of any
-                # match retracted from silver since the last run (r8
-                # self-review: stale gold with value-level wrongness,
-                # exactly the class tombstones kill on the scoped path)
-                from aws_ipl_data_pipeline_spark.sources.writers import (
-                    overwrite_table,
-                )
-
-                overwrite_table(
-                    pbuilder(silver), ppath, partition_by=["match"], fmt=tfmt
-                )
-            if tfmt == "parquet":
-                mark_success(spark, ppath)
+                # from a scoped rewrite — it would truncate gold);
+                # write_partials makes this write STATIC — the refresh
+                # is authoritative, and a dynamic overwrite would keep
+                # the partition of any match retracted from silver
+                # since the last run (r8 self-review)
+                write_partials(pbuilder(silver), ppath, scoped=False, fmt=tfmt)
         partials = {
             pname: read_table(spark, f"{args.out_dir}/_partials_{pname}", fmt=tfmt)
             for pname in PARTIAL_BUILDERS

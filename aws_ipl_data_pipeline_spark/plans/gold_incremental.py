@@ -164,6 +164,39 @@ def with_match_tombstones(pdf: DataFrame, matches: DataFrame) -> DataFrame:
     return pdf.unionByName(matches.select(*cols))
 
 
+def write_partials(pdf: DataFrame, ppath: str, scoped: bool, fmt: str) -> None:
+    """The ONE write policy for a partials table, shared by the
+    streaming branch and the CLI so the two cannot drift (r8):
+
+    - ``scoped`` (a rescrape's affected matches, tombstones already
+      applied): dynamic partition overwrite — per-match REPLACE,
+      neighbors untouched byte-for-byte.
+    - full bootstrap/refresh: STATIC overwrite — the rebuild is
+      authoritative, and a dynamic write would resurrect the partition
+      of any match retracted from silver since the state being
+      overwritten was written (stale-gold hazard; includes the
+      crash-debris case, where the existence probe routes to
+      re-bootstrap over a half-written table whose matches may no
+      longer all exist).
+
+    On parquet, stamps the commit marker the existence probe relies on
+    (partitioned writes leave no root _SUCCESS)."""
+    from aws_ipl_data_pipeline_spark.sources.writers import (
+        mark_success,
+        overwrite_table,
+        write_partitioned,
+    )
+
+    if scoped:
+        write_partitioned(
+            pdf, ppath, partition_by=["match"], mode="overwrite", fmt=fmt
+        )
+    else:
+        overwrite_table(pdf, ppath, partition_by=["match"], fmt=fmt)
+    if fmt == "parquet":
+        mark_success(pdf.sparkSession, ppath)
+
+
 # --------------------------------------------------------------------------
 # finishers: merge partials per key, then the SHARED ratio/rank stages
 # --------------------------------------------------------------------------

@@ -44,7 +44,6 @@ from aws_ipl_data_pipeline_spark.sources.readers import read_table
 from aws_ipl_data_pipeline_spark.sources.writers import (
     HAVE_DELTA,
     delete_path,
-    mark_success,
     partition_dir,
     upsert_by_key,
     write_partitioned,
@@ -211,6 +210,7 @@ def run_incremental_pipeline(
                 GOLD_FROM_PARTIALS,
                 PARTIAL_BUILDERS,
                 with_match_tombstones,
+                write_partials,
             )
             from aws_ipl_data_pipeline_spark.sources.readers import table_exists
 
@@ -254,20 +254,20 @@ def run_incremental_pipeline(
                 ppath = f"{gold_dir}/_partials_{pname}"
                 # table_exists (not a bare dir probe): a crashed
                 # bootstrap write leaves the dir without a _SUCCESS
-                # marker — the retry must re-bootstrap, not trust it
+                # marker — the retry must re-bootstrap, not trust it.
+                # write_partials (shared with the CLI, r8): scoped →
+                # dynamic per-match REPLACE; bootstrap → STATIC
+                # overwrite, so crash debris for since-retracted
+                # matches cannot survive the rebuild.
                 if exists[pname]:
                     pdf = with_match_tombstones(pbuilder(affected_silver), affected_df)
+                    write_partials(pdf, ppath, scoped=True, fmt=pfmt)
                 else:
                     # one-time full bootstrap (first incremental batch,
                     # or arriving from full mode / pre-existing silver)
-                    pdf = pbuilder(stored_silver)
-                write_partitioned(
-                    pdf, ppath, partition_by=["match"], mode="overwrite", fmt=pfmt
-                )
-                if pfmt == "parquet":
-                    # partitioned writes leave no root _SUCCESS; stamp
-                    # the commit marker the existence probe relies on
-                    mark_success(spark, ppath)
+                    write_partials(
+                        pbuilder(stored_silver), ppath, scoped=False, fmt=pfmt
+                    )
             partials = {
                 pname: read_table(spark, f"{gold_dir}/_partials_{pname}", fmt=pfmt)
                 for pname in PARTIAL_BUILDERS
