@@ -519,6 +519,26 @@ def test_cli_silver_replace_where_guards(spark, tmp_path_factory):
     for m in matches[1:]:
         assert os.path.isdir(f"{base}/silver/match={m}")
 
+    # no-predicate FULL rebuild is a static overwrite: a match vanished
+    # from bronze must vanish from silver too (dynamic overwrite would
+    # keep its stale directory)
+    m1 = matches[1]
+    spark.read.parquet(f"{base}/bronze2").where(
+        f"match != '{m1}'"
+    ).write.mode("overwrite").parquet(f"{base}/bronze3")
+    main(
+        [
+            "silver",
+            "--bronze", f"{base}/bronze3",
+            "--meta", f"{base}/meta",
+            "--players", f"{base}/players",
+            "--out", f"{base}/silver",
+        ]
+    )
+    assert not os.path.isdir(f"{base}/silver/match={m1}")
+    for m in matches[2:]:
+        assert os.path.isdir(f"{base}/silver/match={m}")
+
 
 def test_cli_gold_affected_requires_incremental(tmp_path_factory):
     base = str(tmp_path_factory.mktemp("cligguard"))
