@@ -7747,75 +7747,11 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r8 slots 1-34: ALL 34 queries whose newest driver row is r4
-    # (VERDICT r7 item 1 — newest-row audit over CORRECTNESS_r01..r07;
-    # 31 oracle-backed + the rows-only trio ann_ivfpq_topk /
-    # ann_pq_topk / datasketches_battery, each of which has an
-    # oracle-backed companion already green in later rounds). After the
-    # r8 driver run no query's newest row is older than r5.
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "datasketches_battery",
-    "ipl_standings_big",
-    "ipl_team_stats",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_pushdown",
-    "q22_dormant_customers",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "quality_classifier",
-    "random_projection_embed",
-    "recursive_date_spine",
-    "robust_outlier_stats",
-    "scd2_user_state",
-    "segment_dedup",
-    "semantic_chunking",
-    "seq_length_histogram",
-    "sessionize_events",
-    "source_mixing_temperature",
-    "stats_aggregates_battery",
-    "token_budget_mix",
-    "token_entropy",
-    "unpivot_measures",
-    "variant_props_extract",
-    "vocab_zipf_fit",
-    # r8 slots 35-37: the IPL medallion golden surface holds a seat
-    # every round (rotation rule 4 — the reference parity contract)
-    "ipl_bronze_fold",
-    "ipl_gold_e2e",
-    "ipl_standings",
-    # r8 slots 38-39: semantics changed this round (rotation rule 3 —
-    # driver re-proof): VERDICT r7 #4 flipped `sequence_packing` to the
-    # sharded scale-safe layout (its oracle moved with it) and the
-    # exact global layout re-registered as `sequence_packing_global`
-    "sequence_packing",
-    "sequence_packing_global",
-    # r8 slot 40: new this round (rotation rule 2) — length-bucketed
-    # batch assignment, the padding-minimizing non-packed batch layout
-    "length_bucketed_batches",
-    # r8 slots 41-50: refresh of the 10 alphabetically-first rows whose
-    # newest driver row is r5
-    "ann_ivfpq_topk_reranked",
-    "ann_pq_topk_reranked",
-    "anti_join_customers",
-    "asof_join_events",
-    "bm25_retrieval",
-    "broadcast_dim_revenue",
-    "composite_key_agg",
-    "conditional_agg",
-    "corpus_drift_psi",
-    "corpus_snapshot_diff",
-    # past slot 50 from here — the r9 refresh queue, stalest first: the
-    # remaining r5 rows alphabetically, then r6/r7 sets in registration
-    # order via _reorder_registry
+    # r9 slots 1-37: ALL 37 queries whose newest driver row is r5
+    # (VERDICT r8 item 1 — the recorded r9 refresh queue; newest-row
+    # audit over CORRECTNESS_r01..r08 recomputed this round:
+    # r5:37 / r6:44 / r7:46 / r8:50). After the r9 driver run no
+    # query's newest row is older than r6.
     "curriculum_order",
     "date_battery",
     "dedup_embedding_cosine",
@@ -7853,6 +7789,60 @@ _DRIVER_FIRST = [
     "string_battery",
     "top_customers_by_revenue",
     "winner_per_group",
+    # r9 slots 38-40: the IPL medallion golden surface holds a seat
+    # every round (rotation rule 4 — the reference parity contract)
+    "ipl_bronze_fold",
+    "ipl_gold_e2e",
+    "ipl_standings",
+    # r9 slots 41-50: refresh of the 10 alphabetically-first rows whose
+    # newest driver row is r6
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "ann_recall_eval",
+    "approx_distinct_counts",
+    "array_functions_battery",
+    "bigram_counts",
+    "bpe_merge_candidates",
+    "canonical_selection",
+    "chunk_then_pack",
+    "correlated_subquery",
+    # past slot 50 from here — the r10 refresh queue, stalest first:
+    # the remaining 34 r6 rows alphabetically, then the r7/r8 sets in
+    # registration order via _reorder_registry
+    "covisit_triangles",
+    "cube_pricing",
+    "data_quality_report",
+    "date_functions_battery",
+    "decontamination_overlap",
+    "deterministic_sample",
+    "document_chunking",
+    "embedding_centroid_assign",
+    "event_rate_anomalies",
+    "filter_in_list",
+    "filter_pattern",
+    "fuzzy_match_levenshtein",
+    "keyed_dedupe_first",
+    "kmeans_lloyd_oracle",
+    "lag_lookback",
+    "leakage_safe_split",
+    "media_frame_dedup",
+    "multi_key_sort_limit",
+    "multimodal_features",
+    "near_dup_chain_clusters",
+    "near_dup_clusters",
+    "near_dup_groups",
+    "pagerank_covisit",
+    "personalized_pagerank_covisit",
+    "running_totals",
+    "semantic_dedup_clusters",
+    "semantic_dedup_clusters_ivf",
+    "sliding_window",
+    "source_mixing",
+    "text_token_stats",
+    "time_rollup_hierarchy",
+    "training_shuffle_shards",
+    "tumbling_window",
+    "union_distinct",
 ]
 
 
