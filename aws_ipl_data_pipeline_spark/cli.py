@@ -296,11 +296,20 @@ def cmd_maintain(args) -> None:
     rewrite for data skipping."""
     from aws_ipl_data_pipeline_spark.sources.maintenance import (
         compact,
+        ensure_plain_parquet,
         write_sorted,
         write_zordered,
     )
 
     spark = _spark("maintain")
+    # VERDICT r8 #2: keep the read-format contract total over the
+    # maintenance surface — these ops read raw parquet and rewrite in
+    # place, which on a Delta table would double-count replaceWhere-
+    # superseded files and clobber _delta_log. Refuse, don't guess.
+    try:
+        ensure_plain_parquet(spark, args.path)
+    except ValueError as e:
+        sys.exit(str(e))
     if args.action == "compact":
         n = compact(spark, args.path, target_file_bytes=args.target_bytes)
         print(f"compacted {args.path} -> {n} files")

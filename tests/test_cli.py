@@ -397,7 +397,7 @@ def test_cli_gold_incremental_equals_full(spark, tmp_path_factory):
 
     def _write_silver(df):
         overwrite_table(
-            df, f"{base}/silver", partition_by=["match", "innings"], fmt="parquet"
+            df, f"{base}/silver", partition_by=["match", "innings"]
         )
 
     def _gold(out, mode, affected=None):

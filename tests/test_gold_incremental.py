@@ -257,7 +257,7 @@ def test_incremental_fat_partition_leaves_neighbors_byte_identical(
     ).drop("_rep")
     silver_v1 = silver.where(F.col("match") != m0).unionByName(fat)
     overwrite_table(
-        silver_v1, f"{base}/silver", partition_by=["match", "innings"], fmt="parquet"
+        silver_v1, f"{base}/silver", partition_by=["match", "innings"]
     )
 
     gold = f"{base}/gold"
@@ -288,7 +288,7 @@ def test_incremental_fat_partition_leaves_neighbors_byte_identical(
     ).drop("_rep")
     silver_v2 = silver.where(F.col("match") != m0).unionByName(fat_v2)
     overwrite_table(
-        silver_v2, f"{base}/silver", partition_by=["match", "innings"], fmt="parquet"
+        silver_v2, f"{base}/silver", partition_by=["match", "innings"]
     )
     main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
           "--gold-mode", "incremental", "--affected-matches", m0])

@@ -618,25 +618,36 @@ def test_compaction_preserves_partition_layout(spark, tmp_path_factory):
     from aws_ipl_data_pipeline_spark.sources.writers import write_partitioned
 
     path = str(tmp_path_factory.mktemp("compactp")) + "/t"
+    # partition m3 is NULL (written as __HIVE_DEFAULT_PARTITION__):
+    # ADVICE r8 — the per-partition count join must be null-safe or
+    # every null-partition row silently vanishes from the rewrite
     df = spark.range(9_000).selectExpr(
-        "CONCAT('m', CAST(id % 3 AS STRING)) AS match",
+        "IF(id % 4 = 3, NULL, CONCAT('m', CAST(id % 4 AS STRING))) AS match",
         "id",
         "md5(CAST(id AS STRING)) AS payload",
     )
-    # many small files per partition: 3 partitions x 20 shuffle files
+    # many small files per partition: 4 partitions x 20 shuffle files
     df.repartition(20).write.partitionBy("match").parquet(path)
-    assert data_file_count(spark, path) == 60
+    assert data_file_count(spark, path) == 80
     before = sorted(
-        tuple(r) for r in spark.read.parquet(path).select("match", "id", "payload").collect()
+        (r["match"] or "", r["id"], r["payload"])
+        for r in spark.read.parquet(path).select("match", "id", "payload").collect()
     )
+    assert sum(1 for m, _, _ in before if m == "") == 2_250  # null rows exist
 
     n_after = compact(spark, path, target_file_bytes=1 << 30)
-    assert n_after <= 3  # at most one file per partition at this size
+    assert n_after <= 4  # at most one file per partition at this size
     # layout preserved: the match= dirs still exist, no flat files
     dirs = sorted(d for d in os.listdir(path) if d.startswith("match="))
-    assert dirs == ["match=m0", "match=m1", "match=m2"]
+    assert dirs == [
+        "match=__HIVE_DEFAULT_PARTITION__",
+        "match=m0",
+        "match=m1",
+        "match=m2",
+    ]
     after = sorted(
-        tuple(r) for r in spark.read.parquet(path).select("match", "id", "payload").collect()
+        (r["match"] or "", r["id"], r["payload"])
+        for r in spark.read.parquet(path).select("match", "id", "payload").collect()
     )
     assert after == before
 
@@ -648,4 +659,83 @@ def test_compaction_preserves_partition_layout(spark, tmp_path_factory):
     write_partitioned(repl, path, partition_by=["match"], mode="overwrite", fmt="parquet")
     got = spark.read.parquet(path)
     assert got.where("match = 'm1'").count() == 5
-    assert got.where("match != 'm1'").count() == 6_000
+    # neighbors (incl. the null partition) keep their compacted content
+    assert got.where("match IS DISTINCT FROM 'm1'").count() == 6_750
+
+
+def test_maintenance_refuses_delta_table(spark, tmp_path_factory):
+    """VERDICT r8 #2: the maintenance surface reads raw parquet and
+    stage-swaps a parquet rewrite — pointed at a Delta table it would
+    double-count replaceWhere-superseded files and clobber _delta_log.
+    Every maintenance entry point must refuse a delta-marked dir
+    (mirror of test_cli_silver_replace_where_guards)."""
+    import os
+
+    import pytest
+
+    from aws_ipl_data_pipeline_spark.cli import main
+    from aws_ipl_data_pipeline_spark.sources.maintenance import (
+        compact,
+        data_file_count,
+        ensure_plain_parquet,
+    )
+
+    path = str(tmp_path_factory.mktemp("deltaguard")) + "/t"
+    spark.range(10).write.parquet(path)
+    ensure_plain_parquet(spark, path)  # plain parquet passes
+    os.makedirs(f"{path}/_delta_log")
+    with open(f"{path}/_delta_log/00000000000000000000.json", "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ValueError, match="_delta_log"):
+        compact(spark, path)
+    with pytest.raises(ValueError, match="_delta_log"):
+        data_file_count(spark, path)
+    # the CLI surface refuses too — all three actions share the guard
+    with pytest.raises(SystemExit):
+        main(["maintain", "sort", "--path", path, "--by", "id"])
+
+
+def test_compact_schema_evolution_and_value_fidelity(spark, tmp_path_factory):
+    """ADVICE r8: partition columns come from the directory structure —
+    under schema evolution (an old file missing a later-added data
+    column) the r8 schema-vs-one-file diff misclassified the new data
+    column as a partition key. Also pins value fidelity: a leading-zero
+    string partition value must survive the rewrite byte-identically
+    (partition-value type inference would retype '01' -> 1), and the
+    evolved column must survive (mergeSchema read)."""
+    from aws_ipl_data_pipeline_spark.sources.maintenance import (
+        compact,
+        partition_columns,
+    )
+
+    path = str(tmp_path_factory.mktemp("compactevo")) + "/t"
+    # generation 1: (id) only, partition '01' — leading zero
+    spark.range(100).selectExpr("'01' AS match", "id").repartition(7).write.partitionBy(
+        "match"
+    ).parquet(path)
+    # generation 2: adds data column `extra`, partition '02'
+    spark.range(100).selectExpr(
+        "'02' AS match", "id", "md5(CAST(id AS STRING)) AS extra"
+    ).repartition(7).write.mode("append").partitionBy("match").parquet(path)
+
+    assert partition_columns(spark, path) == ["match"]
+    before = sorted(
+        tuple(r)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("match", "id", "extra")
+        .collect()
+    )
+    compact(spark, path, target_file_bytes=1 << 30)
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if "=" in d)
+    assert dirs == ["match=01", "match=02"]  # values byte-identical
+    after = sorted(
+        tuple(r)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("match", "id", "extra")
+        .collect()
+    )
+    assert after == before

@@ -79,7 +79,7 @@ def build_silver(spark, n_matches: int, fat_rows: int, neighbor_rep: int = 1):
 
 def run_phase(spark, label: str, silver, silver_path: str, gold: str):
     overwrite_table(
-        silver, silver_path, partition_by=["match", "innings"], fmt="parquet"
+        silver, silver_path, partition_by=["match", "innings"]
     )
     t0 = time.perf_counter()
     cli(["gold", "--silver", silver_path, "--out-dir", gold,
