@@ -83,10 +83,14 @@ def length_bucketed_batches(
     (the batch's padded width) and ``pad_waste`` (tokens of padding
     this doc costs at that width).
 
-    Scale shape: two keyed exchanges (shard; shard+batch) — per-shard
-    windows bounded by shard size, never a global sort; shard by a
-    finer key when a single shard outgrows one task's sort budget (the
-    same contract as shuffle_shards/pack_sequences)."""
+    Scale shape: ONE keyed exchange, on the shard key — the batch-max
+    window's ClusteredDistribution(shard, batch_id) is already satisfied
+    by hashpartitioning(shard) (a subset of the clustering keys), so
+    Catalyst reuses the rank window's exchange (pinned in
+    tests/test_plans.py::test_length_bucketed_batches_one_shard_exchange).
+    Per-shard windows bounded by shard size, never a global sort; shard
+    by a finer key when a single shard outgrows one task's sort budget
+    (the same contract as shuffle_shards/pack_sequences)."""
     rn_w = Window.partitionBy(shard_col).orderBy(
         F.col(tokens_col).desc(), F.col(id_col)
     )

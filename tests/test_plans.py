@@ -634,6 +634,19 @@ def test_sequence_packing_default_is_sharded(spark):
     assert re.search(r"hashpartitioning\(source", p)
 
 
+def test_length_bucketed_batches_one_shard_exchange(spark):
+    """VERDICT r8 #6: the batch-max window's (shard, batch_id)
+    clustering is satisfied by the rank window's hashpartitioning(shard)
+    — shard is a subset of the clustering keys — so the whole layout
+    costs exactly ONE keyed exchange and never a single-partition
+    window. A second exchange appearing here means the window specs
+    drifted apart (e.g. the batch-max window lost the shard prefix)."""
+    p = formatted_plan(spark, "length_bucketed_batches")
+    assert "SinglePartition" not in p
+    assert re.search(r"hashpartitioning\(source", p)
+    assert _nodes(p, "Exchange") == 1
+
+
 def test_topk_windows_run_on_bounded_prefix(spark):
     """VERDICT r6 #1-#3: rank_topk / slice_rows / vocab_coverage_curve
     must take the top-k FIRST (TakeOrderedAndProject — per-partition
