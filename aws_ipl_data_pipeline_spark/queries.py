@@ -3872,6 +3872,86 @@ def datasketches_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "theta_sketch_exact_battery",
+    """
+    WITH b AS (
+      SELECT l_returnflag, l_partkey % 3000 AS bkt
+      FROM lineitem WHERE l_quantity <= 3
+    ),
+    a AS (SELECT DISTINCT bkt FROM b WHERE l_returnflag = 'A')
+    SELECT l_returnflag,
+      COUNT(DISTINCT bkt) AS theta_distinct,
+      COUNT(DISTINCT bkt) AS theta_merged_distinct,
+      COUNT(DISTINCT CASE WHEN bkt IN (SELECT bkt FROM a) THEN bkt END)
+        AS theta_common_with_a,
+      COUNT(DISTINCT CASE WHEN bkt NOT IN (SELECT bkt FROM a) THEN bkt END)
+        AS theta_only_here
+    FROM b GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def theta_sketch_exact_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra in the EXACT regime — the oracle-backed
+    companion to `datasketches_battery` (VERDICT r8 #8): below
+    saturation (default lgK=12 → 4096 retained hashes; the bucketed key
+    is hard-bounded at 3000 distinct, so this holds at EVERY sf) a
+    theta sketch keeps every hash with theta=1, making estimate, union,
+    intersection and a-not-b difference all integer-exact — so DuckDB's
+    COUNT(DISTINCT …) is a bit-exact oracle. theta_merged_distinct
+    re-derives the per-flag count by UNIONING per-(flag, linestatus)
+    sub-sketches (`theta_union_agg`): the mergeability contract that
+    makes sketches THE 100 TB path (per-partition sketch + combiner
+    merge, no raw-row distinct shuffle). Estimation-mode accuracy
+    (beyond saturation) stays pytest-bounds-checked in
+    tests/test_operators.py — impl-specific estimates can never hash-
+    match a foreign engine, which is why `datasketches_battery` itself
+    is rows-only by design.
+
+    Scale shape: two keyed sketch aggs + one keyless agg broadcast back
+    (the flag-'A' reference sketch — the one sanctioned BNLJ); sketches
+    partial-aggregate map-side, so only k·|groups| sketch bytes ever
+    shuffle."""
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") <= 3)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.pmod("l_partkey", F.lit(3000)).alias("bkt"),
+        )
+    )
+    per = b.groupBy("l_returnflag").agg(F.theta_sketch_agg("bkt").alias("sk"))
+    merged = (
+        b.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.theta_sketch_agg("bkt").alias("sk"))
+        .groupBy("l_returnflag")
+        .agg(F.theta_union_agg("sk").alias("msk"))
+    )
+    # keyless agg → bounded BNLJ build side (tests/test_plans.py gate)
+    ask = (
+        b.where(F.col("l_returnflag") == "A")
+        .agg(F.theta_sketch_agg("bkt").alias("ask"))
+    )
+    return (
+        per.join(merged, "l_returnflag")
+        .crossJoin(F.broadcast(ask))
+        .select(
+            "l_returnflag",
+            F.theta_sketch_estimate("sk").cast("long").alias("theta_distinct"),
+            F.theta_sketch_estimate("msk")
+            .cast("long")
+            .alias("theta_merged_distinct"),
+            F.theta_sketch_estimate(F.theta_intersection("sk", "ask"))
+            .cast("long")
+            .alias("theta_common_with_a"),
+            F.theta_sketch_estimate(F.theta_difference("sk", "ask"))
+            .cast("long")
+            .alias("theta_only_here"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register("kmeans_lloyd")  # rows-only: iterative fixpoint, not SQL-expressible
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Lloyd k-means (operators/clustering.py): assign → skinny
@@ -7805,10 +7885,14 @@ _DRIVER_FIRST = [
     "bpe_merge_candidates",
     "canonical_selection",
     "chunk_then_pack",
-    "correlated_subquery",
+    # r9 slot 50: new this round (rotation rule 2) — the oracle-backed
+    # exact-regime companion to the rows-only datasketches_battery
+    "theta_sketch_exact_battery",
     # past slot 50 from here — the r10 refresh queue, stalest first:
-    # the remaining 34 r6 rows alphabetically, then the r7/r8 sets in
-    # registration order via _reorder_registry
+    # the r6 row displaced by the r9-new query, the remaining 34 r6
+    # rows alphabetically, then the r7/r8 sets in registration order
+    # via _reorder_registry
+    "correlated_subquery",
     "covisit_triangles",
     "cube_pricing",
     "data_quality_report",

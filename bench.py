@@ -176,6 +176,12 @@ ROUND8 = [
     "length_bucketed_batches",
 ]
 
+# round-9 additions (the theta exact-regime oracle companion): same
+# frozen-set policy
+ROUND9 = [
+    "theta_sketch_exact_battery",
+]
+
 
 def _calib_once(spark) -> float:
     """One reading of the FIXED calibration probe: constant synthetic
@@ -299,6 +305,7 @@ def main() -> None:
     round6 = time_set(ROUND6, "round6")
     round7 = time_set(ROUND7, "round7")
     round8 = time_set(ROUND8, "round8")
+    round9 = time_set(ROUND9, "round9")
 
     calib_series.append(round(_calib_once(spark), 3))
     try:
@@ -327,6 +334,7 @@ def main() -> None:
         "queries_round6": round6,
         "queries_round7": round7,
         "queries_round8": round8,
+        "queries_round9": round9,
         "calib_series": calib_series,
         "calib": calib,
         "loadavg_start": load_start,
@@ -338,6 +346,16 @@ def main() -> None:
     with open("BENCH_FULL.json", "w") as fh:
         json.dump(full, fh, indent=1)
     print("full breakdown written to BENCH_FULL.json", file=sys.stderr)
+    # per-query MEDIANS for the 5 heaviest queries (VERDICT r8 #7):
+    # best-of-N alone can't distinguish a steady-state regression from
+    # one lucky reading; best + median in the recorded artifact makes a
+    # single-round swing diagnosable without a local re-run. Only the
+    # heavy tail goes to stdout (~150 bytes) — the full median map stays
+    # in BENCH_FULL.json
+    med5 = {
+        name: medians[name]
+        for name in sorted(timings, key=timings.get, reverse=True)[:5]
+    }
     # stdout contract: ONE compact JSON line, bounded by the frozen
     # 24-query headline set so it always fits the driver's tail capture
     print(
@@ -347,6 +365,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "median5": med5,
                 "calib": calib,
                 "iters": iters,
                 "sf": sf,

@@ -706,6 +706,7 @@ BNLJ_OK = (
     "token_budget_mix",
     "curriculum_order",
     "hybrid_rank_fusion",  # post-limit fused frame + 1-row norms
+    "theta_sketch_exact_battery",  # 1-row keyless-agg reference sketch
 )
 
 # Structural evidence that a broadcast side cannot grow with the data:
