@@ -7,17 +7,21 @@ gold table into per-(match, key) PARTIAL aggregates:
 
   silver (per-delivery, huge)
     → match partials (one row per key per match — ~|players per match|
-      rows per match, partitioned by match)
+      rows per match; stored hash-BUCKETED by match, 256 dirs at any
+      match count — see match_bucket_col for the r9 measurement that
+      retired the per-match layout)
     → gold (merge partials per key + the shared finishers in
       plans/gold.py)
 
-On a micro-batch only the affected matches' partial partitions are
-recomputed (from the batch's silver rows, already in memory) and
-dynamically overwritten — per-match REPLACE, not keyed upsert, so a
-rescrape that drops a player also drops their stale partial row. The
-final merge then scans the skinny partials table, never silver: per
-batch cost is O(batch deliveries) + O(#keys × #matches), independent
-of total silver size.
+On a micro-batch only the affected matches' partials are recomputed
+(from the batch's silver rows, already in memory) and their BUCKETS
+dynamically overwritten — bucket REPLACE carrying sibling matches'
+rows through (write_partials), not keyed upsert, so a rescrape that
+drops a player also drops their stale partial row. The final merge
+then scans the skinny partials table, never silver: per batch cost is
+O(batch deliveries) + O(#keys × #matches), independent of total
+silver size — and the partials scan lists O(256) directories, not
+O(#matches).
 
 Exactness: every partial is an integer sum/count (silver flags and run
 columns are ints), so two-level aggregation is bit-identical to the
@@ -142,17 +146,41 @@ def team_match_partials(silver: DataFrame) -> DataFrame:
     )
 
 
+MATCH_BUCKETS = 256
+
+
+def match_bucket_col():
+    """Partition key of the on-disk partials tables: a hash bucket of
+    the match id (``xxhash64(match) % 256``). Partitioning partials BY
+    MATCH (the r7/r8 layout) costs O(#matches) directories, and a
+    hive file index lists every directory before pruning — measured r9
+    (SCALE.md): at 4000 matches each full partials read paid ~8-12 s
+    of pure listing (the table held 8k rows), 5.5× the whole 1×
+    per-batch cost, and compaction couldn't help because bootstrap
+    already writes ~1 file per dir. Bucketing bounds the directory
+    count at 256 forever; the replace unit coarsens from match to
+    bucket, which ``write_partials`` preserves by carrying sibling
+    matches' rows through every scoped rewrite (skinny rows — partials
+    are O(keys) per match, so a bucket rewrite is O(matches/256 ×
+    keys), never O(deliveries))."""
+    return F.pmod(F.xxhash64(F.col("match")), F.lit(MATCH_BUCKETS)).cast("int")
+
+
 def with_match_tombstones(pdf: DataFrame, matches: DataFrame) -> DataFrame:
     """Union one null-key tombstone row per affected match into a
     partials frame (`matches`: single column ``match``). Dynamic
     partition overwrite replaces only the partitions PRESENT in the
     written frame — so a rescraped match whose new scrape yields zero
     partial rows for a builder (e.g. every batsman became the N/A
-    sentinel) would silently keep its stale partition. The tombstone
-    guarantees every affected match's partition is rewritten (possibly
-    to just the tombstone); finishers ignore tombstones by
-    construction: key columns are null (batch keys pass not_na, never
-    null) and presence flags are False."""
+    sentinel) would silently keep its stale rows. The tombstone
+    guarantees every affected match's bucket partition is rewritten
+    (possibly to just the tombstone plus its sibling matches' rows);
+    finishers ignore tombstones by construction: key columns are null
+    (batch keys pass not_na, never null) and presence flags are False.
+    Repeated rescrapes cannot accumulate tombstones: the sibling
+    read-back in ``write_partials`` anti-joins the affected matches,
+    which drops an affected match's previous tombstone before the new
+    one lands — at most one per match ever rescraped."""
     cols = []
     for f in pdf.schema.fields:
         if f.name == "match":
@@ -164,15 +192,30 @@ def with_match_tombstones(pdf: DataFrame, matches: DataFrame) -> DataFrame:
     return pdf.unionByName(matches.select(*cols))
 
 
-def write_partials(pdf: DataFrame, ppath: str, scoped: bool, fmt: str) -> None:
+def write_partials(
+    pdf: DataFrame,
+    ppath: str,
+    scoped: bool,
+    fmt: str,
+    affected_matches: DataFrame | None = None,
+) -> None:
     """The ONE write policy for a partials table, shared by the
-    streaming branch and the CLI so the two cannot drift (r8):
+    streaming branch and the CLI so the two cannot drift (r8). Layout
+    (r9): hash-bucketed by ``match_bucket_col()`` — 256 directories at
+    any match count (see its docstring for the measured O(#dirs)
+    listing cliff this bounds).
 
     - ``scoped`` (a rescrape's affected matches, tombstones already
-      applied): dynamic partition overwrite — per-match REPLACE,
-      neighbors untouched byte-for-byte.
+      applied; requires ``affected_matches``): the replace unit is the
+      match BUCKET — the affected buckets' frame is the new partials
+      UNIONed with the read-back rows of every sibling match sharing
+      those buckets (anti-joined on the affected matches, which also
+      retires their previous tombstones), then a dynamic partition
+      overwrite. Buckets outside the affected set stay untouched
+      byte-for-byte; sibling rows inside them are rewritten with
+      identical content.
     - full bootstrap/refresh: STATIC overwrite — the rebuild is
-      authoritative, and a dynamic write would resurrect the partition
+      authoritative, and a dynamic write would resurrect the bucket
       of any match retracted from silver since the state being
       overwritten was written (stale-gold hazard; includes the
       crash-debris case, where the existence probe routes to
@@ -181,20 +224,43 @@ def write_partials(pdf: DataFrame, ppath: str, scoped: bool, fmt: str) -> None:
 
     On parquet, stamps the commit marker the existence probe relies on
     (partitioned writes leave no root _SUCCESS)."""
+    from aws_ipl_data_pipeline_spark.sources.readers import read_table
     from aws_ipl_data_pipeline_spark.sources.writers import (
         mark_success,
         overwrite_table,
         write_partitioned,
     )
 
+    spark = pdf.sparkSession
+    pdf = pdf.withColumn("mbucket", match_bucket_col())
     if scoped:
+        if affected_matches is None:
+            raise ValueError("scoped write_partials requires affected_matches")
+        # bounded driver collect: one int per affected match (the same
+        # sanctioned class as the affected-match-id collects upstream);
+        # literal IN list so the bucket scan partition-prunes
+        buckets = [
+            r[0]
+            for r in affected_matches.select(match_bucket_col().alias("b"))
+            .distinct()
+            .collect()
+        ]
+        siblings = (
+            read_table(spark, ppath, fmt=fmt)
+            .where(F.col("mbucket").isin(buckets))
+            .join(affected_matches, "match", "left_anti")
+        )
+        # eager checkpoint: the union reads the very partitions the
+        # write below replaces — without cutting lineage the overwrite
+        # would consume its own output path
+        pdf = pdf.unionByName(siblings).localCheckpoint(eager=True)
         write_partitioned(
-            pdf, ppath, partition_by=["match"], mode="overwrite", fmt=fmt
+            pdf, ppath, partition_by=["mbucket"], mode="overwrite", fmt=fmt
         )
     else:
-        overwrite_table(pdf, ppath, partition_by=["match"], fmt=fmt)
+        overwrite_table(pdf, ppath, partition_by=["mbucket"], fmt=fmt)
     if fmt == "parquet":
-        mark_success(pdf.sparkSession, ppath)
+        mark_success(spark, ppath)
 
 
 # --------------------------------------------------------------------------

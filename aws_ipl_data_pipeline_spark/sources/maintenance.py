@@ -299,5 +299,17 @@ def compact(
         out = out.localCheckpoint(eager=True)
     finally:
         spark.conf.set(infer_key, infer_old)
+    # a state table's commit marker (writers.mark_success — partitioned
+    # writes leave no root _SUCCESS) must survive the swap: losing it
+    # makes every downstream existence probe read the table as
+    # crash-debris and re-bootstrap — silently CORRECT output at
+    # O(table) cost per batch, the worst failure mode to debug. Pinned
+    # by tests/test_gold_incremental.py::test_partials_compaction.
+    fs, jmarker = _fs_and_path(spark, path.rstrip("/") + "/_SUCCESS")
+    had_marker = fs.exists(jmarker)
     publish_atomically(out, path, partition_by=pcols or None)
+    if had_marker:
+        from aws_ipl_data_pipeline_spark.sources.writers import mark_success
+
+        mark_success(spark, path)
     return data_file_count(spark, path)

@@ -147,6 +147,49 @@ def read_table(
     return reader.load(path)
 
 
+def read_partition_dirs(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Scoped read of named partitions WITHOUT listing the table root.
+
+    A hive-partitioned table's file index lists every partition
+    directory before pruning — O(#partitions) driver/listing work even
+    when the query touches one partition (measured r9: a 1-match read
+    of a 4000-match silver costs ~7 s via `.where(...)`, 0.16 s via
+    direct dirs). On parquet, read exactly the requested partition
+    dirs with ``basePath`` (partition column still materializes);
+    missing dirs — e.g. a retraction-only rescrape whose match was
+    deleted from silver — contribute zero rows, matching the filter
+    form. Delta prunes from the transaction log, so the filter form is
+    already cheap there."""
+    if fmt == "delta":
+        return read_table(spark, path, fmt=fmt).where(F.col(col).isin(values))
+    from aws_ipl_data_pipeline_spark.sources.writers import partition_dir
+
+    paths = [
+        p
+        for p in (
+            f"{path}/{partition_dir(spark, col, v)}" for v in values
+        )
+        if path_exists(spark, p)
+    ]
+    if not paths:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        # no schema and nothing on disk: fall back to the (empty)
+        # filter form so the caller still gets the table's columns
+        return read_table(spark, path, fmt=fmt).where(F.col(col).isin(values))
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan (beyond the reference's formats — ships in-box with
     Spark). Columnar like parquet: column pruning and predicate pushdown

@@ -221,11 +221,6 @@ def run_incremental_pipeline(
             # of a delta dir would double-count superseded files
             # (r7 third review)
             pfmt = tfmt
-            # same-format silver read-back as the full branch (a
-            # parquet read of a Delta silver would corrupt the partials
-            # bootstrap); schema pin guards parquet partition-value
-            # inference from retyping `match`
-            stored_silver = read_table(spark, silver_path, fmt=tfmt, schema=silver.schema)
             # probe all three tables BEFORE materializing anything: the
             # affected-partition checkpoint is only consumed on the
             # incremental path, and bootstrap batches (all tables
@@ -242,7 +237,21 @@ def run_incremental_pipeline(
                 )
                 for pname in PARTIAL_BUILDERS
             }
-            affected_silver = stored_silver.where(F.col("match").isin(affected))
+            # scoped silver read-back: direct partition dirs (r9) —
+            # the `.where(match.isin(...))` form lists every silver
+            # partition dir before pruning, O(#matches) per batch;
+            # the direct read lists only the affected matches' dirs.
+            # Same format contract as the full branch (a parquet read
+            # of a Delta silver would double-count superseded files);
+            # schema pin guards parquet partition-value inference.
+            from aws_ipl_data_pipeline_spark.sources.readers import (
+                read_partition_dirs,
+            )
+
+            affected_silver = read_partition_dirs(
+                spark, silver_path, "match", affected,
+                fmt=tfmt, schema=silver.schema,
+            )
             if any(exists.values()):
                 # one materialized scan feeds all three partial
                 # builders (team alone consumes it 3×)
@@ -250,23 +259,38 @@ def run_incremental_pipeline(
             affected_df = spark.createDataFrame(
                 [(m,) for m in affected], "match string"
             )
+            # full silver read-back, bootstrap-only and built at most
+            # once (its relation construction lists every silver dir)
+            _stored: dict = {}
+
+            def stored_silver():
+                if "df" not in _stored:
+                    _stored["df"] = read_table(
+                        spark, silver_path, fmt=tfmt, schema=silver.schema
+                    )
+                return _stored["df"]
+
             for pname, pbuilder in PARTIAL_BUILDERS.items():
                 ppath = f"{gold_dir}/_partials_{pname}"
                 # table_exists (not a bare dir probe): a crashed
                 # bootstrap write leaves the dir without a _SUCCESS
                 # marker — the retry must re-bootstrap, not trust it.
                 # write_partials (shared with the CLI, r8): scoped →
-                # dynamic per-match REPLACE; bootstrap → STATIC
+                # dynamic bucket REPLACE carrying sibling matches
+                # through (r9 bucketed layout); bootstrap → STATIC
                 # overwrite, so crash debris for since-retracted
                 # matches cannot survive the rebuild.
                 if exists[pname]:
                     pdf = with_match_tombstones(pbuilder(affected_silver), affected_df)
-                    write_partials(pdf, ppath, scoped=True, fmt=pfmt)
+                    write_partials(
+                        pdf, ppath, scoped=True, fmt=pfmt,
+                        affected_matches=affected_df,
+                    )
                 else:
                     # one-time full bootstrap (first incremental batch,
                     # or arriving from full mode / pre-existing silver)
                     write_partials(
-                        pbuilder(stored_silver), ppath, scoped=False, fmt=pfmt
+                        pbuilder(stored_silver()), ppath, scoped=False, fmt=pfmt
                     )
             partials = {
                 pname: read_table(spark, f"{gold_dir}/_partials_{pname}", fmt=pfmt)

@@ -264,12 +264,25 @@ def test_incremental_fat_partition_leaves_neighbors_byte_identical(
     main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
           "--gold-mode", "incremental"])
 
+    # the replace unit is the match BUCKET (r9 layout): neighbors =
+    # every bucket other than m0's; in-bucket siblings are rewritten
+    # with identical content but possibly different bytes
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        match_bucket_col,
+    )
+
+    b0 = (
+        spark.createDataFrame([(m0,)], "match string")
+        .select(match_bucket_col().alias("b"))
+        .first()[0]
+    )
+
     def _neighbor_hashes():
         out = {}
         for pname in PARTIAL_BUILDERS:
             root = f"{gold}/_partials_{pname}"
             for dirpath, _dirs, files in os.walk(root):
-                if f"match={m0}" in dirpath:
+                if f"mbucket={b0}" in dirpath:
                     continue
                 for fn in files:
                     p = os.path.join(dirpath, fn)
@@ -297,6 +310,94 @@ def test_incremental_fat_partition_leaves_neighbors_byte_identical(
     assert before == after  # neighbors untouched, byte for byte
 
     # and the merged gold equals the batch builders over the new silver
+    for name, builder in BATCH_BUILDERS.items():
+        got = _canon(spark.read.parquet(f"{gold}/{name}"))
+        want = _canon(builder(silver_v2))
+        assert got == want, name
+
+
+@pytest.mark.slow
+def test_partials_compaction_preserves_incremental(spark, tmp_path_factory):
+    """VERDICT r8 #3: compacting the `_partials_*` state tables between
+    batches must be invisible to the incremental path — the commit
+    marker survives the staged swap (losing it silently re-bootstraps
+    every later batch at O(table) cost with CORRECT output, the worst
+    failure to catch from results alone), a subsequent scoped rescrape
+    still rewrites only the affected match (neighbor partition files
+    byte-identical after compaction — the observable fast-path
+    artifact), and the merged gold equals a full recompute."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.cli import main
+    from aws_ipl_data_pipeline_spark.sources.maintenance import compact
+    from aws_ipl_data_pipeline_spark.sources.readers import table_exists
+    from aws_ipl_data_pipeline_spark.sources.writers import (
+        HAVE_DELTA,
+        overwrite_table,
+    )
+
+    tfmt = "delta" if HAVE_DELTA else "parquet"
+    if tfmt == "delta":
+        pytest.skip("compaction of delta state tables goes through OPTIMIZE")
+
+    base = str(tmp_path_factory.mktemp("partcompact"))
+    gold = f"{base}/gold"
+    silver = to_silver(
+        to_bronze(raw_deliveries(spark)), match_meta(spark), players(spark)
+    )
+    m0 = silver.select("match").distinct().orderBy("match").first()[0]
+    overwrite_table(silver, f"{base}/silver", partition_by=["match", "innings"])
+    main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
+          "--gold-mode", "incremental"])
+
+    # maintenance pass between batches: pack every partials table
+    for pname in PARTIAL_BUILDERS:
+        compact(spark, f"{gold}/_partials_{pname}", target_file_bytes=1 << 30)
+        # the commit marker survived — the next batch takes the fast
+        # (scoped) path instead of silently re-bootstrapping
+        assert table_exists(
+            spark, f"{gold}/_partials_{pname}", fmt=tfmt, unmarked_data="absent"
+        ), pname
+
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        match_bucket_col,
+    )
+
+    b0 = (
+        spark.createDataFrame([(m0,)], "match string")
+        .select(match_bucket_col().alias("b"))
+        .first()[0]
+    )
+
+    def _neighbor_hashes():
+        out = {}
+        for pname in PARTIAL_BUILDERS:
+            for dirpath, _dirs, files in os.walk(f"{gold}/_partials_{pname}"):
+                if f"mbucket={b0}" in dirpath:
+                    continue
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, gold)] = hashlib.sha256(
+                            fh.read()
+                        ).hexdigest()
+        return out
+
+    before = _neighbor_hashes()
+    assert before  # compacted neighbors exist
+
+    # rescrape m0: drop its late overs, then a scoped incremental batch
+    silver_v2 = silver.where(~((F.col("match") == m0) & (F.col("over") >= 10)))
+    overwrite_table(silver_v2, f"{base}/silver", partition_by=["match", "innings"])
+    main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
+          "--gold-mode", "incremental", "--affected-matches", m0])
+
+    # neighbors kept their COMPACTED bytes: the batch was scoped, not a
+    # re-bootstrap (a bootstrap would have rewritten every partition)
+    assert _neighbor_hashes() == before
+
     for name, builder in BATCH_BUILDERS.items():
         got = _canon(spark.read.parquet(f"{gold}/{name}"))
         want = _canon(builder(silver_v2))

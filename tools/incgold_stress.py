@@ -77,7 +77,22 @@ def build_silver(spark, n_matches: int, fat_rows: int, neighbor_rep: int = 1):
     return fat.unionByName(neigh), n_one
 
 
-def run_phase(spark, label: str, silver, silver_path: str, gold: str):
+def run_phase(
+    spark,
+    label: str,
+    silver,
+    silver_path: str,
+    gold: str,
+    compact_partials: bool = False,
+):
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        PARTIAL_BUILDERS,
+    )
+    from aws_ipl_data_pipeline_spark.sources.maintenance import (
+        compact,
+        data_file_count,
+    )
+
     overwrite_table(
         silver, silver_path, partition_by=["match", "innings"]
     )
@@ -97,7 +112,33 @@ def run_phase(spark, label: str, silver, silver_path: str, gold: str):
         f"fat_match_batch={batch:.2f}s",
         flush=True,
     )
-    return batch
+    if not compact_partials:
+        return batch
+    # maintenance in the loop (VERDICT r8 #3): pack each partials table
+    # (bounding files-per-partition-dir that scoped dynamic overwrites
+    # accumulate), then re-measure the same constant batch — the delta
+    # isolates how much of the per-batch cost is file listing vs the
+    # O(keys x matches) finisher merge
+    files_before = sum(
+        data_file_count(spark, f"{gold}/_partials_{p}") for p in PARTIAL_BUILDERS
+    )
+    t0 = time.perf_counter()
+    for pname in PARTIAL_BUILDERS:
+        compact(spark, f"{gold}/_partials_{pname}")
+    ct = time.perf_counter() - t0
+    files_after = sum(
+        data_file_count(spark, f"{gold}/_partials_{p}") for p in PARTIAL_BUILDERS
+    )
+    t0 = time.perf_counter()
+    cli(["gold", "--silver", silver_path, "--out-dir", gold,
+         "--gold-mode", "incremental", "--affected-matches", "m0000"])
+    batch_post = time.perf_counter() - t0
+    print(
+        f"{label}: partials files {files_before}->{files_after} "
+        f"(compact {ct:.2f}s) fat_match_batch_post_compact={batch_post:.2f}s",
+        flush=True,
+    )
+    return batch, batch_post
 
 
 def main() -> None:
@@ -123,11 +164,24 @@ def main() -> None:
     s10m, _ = build_silver(spark, n_matches=400, fat_rows=1_000_000)
     b10m = run_phase(spark, "10x matches (400 matches, same fat match)",
                      s10m, f"{work}/silver10m", f"{work}/gold10m")
+    # 100x MATCHES with maintenance in the loop (VERDICT r8 #3): the
+    # r8 run measured 1.71x per-batch at 10x matches — here the same
+    # constant batch runs at 4000 matches, before AND after a partials
+    # compaction pass, separating the file-listing share (bounded by
+    # compaction) from the O(keys x matches) finisher merge (inherent)
+    s100m, _ = build_silver(spark, n_matches=4000, fat_rows=1_000_000)
+    b100m, b100mc = run_phase(
+        spark, "100x matches (4000 matches, same fat match)",
+        s100m, f"{work}/silver100m", f"{work}/gold100m",
+        compact_partials=True,
+    )
     print(
         f"summary: constant-batch cost 1x={b1:.2f}s "
         f"10x-volume={b10v:.2f}s (ratio {b10v / b1:.2f}; flat = the "
         f"scoped path never rescans silver) "
-        f"10x-matches={b10m:.2f}s (ratio {b10m / b1:.2f}; growth = the "
+        f"10x-matches={b10m:.2f}s (ratio {b10m / b1:.2f}) "
+        f"100x-matches={b100m:.2f}s pre-compact, {b100mc:.2f}s "
+        f"post-compact (ratio {b100mc / b1:.2f}; growth = the "
         f"documented O(keys x matches) finisher merge + partition "
         f"listing, never O(silver deliveries))",
         flush=True,
