@@ -739,3 +739,51 @@ def test_compact_schema_evolution_and_value_fidelity(spark, tmp_path_factory):
         .collect()
     )
     assert after == before
+
+
+def test_read_partition_dirs_scoped_read(spark, tmp_path):
+    """r9: the scoped read of named partitions must (a) return exactly
+    the requested partitions with the partition column materialized and
+    typed by the schema pin, (b) treat a MISSING partition dir as zero
+    rows — the filter-form semantics a retraction-only rescrape relies
+    on — and (c) never list the table root (behavioral proxy: it reads
+    dirs directly, so a sibling dir Spark cannot parse is invisible)."""
+    from aws_ipl_data_pipeline_spark.sources.readers import (
+        read_partition_dirs,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "CONCAT('m', CAST(id % 4 AS STRING)) AS match", "id"
+    )
+    df.write.partitionBy("match").parquet(path)
+    schema = "match string, id long"
+
+    got = read_partition_dirs(spark, path, "match", ["m1", "m3"], schema=schema)
+    assert got.count() == 50
+    assert sorted(r[0] for r in got.select("match").distinct().collect()) == [
+        "m1",
+        "m3",
+    ]
+    assert dict(got.dtypes)["match"] == "string"  # schema pin, not inference
+
+    # a vanished partition contributes zero rows (retraction parity
+    # with the `.where(isin)` form), and all-missing yields an empty
+    # frame with the pinned schema
+    assert read_partition_dirs(
+        spark, path, "match", ["m1", "gone"], schema=schema
+    ).count() == 25
+    empty = read_partition_dirs(spark, path, "match", ["gone"], schema=schema)
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["match"] == "string"
+
+    # root-listing proxy: a corrupt sibling dir (unreadable as parquet)
+    # breaks a full-table read but not the scoped dir read
+    import os
+
+    os.makedirs(f"{path}/match=bad")
+    with open(f"{path}/match=bad/part-junk.parquet", "w") as fh:
+        fh.write("not parquet")
+    assert read_partition_dirs(
+        spark, path, "match", ["m2"], schema=schema
+    ).count() == 25
