@@ -900,3 +900,118 @@ def test_length_bucketed_batches_invariants(rows, batch_size):
             assert min(x["n_tokens"] for x in rs) >= max(
                 x["n_tokens"] for x in nxt
             )
+
+
+_BUCKET_POOL: dict = {}
+
+
+def _match_pool(spark):
+    """Six match ids, three of which SHARE a hash bucket (found by
+    probing Spark's own xxhash64 over a candidate pool) — the sibling
+    carry-forward in write_partials only runs on bucket collisions, so
+    random ids over 256 buckets would almost never exercise it."""
+    if "pool" not in _BUCKET_POOL:
+        from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+            match_bucket_col,
+        )
+
+        cand = spark.createDataFrame(
+            [(f"M{i:03d}",) for i in range(400)], "match string"
+        ).select("match", match_bucket_col().alias("b"))
+        by_bucket: dict = {}
+        for r in cand.collect():
+            by_bucket.setdefault(r["b"], []).append(r["match"])
+        shared = next(v for v in by_bucket.values() if len(v) >= 3)[:3]
+        singles = [v[0] for v in by_bucket.values() if len(v) == 1][:3]
+        _BUCKET_POOL["pool"] = shared + singles
+    return _BUCKET_POOL["pool"]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    start=st.lists(st.integers(0, 5), min_size=1, max_size=6, unique=True),
+    ops=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)),  # (match idx, version; 3=retract)
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_bucketed_partials_model_equivalence(spark, start, ops):
+    """Model-based check of the r9 bucketed partials layout: ANY
+    sequence of per-match rescrapes and full-match retractions applied
+    through the shared write_partials policy (bootstrap -> scoped
+    bucket rewrites with tombstones) must leave finisher(partials) ==
+    batch_builder(current silver) — including ops on matches that
+    share a hash bucket, where the rewrite must carry sibling rows
+    through unchanged and retire stale tombstones on re-rescrape."""
+    import shutil
+    import tempfile
+
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        bowler_match_partials,
+        bowler_stats_from_partials,
+        with_match_tombstones,
+        write_partials,
+    )
+    from aws_ipl_data_pipeline_spark.sources.readers import read_table
+    from aws_ipl_data_pipeline_spark.sources.writers import HAVE_DELTA
+
+    pool = _match_pool(spark)
+    schema = (
+        "match string, bowler string, total_runs int, is_legal_delivery int, "
+        "wicket int, is_dot_ball int, is_four int, is_six int"
+    )
+
+    def silver_rows(match: str, version: int):
+        # deterministic per (match, version); version 3 = retracted.
+        # Version 2 maps every bowler to the N/A sentinel -> ZERO
+        # partial rows for the builder (the tombstone-only case).
+        if version == 3:
+            return []
+        if version == 2:
+            return [(match, "N/A", 4, 1, 0, 0, 1, 0)]
+        rows = []
+        for i in range(2 + version):
+            b = f"B{(hash((match, i)) % 4)}"
+            rows.append((match, b, 10 * version + i, 1, i % 2, 0, 0, i % 2))
+        return rows
+
+    def silver_df(state: dict):
+        rows = [r for m, v in state.items() for r in silver_rows(m, v)]
+        return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+    fmt = "delta" if HAVE_DELTA else "parquet"
+    state = {pool[i]: 0 for i in start}
+    work = tempfile.mkdtemp(prefix="bucketprop")
+    try:
+        ppath = f"{work}/_partials_bowler"
+        write_partials(
+            bowler_match_partials(silver_df(state)), ppath, scoped=False, fmt=fmt
+        )
+        for idx, version in ops:
+            m = pool[idx]
+            if version == 3:
+                state.pop(m, None)
+            else:
+                state[m] = version
+            affected_df = spark.createDataFrame([(m,)], "match string")
+            batch = spark.createDataFrame(silver_rows(m, version) or [], schema)
+            pdf = with_match_tombstones(bowler_match_partials(batch), affected_df)
+            write_partials(
+                pdf, ppath, scoped=True, fmt=fmt, affected_matches=affected_df
+            )
+        got = sorted(
+            tuple(r)
+            for r in bowler_stats_from_partials(
+                read_table(spark, ppath, fmt=fmt)
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in bowler_stats_from_partials(
+                bowler_match_partials(silver_df(state))
+            ).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
