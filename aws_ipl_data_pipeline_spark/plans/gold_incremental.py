@@ -232,6 +232,8 @@ def write_partials(
     )
 
     spark = pdf.sparkSession
+    if "mbucket" in pdf.columns:  # a builder column would be silently shadowed
+        raise ValueError("partials builders must not emit a column named mbucket")
     pdf = pdf.withColumn("mbucket", match_bucket_col())
     if scoped:
         if affected_matches is None:

@@ -787,3 +787,45 @@ def test_read_partition_dirs_scoped_read(spark, tmp_path):
     assert read_partition_dirs(
         spark, path, "match", ["m2"], schema=schema
     ).count() == 25
+
+
+def test_compact_two_level_partition_layout(spark, tmp_path_factory):
+    """compact() on a silver-shaped table (two partition levels,
+    match/innings): the directory walk must detect BOTH levels in
+    order, the rewrite must keep the nested layout and rows, and the
+    per-partition budget join must group on the full tuple."""
+    import os
+
+    from aws_ipl_data_pipeline_spark.sources.maintenance import (
+        compact,
+        partition_columns,
+    )
+
+    path = str(tmp_path_factory.mktemp("compact2l")) + "/t"
+    df = spark.range(6_000).selectExpr(
+        "CONCAT('m', CAST(id % 3 AS STRING)) AS match",
+        "CAST(id % 2 + 1 AS INT) AS innings",
+        "id",
+        "md5(CAST(id AS STRING)) AS payload",
+    )
+    df.repartition(10).write.partitionBy("match", "innings").parquet(path)
+    assert partition_columns(spark, path) == ["match", "innings"]
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("match", "innings", "id", "payload")
+        .collect()
+    )
+    n_after = compact(spark, path, target_file_bytes=1 << 30)
+    assert n_after <= 6  # one file per (match, innings) at this size
+    # nested layout preserved
+    for m in ("m0", "m1", "m2"):
+        subdirs = sorted(os.listdir(f"{path}/match={m}"))
+        assert subdirs == ["innings=1", "innings=2"]
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("match", "innings", "id", "payload")
+        .collect()
+    )
+    assert after == before
