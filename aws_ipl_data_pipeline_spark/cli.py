@@ -203,14 +203,25 @@ def cmd_gold(args) -> None:
                 fmt=tfmt, schema=SILVER_DELIVERIES,
             ).localCheckpoint(eager=True)
             affected_df = spark.createDataFrame([(m,) for m in affected], "match string")
+        from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+            StalePartialsLayout,
+        )
+
         for pname, pbuilder in PARTIAL_BUILDERS.items():
             ppath = f"{args.out_dir}/_partials_{pname}"
             if affected and exists[pname]:
                 pdf = with_match_tombstones(pbuilder(scoped), affected_df)
-                write_partials(
-                    pdf, ppath, scoped=True, fmt=tfmt,
-                    affected_matches=affected_df,
-                )
+                try:
+                    write_partials(
+                        pdf, ppath, scoped=True, fmt=tfmt,
+                        affected_matches=affected_df,
+                    )
+                except StalePartialsLayout:
+                    # pre-r9 per-match layout on disk: the authoritative
+                    # full refresh migrates it to bucketed partitions
+                    write_partials(
+                        pbuilder(full_silver()), ppath, scoped=False, fmt=tfmt
+                    )
             else:
                 # bootstrap / full refresh: (re)build partials for every
                 # match in silver (a missing table must never be merged

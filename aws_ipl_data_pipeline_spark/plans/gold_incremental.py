@@ -166,6 +166,16 @@ def match_bucket_col():
     return F.pmod(F.xxhash64(F.col("match")), F.lit(MATCH_BUCKETS)).cast("int")
 
 
+class StalePartialsLayout(ValueError):
+    """A stored partials table predates the r9 bucketed layout (it is
+    partitioned by ``match``, carries no ``mbucket`` column). A scoped
+    bucket rewrite cannot be expressed against it — and writing bucket
+    partitions next to match partitions would leave a mixed-scheme dir
+    no reader can load. Callers catch this and route to their
+    bootstrap branch: the STATIC full refresh both rebuilds the state
+    and migrates the layout in one authoritative write."""
+
+
 def with_match_tombstones(pdf: DataFrame, matches: DataFrame) -> DataFrame:
     """Union one null-key tombstone row per affected match into a
     partials frame (`matches`: single column ``match``). Dynamic
@@ -247,9 +257,14 @@ def write_partials(
             .distinct()
             .collect()
         ]
+        old = read_table(spark, ppath, fmt=fmt)
+        if "mbucket" not in old.columns:  # pre-r9 per-match layout on disk
+            raise StalePartialsLayout(
+                f"{ppath} uses the pre-r9 per-match partials layout; "
+                "re-bootstrap (full refresh) to migrate to bucketed partitions"
+            )
         siblings = (
-            read_table(spark, ppath, fmt=fmt)
-            .where(F.col("mbucket").isin(buckets))
+            old.where(F.col("mbucket").isin(buckets))
             .join(affected_matches, "match", "left_anti")
         )
         # eager checkpoint: the union reads the very partitions the

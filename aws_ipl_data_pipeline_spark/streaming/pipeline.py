@@ -281,11 +281,22 @@ def run_incremental_pipeline(
                 # overwrite, so crash debris for since-retracted
                 # matches cannot survive the rebuild.
                 if exists[pname]:
-                    pdf = with_match_tombstones(pbuilder(affected_silver), affected_df)
-                    write_partials(
-                        pdf, ppath, scoped=True, fmt=pfmt,
-                        affected_matches=affected_df,
+                    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+                        StalePartialsLayout,
                     )
+
+                    pdf = with_match_tombstones(pbuilder(affected_silver), affected_df)
+                    try:
+                        write_partials(
+                            pdf, ppath, scoped=True, fmt=pfmt,
+                            affected_matches=affected_df,
+                        )
+                    except StalePartialsLayout:
+                        # pre-r9 per-match layout on disk: the
+                        # authoritative full refresh migrates it
+                        write_partials(
+                            pbuilder(stored_silver()), ppath, scoped=False, fmt=pfmt
+                        )
                 else:
                     # one-time full bootstrap (first incremental batch,
                     # or arriving from full mode / pre-existing silver)

@@ -402,3 +402,67 @@ def test_partials_compaction_preserves_incremental(spark, tmp_path_factory):
         got = _canon(spark.read.parquet(f"{gold}/{name}"))
         want = _canon(builder(silver_v2))
         assert got == want, name
+
+
+def test_scoped_run_migrates_pre_bucket_partials_layout(
+    spark, tmp_path_factory
+):
+    """In-place upgrade (r9 second review): a gold dir whose partials
+    were written by the pre-r9 PER-MATCH layout (match= partitions,
+    valid commit marker) must survive a scoped incremental run — the
+    scoped bucket rewrite cannot be expressed against it, so the run
+    routes that table to the authoritative full refresh, which both
+    rebuilds the state and migrates the layout. Gold stays ≡ full."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.cli import main
+    from aws_ipl_data_pipeline_spark.sources.writers import (
+        HAVE_DELTA,
+        mark_success,
+        overwrite_table,
+        write_partitioned,
+    )
+
+    if HAVE_DELTA:
+        pytest.skip("layout migration is a parquet-dir concern")
+
+    base = str(tmp_path_factory.mktemp("layoutmig"))
+    gold = f"{base}/gold"
+    silver = to_silver(
+        to_bronze(raw_deliveries(spark)), match_meta(spark), players(spark)
+    )
+    m0 = silver.select("match").distinct().orderBy("match").first()[0]
+    overwrite_table(silver, f"{base}/silver", partition_by=["match", "innings"])
+
+    # hand-write the OLD layout: per-match partitions + commit marker
+    for pname, pbuilder in PARTIAL_BUILDERS.items():
+        ppath = f"{gold}/_partials_{pname}"
+        write_partitioned(
+            pbuilder(silver), ppath, partition_by=["match"], mode="overwrite",
+            fmt="parquet",
+        )
+        mark_success(spark, ppath)
+        assert any(
+            d.startswith("match=") for d in _os.listdir(ppath)
+        )  # genuinely the pre-r9 layout
+
+    # scoped rescrape against the old layout
+    silver_v2 = silver.where(~((F.col("match") == m0) & (F.col("over") >= 10)))
+    overwrite_table(silver_v2, f"{base}/silver", partition_by=["match", "innings"])
+    main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
+          "--gold-mode", "incremental", "--affected-matches", m0])
+
+    # layout migrated: bucket partitions only, no stale match= dirs
+    for pname in PARTIAL_BUILDERS:
+        dirs = [
+            d for d in _os.listdir(f"{gold}/_partials_{pname}")
+            if not d.startswith(("_", "."))
+        ]
+        assert dirs and all(d.startswith("mbucket=") for d in dirs), dirs
+
+    for name, builder in BATCH_BUILDERS.items():
+        got = _canon(spark.read.parquet(f"{gold}/{name}"))
+        want = _canon(builder(silver_v2))
+        assert got == want, name
