@@ -1057,6 +1057,90 @@ def embedding_cosine_pairs_ivf(
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def semantic_decontamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bench_limit: int = 100_000,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every TRAIN doc
+    whose embedding is within cosine ≥ ``threshold`` of ANY benchmark
+    vector — the semantic complement of the n-gram
+    ``decontamination_overlap`` (paraphrased eval questions share no
+    13-gram but sit next to the benchmark in embedding space).
+
+    Scale shape — the asymmetry IS the design: train is the 100 TB
+    side, benchmark suites are bounded (10³–10⁵ rows), so the
+    benchmark matrix is collected ONCE (guarded by ``bench_limit`` —
+    exceeding it raises rather than silently truncating) and each
+    train partition scores against it in a single vectorized numpy
+    GEMM inside mapInPandas. ZERO shuffles: one map-only pass over
+    train, no join, no pair explosion — unlike the self-join dedup
+    paths, contamination never needs train×train structure.
+
+    Exactness: both sides quantize to int64 (``_quantized``), the
+    float GEMM only DISCOVERS candidates at threshold−eps, and every
+    kept (count, max) is computed from ``_exact_cos`` on exact integer
+    sums — bit-identical to the SQL oracle's dot/sqrt formulation.
+    Returns contaminated rows only: (vec_id, n_bench_hits, max_cos)."""
+    spark = train.sparkSession
+    out_schema = "vec_id long, n_bench_hits long, max_cos double"
+    rows = (
+        bench.select(_quantized(vec_col).alias("vec"))
+        .limit(bench_limit + 1)
+        .collect()
+    )
+    if len(rows) > bench_limit:
+        raise ValueError(
+            f"benchmark side exceeds bench_limit={bench_limit}: the "
+            "broadcast-GEMM plan is for bounded benchmark suites — "
+            "for corpus-vs-corpus scoring use the IVF-celled pair path"
+        )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    bmat = np.stack([np.asarray(r["vec"], dtype=np.int64) for r in rows])
+    sbb = (bmat * bmat).sum(axis=1).astype(np.float64)
+    disc = threshold - _COSINE_DISCOVERY_EPS
+
+    src = train.select(
+        F.col(id_col).cast("long").alias("id"), _quantized(vec_col).alias("vec")
+    )
+
+    def batches(it):
+        bf = bmat.astype(np.float64)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            amat = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+            saa = (amat * amat).sum(axis=1).astype(np.float64)
+            cos = (amat.astype(np.float64) @ bf.T) / np.sqrt(
+                np.outer(saa, sbb)
+            )
+            ia, ib = np.nonzero(cos >= disc)
+            if len(ia) == 0:
+                continue
+            sim = _exact_cos(amat[ia], bmat[ib], saa[ia], sbb[ib])
+            keep = sim >= threshold
+            ia, sim = ia[keep], sim[keep]
+            if len(ia) == 0:
+                continue
+            hits = np.bincount(ia, minlength=len(amat))
+            maxc = np.full(len(amat), -np.inf)
+            np.maximum.at(maxc, ia, sim)
+            mask = hits > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["id"].to_numpy()[mask],
+                    "n_bench_hits": hits[mask].astype("int64"),
+                    "max_cos": np.round(maxc[mask], 4),
+                }
+            )
+
+    return src.mapInPandas(batches, schema=out_schema)
+
+
 def prefix_fingerprint(
     text_col: Column | str = "text", n_tokens: int = 8
 ) -> Column:

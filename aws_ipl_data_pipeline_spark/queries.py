@@ -2867,6 +2867,56 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_decontamination",
+    f"""
+    WITH {_EMB_EXPAND_Q},
+    dots AS (
+      SELECT a.vec_id AS tid, b.vec_id AS bid,
+             CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM exq a JOIN exq b ON a.i = b.i
+      WHERE a.vec_id % 37 <> 0 AND b.vec_id % 37 = 0
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT tid, dot / sqrt(na.saa * nb.saa) AS cos
+      FROM dots JOIN qnorm na ON dots.tid = na.vec_id
+                JOIN qnorm nb ON dots.bid = nb.vec_id
+    )
+    SELECT CAST(tid AS BIGINT) AS vec_id,
+           CAST(COUNT(CASE WHEN cos >= 0.35 THEN 1 END) AS BIGINT)
+             AS n_bench_hits,
+           round(MAX(CASE WHEN cos >= 0.35 THEN cos END), 4) AS max_cos
+    FROM sims GROUP BY tid
+    HAVING COUNT(CASE WHEN cos >= 0.35 THEN 1 END) > 0
+    ORDER BY vec_id
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination (the semantic
+    complement of `decontamination_overlap`: paraphrased eval items
+    share no 13-gram but sit next to the benchmark in embedding
+    space): train docs (vec_id % 37 != 0) within cosine ≥ 0.35 of ANY
+    benchmark vector (vec_id % 37 == 0; in production the benchmark
+    suite; 0.35 sits just under this corpus's cross-set near-dup band
+    so the flag set is non-degenerate at every sf). The bounded benchmark matrix is collected once and every
+    train partition scores against it in one vectorized GEMM
+    (mapInPandas) — a ZERO-shuffle map-only pass over the 100 TB side,
+    no join, no pair explosion; counts and maxima gate on exact
+    integer cosines, so the SQL oracle hash-matches bit-for-bit."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        semantic_decontamination as semdecon,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = semdecon(
+        emb.where(F.col("vec_id") % 37 != 0),
+        emb.where(F.col("vec_id") % 37 == 0),
+        threshold=0.35,
+    )
+    return out.orderBy("vec_id")
+
+
+@register(
     "stratified_sample_by_source",
     """
     SELECT doc_id, source, n_chars, CAST(rk AS INT) AS sample_rank
@@ -7884,14 +7934,17 @@ _DRIVER_FIRST = [
     "bigram_counts",
     "bpe_merge_candidates",
     "canonical_selection",
-    "chunk_then_pack",
-    # r9 slot 50: new this round (rotation rule 2) — the oracle-backed
-    # exact-regime companion to the rows-only datasketches_battery
+    # r9 slots 49-50: new this round (rotation rule 2) — the
+    # oracle-backed exact-regime companion to the rows-only
+    # datasketches_battery, and the embedding-level decontamination
+    # complement of decontamination_overlap
     "theta_sketch_exact_battery",
+    "semantic_decontamination",
     # past slot 50 from here — the r10 refresh queue, stalest first:
-    # the r6 row displaced by the r9-new query, the remaining 34 r6
+    # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
     # via _reorder_registry
+    "chunk_then_pack",
     "correlated_subquery",
     "covisit_triangles",
     "cube_pricing",

@@ -176,10 +176,11 @@ ROUND8 = [
     "length_bucketed_batches",
 ]
 
-# round-9 additions (the theta exact-regime oracle companion): same
-# frozen-set policy
+# round-9 additions (the theta exact-regime oracle companion + the
+# embedding-level decontamination pass): same frozen-set policy
 ROUND9 = [
     "theta_sketch_exact_battery",
+    "semantic_decontamination",
 ]
 
 

@@ -93,6 +93,11 @@ def test_no_python_udf_in_relational_core(spark):
         "ann_batch_ivf_topk",
         # composes batch_ivf_topk above, so inherits its Arrow encode
         "ann_recall_eval",
+        # broadcast-benchmark GEMM over the train scan (r9): the JVM
+        # form would be a |bench|-way join or per-row HOF over a
+        # broadcast array — measured orders slower than one numpy
+        # matmul per Arrow batch; zero shuffles either way
+        "semantic_decontamination",
     }
     for name in REGISTRY:
         if name in python_ok:
