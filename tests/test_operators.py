@@ -1291,3 +1291,45 @@ def test_frame_fingerprint_distinguishes_content(spark):
         ).count()
         == 0
     )
+
+
+def test_semantic_decontamination_guard_and_totality(spark):
+    """r9: the broadcast-benchmark decontamination scan must (a) raise
+    on a benchmark larger than bench_limit instead of silently
+    truncating (no-silent-caps rule), (b) return an EMPTY typed frame
+    for an empty benchmark (oracle totality — the SQL twin yields zero
+    rows there), and (c) flag an exact train copy of a benchmark doc
+    at cosine 1.0."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        semantic_decontamination,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [1.0, 0.0, 0.0]),  # exact copy of benchmark id=1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = vecs.where(F.col("vec_id") == 1)
+    train = vecs.where(F.col("vec_id") != 1)
+
+    with _pytest.raises(ValueError, match="bench_limit"):
+        semantic_decontamination(train, bench, bench_limit=0)
+
+    empty = semantic_decontamination(
+        train, bench.where(F.lit(False)), threshold=0.5
+    )
+    assert empty.columns == ["vec_id", "n_bench_hits", "max_cos"]
+    assert empty.count() == 0
+
+    got = {
+        r["vec_id"]: (r["n_bench_hits"], r["max_cos"])
+        for r in semantic_decontamination(train, bench, threshold=0.5).collect()
+    }
+    assert got == {3: (1, 1.0)}  # the copy flagged, the orthogonal doc not
