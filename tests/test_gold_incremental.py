@@ -37,11 +37,15 @@ BATCH_BUILDERS = {
 
 
 def _canon(df):
+    def _key(v):
+        # None-safe sort cell (r9: hypothesis caught the None-vs-float
+        # tuple-sort TypeError in the properties twin of this helper)
+        if v is None:
+            return (True, 0)
+        return (False, round(v, 6) if isinstance(v, float) else v)
+
     cols = sorted(df.columns)
-    return sorted(
-        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
-        for r in df.select(*cols).collect()
-    )
+    return sorted(tuple(_key(v) for v in r) for r in df.select(*cols).collect())
 
 
 def _write_csv(path: str, rows) -> None:

@@ -842,11 +842,20 @@ def test_gold_partials_merge_equals_builders_on_random_silver(rows):
     }
     partials = {n: b(silver) for n, b in PARTIAL_BUILDERS.items()}
 
+    def _key(v):
+        # None-safe sort cell: hypothesis found a silver shape where a
+        # rate is NULL for one team and a float for another — Python
+        # tuple sort then compares None < float and THROWS, so the
+        # comparator itself crashed before comparing anything. Nones
+        # sort first via the bool; equal Nones never hit `<`.
+        if v is None:
+            return (True, 0)
+        return (False, round(v, 6) if isinstance(v, float) else v)
+
     def canon(df):
         cols = sorted(df.columns)
         return sorted(
-            tuple(round(v, 6) if isinstance(v, float) else v for v in r)
-            for r in df.select(*cols).collect()
+            tuple(_key(v) for v in r) for r in df.select(*cols).collect()
         )
 
     for name, (pname, finisher) in GOLD_FROM_PARTIALS.items():
