@@ -400,3 +400,96 @@ def bm25_score(
         .where(sum((F.col(f"_tf{i}") for i in range(len(query_terms))), F.lit(0)) > 0)
         .select(F.col(id_col).cast("long"), F.col("dl").cast("long"), "score")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    lift_num: int = 6,
+    lift_den: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining: adjacent word pairs whose PMI lift exceeds
+    ``lift_num/lift_den`` (default 1.2), ranked by pair frequency —
+    the standard multi-word-expression pass in tokenizer-training
+    pipelines (merge candidates that co-occur more than chance).
+
+    Lift = p(w1,w2) / (p(w1)·p(w2)) with pair probability over bigram
+    positions and word probabilities over tokens, i.e.
+    ``pair·N_tok² / (N_pair·c1·c2)``. The threshold test is EXACT
+    integer arithmetic — ``lift_den·pair·N_tok² > lift_num·N_pair·c1·c2``
+    on decimal(38,0) — so the kept set is bit-identical on any engine;
+    no float log appears anywhere (PMI's monotone in lift, so ranking
+    and thresholding never need the log itself).
+
+    Scale shape: three logical corpus passes (bigram counts, unigram
+    counts, a skinny keyless tokens/pairs total), each aggregating
+    map-side before its single exchange. Physically the unigram
+    subtree plans once per join side (Spark derives each join input
+    independently — four scans total); the count frames are
+    vocab-sized, so in production you would cache/checkpoint `uc`
+    if the tokenize pass dominates. The lift join touches only the
+    count frames, never the corpus, and the 1-row totals frame is a
+    broadcast (BNLJ bounded by its keyless agg). Zipf-head
+    join skew on frequent words is bounded by the DISTINCT-bigram
+    grain (a hot word contributes one row per distinct neighbor, not
+    per occurrence); AQE skew-join covers the residue. Final top-k is
+    TakeOrderedAndProject with a (w1,w2) tiebreak.
+    """
+    ws = tokens(text_col)
+    d = docs.where(F.size(ws) >= 2).select(ws.alias("ws"))
+
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+
+    uc = (
+        d.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("w_count"))
+    )
+
+    # one skinny keyless pass for the two scalars (no dependence on
+    # pc/uc lineage — Spark would rescan those subtrees anyway)
+    totals = d.agg(
+        F.sum(F.size("ws") - 1).alias("n_pairs"),
+        F.sum(F.size("ws")).alias("n_toks"),
+    )
+
+    dec = "decimal(38,0)"
+    joined = (
+        pc.join(uc.select(F.col("w").alias("w1"), F.col("w_count").alias("w1_count")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("w_count").alias("w2_count")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    lhs = (
+        F.lit(lift_den).cast(dec)
+        * F.col("pair_count").cast(dec)
+        * F.col("n_toks").cast(dec)
+        * F.col("n_toks").cast(dec)
+    )
+    rhs = (
+        F.lit(lift_num).cast(dec)
+        * F.col("n_pairs").cast(dec)
+        * F.col("w1_count").cast(dec)
+        * F.col("w2_count").cast(dec)
+    )
+    return (
+        joined.where((F.col("pair_count") >= min_pair_count) & (lhs > rhs))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.col("w1_count").cast("long").alias("w1_count"),
+            F.col("w2_count").cast("long").alias("w2_count"),
+        )
+        .orderBy(F.desc("pair_count"), "w1", "w2")
+        .limit(top_k)
+    )

@@ -2762,6 +2762,42 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "collocation_pmi",
+    f"""
+    WITH w AS (SELECT string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    d AS (SELECT ws FROM w WHERE len(ws) >= 2),
+    bi AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM d)
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bi GROUP BY 1, 2),
+    tok AS (SELECT unnest(ws) AS w FROM d),
+    uc AS (SELECT w, COUNT(*) AS w_count FROM tok GROUP BY 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM bi) AS n_pairs,
+                   (SELECT COUNT(*) FROM tok) AS n_toks)
+    SELECT p.w1, p.w2, CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(c1.w_count AS BIGINT) AS w1_count,
+           CAST(c2.w_count AS BIGINT) AS w2_count
+    FROM pc p JOIN uc c1 ON p.w1 = c1.w JOIN uc c2 ON p.w2 = c2.w, tot
+    WHERE pair_count >= 5
+      AND 5 * CAST(pair_count AS HUGEINT) * n_toks * n_toks
+          > 6 * CAST(n_pairs AS HUGEINT) * c1.w_count * c2.w_count
+    ORDER BY pair_count DESC, w1, w2 LIMIT 50
+    """,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (tokenizer/MWE pipelines): adjacent word
+    pairs with PMI lift > 1.2, ranked by pair frequency. The lift test
+    is exact integer arithmetic (decimal(38,0) vs the oracle's
+    HUGEINT), so the kept set is engine-independent — see
+    operators/text.pmi_collocations for the three-scan, map-side-
+    combining plan shape."""
+    from aws_ipl_data_pipeline_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(t(spark, sf_dir, "documents"))
+
+
 # deterministic synthetic PII (the word-salad corpus has none): an email
 # and a phone derived from doc_id, prepended to the text on BOTH sides
 _PII_SYNTH_SQL = (
@@ -7933,17 +7969,19 @@ _DRIVER_FIRST = [
     "array_functions_battery",
     "bigram_counts",
     "bpe_merge_candidates",
-    "canonical_selection",
-    # r9 slots 49-50: new this round (rotation rule 2) — the
+    # r9 slots 48-50: new this round (rotation rule 2) — the
     # oracle-backed exact-regime companion to the rows-only
-    # datasketches_battery, and the embedding-level decontamination
-    # complement of decontamination_overlap
+    # datasketches_battery, the embedding-level decontamination
+    # complement of decontamination_overlap, and exact-integer PMI
+    # collocation mining
     "theta_sketch_exact_battery",
     "semantic_decontamination",
+    "collocation_pmi",
     # past slot 50 from here — the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
     # via _reorder_registry
+    "canonical_selection",
     "chunk_then_pack",
     "correlated_subquery",
     "covisit_triangles",

@@ -393,7 +393,7 @@ def test_partials_compaction_preserves_incremental(spark, tmp_path_factory):
     assert before  # compacted neighbors exist
 
     # rescrape m0: drop its late overs, then a scoped incremental batch
-    silver_v2 = silver.where(~((F.col("match") == m0) & (F.col("over") >= 10)))
+    silver_v2 = silver.where(~((F.col("match") == m0) & (F.col("ball") >= 3)))
     overwrite_table(silver_v2, f"{base}/silver", partition_by=["match", "innings"])
     main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
           "--gold-mode", "incremental", "--affected-matches", m0])
@@ -453,7 +453,7 @@ def test_scoped_run_migrates_pre_bucket_partials_layout(
         )  # genuinely the pre-r9 layout
 
     # scoped rescrape against the old layout
-    silver_v2 = silver.where(~((F.col("match") == m0) & (F.col("over") >= 10)))
+    silver_v2 = silver.where(~((F.col("match") == m0) & (F.col("ball") >= 3)))
     overwrite_table(silver_v2, f"{base}/silver", partition_by=["match", "innings"])
     main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
           "--gold-mode", "incremental", "--affected-matches", m0])
@@ -465,6 +465,83 @@ def test_scoped_run_migrates_pre_bucket_partials_layout(
             if not d.startswith(("_", "."))
         ]
         assert dirs and all(d.startswith("mbucket=") for d in dirs), dirs
+
+    for name, builder in BATCH_BUILDERS.items():
+        got = _canon(spark.read.parquet(f"{gold}/{name}"))
+        want = _canon(builder(silver_v2))
+        assert got == want, name
+
+
+def test_half_applied_scoped_batch_heals_on_replay(spark, tmp_path_factory):
+    """Crash-replay idempotence across the FOUR partials tables: a
+    scoped batch that dies after updating only some of them leaves the
+    tables mutually inconsistent (one already holds the rescrape, the
+    rest still hold the retracted scrape) — the one failure mode the
+    per-table write policy cannot see. foreachBatch replays the batch
+    from the checkpoint on restart, so the recovery contract is that
+    re-running the SAME scoped batch converges every table and the
+    merged gold equals a full recompute. This pins it at the plans
+    level: simulate the crash by applying write_partials to just one
+    table, then replay via the CLI scoped path."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.cli import main
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        with_match_tombstones,
+        write_partials,
+    )
+    from aws_ipl_data_pipeline_spark.sources.writers import (
+        HAVE_DELTA,
+        overwrite_table,
+    )
+
+    tfmt = "delta" if HAVE_DELTA else "parquet"
+    base = str(tmp_path_factory.mktemp("halfbatch"))
+    gold = f"{base}/gold"
+    silver = to_silver(
+        to_bronze(raw_deliveries(spark)), match_meta(spark), players(spark)
+    )
+    m0 = silver.select("match").distinct().orderBy("match").first()[0]
+    overwrite_table(silver, f"{base}/silver", partition_by=["match", "innings"])
+    main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
+          "--gold-mode", "incremental"])
+
+    # rescrape m0, then CRASH mid-batch: only the FIRST partials table
+    # receives the scoped write (the same code path the pipeline runs),
+    # gold is never republished
+    silver_v2 = silver.where(~((F.col("match") == m0) & (F.col("ball") >= 3)))
+    overwrite_table(silver_v2, f"{base}/silver", partition_by=["match", "innings"])
+    affected_df = spark.createDataFrame([(m0,)], "match string")
+    first = next(iter(PARTIAL_BUILDERS))
+    scoped_silver = spark.read.parquet(f"{base}/silver").where(
+        F.col("match") == m0
+    )
+    pdf = with_match_tombstones(
+        PARTIAL_BUILDERS[first](scoped_silver), affected_df
+    )
+    write_partials(
+        pdf, f"{gold}/_partials_{first}", scoped=True, fmt=tfmt,
+        affected_matches=affected_df,
+    )
+
+    # the crash left the tables MUTUALLY INCONSISTENT about m0 — the
+    # hazard is real, not hypothetical (first table dropped the
+    # retracted overs, the others still carry them)
+    others_stale = False
+    for pname, pbuilder in PARTIAL_BUILDERS.items():
+        if pname == first:
+            continue
+        stored = spark.read.parquet(f"{gold}/_partials_{pname}").where(
+            F.col("match") == m0
+        )
+        fresh = pbuilder(scoped_silver)
+        if _canon(stored.select(*fresh.columns)) != _canon(fresh):
+            others_stale = True
+    assert others_stale, "crash simulation did not create divergence"
+
+    # restart: the checkpoint replays the same scoped batch
+    main(["gold", "--silver", f"{base}/silver", "--out-dir", gold,
+          "--gold-mode", "incremental", "--affected-matches", m0])
 
     for name, builder in BATCH_BUILDERS.items():
         got = _canon(spark.read.parquet(f"{gold}/{name}"))

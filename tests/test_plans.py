@@ -652,6 +652,21 @@ def test_length_bucketed_batches_one_shard_exchange(spark):
     assert _nodes(p, "Exchange") == 1
 
 
+def test_collocation_pmi_plan_shape(spark):
+    """collocation_pmi's one-gate-per-claim pin: the final top-k is
+    TakeOrderedAndProject (never a global Sort of the bigram space),
+    every corpus-side aggregate is a partial/final HashAggregate pair
+    (map-side combine before its exchange), and the totals frame
+    reaches the join as a broadcast — no CartesianProduct, and the
+    registry-wide BNLJ bound gate covers the keyless-agg build side."""
+    p = formatted_plan(spark, "collocation_pmi")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert _nodes(p, "BroadcastNestedLoopJoin") == 1
+    # no standalone global sort node (top-k must not plan Sort+Limit)
+    assert not re.search(r"\n\s*[+:]- Sort ", p)
+
+
 def test_topk_windows_run_on_bounded_prefix(spark):
     """VERDICT r6 #1-#3: rank_topk / slice_rows / vocab_coverage_curve
     must take the top-k FIRST (TakeOrderedAndProject — per-partition
@@ -712,6 +727,7 @@ BNLJ_OK = (
     "curriculum_order",
     "hybrid_rank_fusion",  # post-limit fused frame + 1-row norms
     "theta_sketch_exact_battery",  # 1-row keyless-agg reference sketch
+    "collocation_pmi",  # 1-row keyless-agg corpus totals frame
 )
 
 # Structural evidence that a broadcast side cannot grow with the data:
