@@ -1333,3 +1333,50 @@ def test_semantic_decontamination_guard_and_totality(spark):
         for r in semantic_decontamination(train, bench, threshold=0.5).collect()
     }
     assert got == {3: (1, 1.0)}  # the copy flagged, the orthogonal doc not
+
+
+def test_pmi_collocations_degenerate_docs(spark):
+    """Degenerate rows the SQL oracle can't probe (DuckDB's range() is
+    empty where Spark's sequence() counts DOWN — the ANSI
+    INVALID_ARRAY_INDEX class): empty text, whitespace-only, one-token
+    and exactly-two-token docs must all pass through pmi_collocations
+    without an array-index error, and a hand-built corpus yields the
+    hand-computed collocation."""
+    from aws_ipl_data_pipeline_spark.operators.text import pmi_collocations
+
+    rows = (
+        [("",), ("   ",), ("solo",), ("ping pong",)]
+        # "ping pong" co-occurs far above chance vs a "noise" background
+        + [("ping pong",)] * 9
+        + [(f"noise{i} noise{j}",) for i in range(5) for j in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "text string")
+    out = pmi_collocations(docs, min_pair_count=5, top_k=10).collect()
+    got = {(r["w1"], r["w2"]): r for r in out}
+    assert ("ping", "pong") in got
+    r = got[("ping", "pong")]
+    # 10 "ping pong" docs → pair_count 10, each word appears 10 times
+    assert r["pair_count"] == 10 and r["w1_count"] == 10 and r["w2_count"] == 10
+    # the uniform noise background (each pair once) never clears
+    # min_pair_count, let alone the lift gate
+    assert all(k == ("ping", "pong") for k in got)
+
+
+def test_pmi_collocations_lift_gate_is_exact(spark):
+    """The lift inequality is exact integer math: a pair sitting
+    EXACTLY at lift = lift_num/lift_den must be excluded (strict >),
+    which float log-PMI could flip either way. Corpus: the four docs
+    'a a','a b','b a','b b' — N_tok=8, N_pair=4, c(a)=c(b)=4, every
+    pair_count=1 → lift = 1·64/(4·16) = 1 exactly for all four pairs;
+    with lift 1/1 everything must drop, with 99/100 everything stays."""
+    from aws_ipl_data_pipeline_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [("a a",), ("a b",), ("b a",), ("b b",)], "text string"
+    )
+    at_one = pmi_collocations(docs, min_pair_count=1, lift_num=1, lift_den=1)
+    assert at_one.count() == 0
+    below = pmi_collocations(docs, min_pair_count=1, lift_num=99, lift_den=100)
+    assert sorted(
+        (r["w1"], r["w2"], r["pair_count"]) for r in below.collect()
+    ) == [("a", "a", 1), ("a", "b", 1), ("b", "a", 1), ("b", "b", 1)]
