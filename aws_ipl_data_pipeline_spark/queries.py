@@ -1298,6 +1298,59 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_safe_split",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    edges AS (
+      SELECT CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b
+      FROM jac WHERE j >= 0.8
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(x, y) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a
+    ),
+    labels AS (
+      SELECT x AS doc_id, LEAST(x, MIN(y)) AS group_id FROM reach GROUP BY x
+    ),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(l.group_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    )
+    SELECT CAST(group_id % 10 AS INT) AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups
+    FROM assigned GROUP BY 1
+    """,
+)
+def near_dup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-aware train/test split: the split key is the near-dup
+    COMPONENT id (min doc id, from the oracle-proven star-contraction
+    CC over the exact jaccard pair graph), so paraphrases and
+    boilerplate variants — which the exact-hash `leakage_safe_split`
+    cannot see — can never straddle splits. Singletons key on their
+    own id. Same deterministic id-mod assignment as the exact variant
+    (no RNG: reruns and stragglers agree); the only cost over
+    exact-hash splitting is the pair graph + O(log n) contraction
+    rounds, both already the near_dup_clusters scale path."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        near_dup_groups,
+        shingle_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs, threshold=0.8)
+    groups = near_dup_groups(docs, pairs=pairs, threshold=0.8)
+    return groups.groupBy(
+        F.pmod("group_id", F.lit(10)).cast("int").alias("split")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("group_id").cast("long").alias("n_groups"),
+    )
+
+
+@register(
     "source_mixing",
     """
     WITH kept AS (
@@ -7968,19 +8021,20 @@ _DRIVER_FIRST = [
     "approx_distinct_counts",
     "array_functions_battery",
     "bigram_counts",
-    "bpe_merge_candidates",
-    # r9 slots 48-50: new this round (rotation rule 2) — the
+    # r9 slots 47-50: new this round (rotation rule 2) — the
     # oracle-backed exact-regime companion to the rows-only
     # datasketches_battery, the embedding-level decontamination
-    # complement of decontamination_overlap, and exact-integer PMI
-    # collocation mining
+    # complement of decontamination_overlap, exact-integer PMI
+    # collocation mining, and the near-dup-aware split
     "theta_sketch_exact_battery",
     "semantic_decontamination",
     "collocation_pmi",
+    "near_dup_safe_split",
     # past slot 50 from here — the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
     # via _reorder_registry
+    "bpe_merge_candidates",
     "canonical_selection",
     "chunk_then_pack",
     "correlated_subquery",

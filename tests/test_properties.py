@@ -1024,3 +1024,49 @@ def test_bucketed_partials_model_equivalence(spark, start, ops):
         assert got == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=25,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pmi_collocations_matches_python_reference(token_docs, min_pair):
+    """pmi_collocations ≡ a direct python recount on random tiny
+    corpora: same kept pairs under the exact integer lift gate, same
+    counts — including the boundary behavior (strict >) and the
+    degenerate docs (empty / single-token) the SQL oracle never sees."""
+    from collections import Counter
+
+    from aws_ipl_data_pipeline_spark.operators.text import pmi_collocations
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(" ".join(toks),) for toks in token_docs], "text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["w1_count"], r["w2_count"])
+        for r in pmi_collocations(
+            docs, min_pair_count=min_pair, top_k=1000
+        ).collect()
+    }
+
+    kept_docs = [t for t in token_docs if len(t) >= 2]
+    pair_c = Counter()
+    tok_c = Counter()
+    for toks in kept_docs:
+        tok_c.update(toks)
+        pair_c.update(zip(toks, toks[1:]))
+    n_pairs = sum(pair_c.values())
+    n_toks = sum(tok_c.values())
+    want = {}
+    for (w1, w2), c in pair_c.items():
+        if c >= min_pair and 5 * c * n_toks * n_toks > 6 * n_pairs * tok_c[w1] * tok_c[w2]:
+            want[(w1, w2)] = (c, tok_c[w1], tok_c[w2])
+    assert got == want
