@@ -173,6 +173,61 @@ def pair_common_counts(items: DataFrame, id_col: str, key_col: str) -> DataFrame
     ).join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_pct: int = 90,
+    min_size: int = 5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: pairs where the smaller document's
+    shingle set is ≥ threshold_pct% contained in the other document.
+
+    Containment C = |S(a)∩S(b)| / min(|S(a)|, |S(b)|) catches what
+    Jaccard structurally cannot: a short document quoted or embedded
+    verbatim inside a much longer one has C ≈ 1 while J ≈ |small|/|big|
+    ≈ 0 — the classic training-data leak where a benchmark prompt or a
+    boilerplate notice rides inside a larger page. The threshold gate is
+    EXACT integer arithmetic (`common·100 ≥ pct·min(na,nb)`), so the
+    boundary is bit-deterministic across engines; ``min_size`` floors
+    the smaller set (a 1-shingle doc is trivially contained anywhere).
+
+    Returns (contained_id, container_id, containment): contained is the
+    doc with the smaller shingle set (tie → the larger id, so the
+    keep-smallest-id dedup policy composes), containment rounded 4dp.
+
+    Scale: identical plan family to shingle_jaccard_pairs — one
+    inverted-index self-join on the 8-byte shingle hash, count-only
+    aggregation (map-side combinable), ``max_shingle_df`` as the
+    stopword-shingle skew guard. No new shuffle beyond the jaccard path.
+    """
+    sh = word_shingles(docs, id_col, text_col, n).select(
+        "_id", F.xxhash64("shingle").alias("_hs")
+    )
+    if max_shingle_df is not None:
+        keep = sh.groupBy("_hs").count().where(F.col("count") <= max_shingle_df)
+        sh = sh.join(keep.select("_hs"), "_hs")
+    common = pair_common_counts(sh, "_id", "_hs")
+    least = F.least("_na", "_nb")
+    gate = (F.col("_common") * 100 >= F.lit(int(threshold_pct)) * least) & (
+        least >= int(min_size)
+    )
+    a_smaller = F.col("_na") < F.col("_nb")
+    return common.where(gate).select(
+        F.when(a_smaller, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .cast("long")
+        .alias("contained_id"),
+        F.when(a_smaller, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .cast("long")
+        .alias("container_id"),
+        F.round(F.col("_common") / least, 4).alias("containment"),
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:

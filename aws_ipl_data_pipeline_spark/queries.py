@@ -1351,6 +1351,39 @@ def near_dup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLE_SQL}
+    SELECT CAST(CASE WHEN ca.n < cb.n THEN p.id_a ELSE p.id_b END AS BIGINT)
+             AS contained_id,
+           CAST(CASE WHEN ca.n < cb.n THEN p.id_b ELSE p.id_a END AS BIGINT)
+             AS container_id,
+           round(p.common * 1.0 / LEAST(ca.n, cb.n), 4) AS containment
+    FROM pairs p
+    JOIN sizes ca ON p.id_a = ca.doc_id
+    JOIN sizes cb ON p.id_b = cb.doc_id
+    WHERE p.common * 100 >= 90 * LEAST(ca.n, cb.n)
+      AND LEAST(ca.n, cb.n) >= 5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: the smaller doc's word-3-gram
+    set ≥90% contained in the other (exact integer boundary). Catches
+    quoted/embedded documents that Jaccard structurally misses — a
+    short doc inside a long one has containment ≈ 1, jaccard ≈ 0. Same
+    inverted-index plan family as dedup_ngram_jaccard; the asymmetric
+    small-in-big case is pinned by a constructed-fixture unit test
+    (this corpus's near-dups are same-length paraphrases)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    return shingle_containment_pairs(
+        t(spark, sf_dir, "documents"), threshold_pct=90, min_size=5
+    )
+
+
+@register(
     "source_mixing",
     """
     WITH kept AS (
@@ -8020,7 +8053,6 @@ _DRIVER_FIRST = [
     "ann_recall_eval",
     "approx_distinct_counts",
     "array_functions_battery",
-    "bigram_counts",
     # r9 slots 47-50: new this round (rotation rule 2) — the
     # oracle-backed exact-regime companion to the rows-only
     # datasketches_battery, the embedding-level decontamination
@@ -8030,10 +8062,12 @@ _DRIVER_FIRST = [
     "semantic_decontamination",
     "collocation_pmi",
     "near_dup_safe_split",
+    "dedup_containment",
     # past slot 50 from here — the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
     # via _reorder_registry
+    "bigram_counts",
     "bpe_merge_candidates",
     "canonical_selection",
     "chunk_then_pack",

@@ -1067,6 +1067,46 @@ def test_stat_surface_freqitems_sampleby_crosstab(spark):
         assert sum(int(v) for v in d.values()) == exact[flag]
 
 
+def test_containment_catches_embedded_doc(spark):
+    """The asymmetric case the registered corpus lacks: a short doc
+    quoted verbatim inside a much longer one is containment 1.0 while
+    its jaccard is far below any dedup threshold — shingle_containment
+    must flag it, shingle_jaccard must not. Also pins the tie rule
+    (equal sizes → the LARGER id is 'contained', so keep-smallest-id
+    composes) and the min_size floor (trivially small sets excluded)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    small = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    fill_a = " ".join(f"w{i}" for i in range(40))
+    fill_b = " ".join(f"v{i}" for i in range(40))
+    fill_c = " ".join(f"x{i}" for i in range(40))
+    fill_d = " ".join(f"y{i}" for i in range(40))
+    tiny = "kilo lima mike november"  # 2 shingles — under min_size=5
+    rows = [
+        (1, small),
+        (2, f"{fill_a} {small} {fill_b}"),  # embeds doc 1
+        (3, tiny),
+        (4, f"{fill_c} {tiny} {fill_d}"),  # embeds doc 3 (gated out)
+        (5, small),  # exact copy of doc 1 — the tie case
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in shingle_containment_pairs(
+            docs, threshold_pct=90, min_size=5
+        ).collect()
+    }
+    assert got == {(1, 2, 1.0), (5, 2, 1.0), (5, 1, 1.0)}
+    # jaccard at the dedup threshold sees ONLY the exact copy
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in shingle_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert jac == {(1, 5)}
+
+
 def test_prefix_filtered_jaccard_equals_plain(spark):
     """PPJoin prefix filtering is a pure candidate-pruning step: the
     surviving pair set and jaccard values must be bit-identical to the
