@@ -2884,6 +2884,54 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(t(spark, sf_dir, "documents"))
 
 
+@register(
+    "copurchase_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    tot AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+    sup AS (SELECT p, COUNT(*) AS s FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, COUNT(*) AS co
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT pa, pb, co, sa.s AS sa, sb.s AS sb,
+             round(((SELECT n FROM tot) * co) * 1.0 / (sa.s * sb.s), 4)
+               AS lift
+      FROM pairs
+      JOIN sup sa ON pa = sa.p
+      JOIN sup sb ON pb = sb.p
+      WHERE co >= 2 AND (SELECT n FROM tot) * co > sa.s * sb.s
+    )
+    SELECT CAST(pa AS BIGINT) AS item_a, CAST(pb AS BIGINT) AS item_b,
+           CAST(co AS BIGINT) AS co_baskets,
+           CAST(sa AS BIGINT) AS supp_a, CAST(sb AS BIGINT) AS supp_b,
+           lift
+    FROM scored
+    ORDER BY co_baskets DESC, lift DESC, item_a, item_b LIMIT 100
+    """,
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered in ≥2 orders with
+    lift > 1 (exact integer gate), top-100 by co-order count. Apriori
+    item prune BEFORE the pair explosion, inverted-index self-join on
+    the order key (pair_common_counts skeleton — never a cross join),
+    1-row total-baskets frame broadcast back, top-k via
+    TakeOrderedAndProject."""
+    from aws_ipl_data_pipeline_spark.operators.itemsets import copurchase_pairs
+
+    li = t(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_pair_support=2
+    )
+    return pairs.orderBy(
+        F.desc("co_baskets"), F.desc("lift"), "item_a", "item_b"
+    ).limit(100)
+
+
 # deterministic synthetic PII (the word-salad corpus has none): an email
 # and a phone derived from doc_id, prepended to the text on BOTH sides
 _PII_SYNTH_SQL = (
@@ -8052,7 +8100,6 @@ _DRIVER_FIRST = [
     "ann_lsh_topk",
     "ann_recall_eval",
     "approx_distinct_counts",
-    "array_functions_battery",
     # r9 slots 47-50: new this round (rotation rule 2) — the
     # oracle-backed exact-regime companion to the rows-only
     # datasketches_battery, the embedding-level decontamination
@@ -8063,10 +8110,12 @@ _DRIVER_FIRST = [
     "collocation_pmi",
     "near_dup_safe_split",
     "dedup_containment",
+    "copurchase_lift",
     # past slot 50 from here — the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
     # via _reorder_registry
+    "array_functions_battery",
     "bigram_counts",
     "bpe_merge_candidates",
     "canonical_selection",

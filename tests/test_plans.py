@@ -667,6 +667,21 @@ def test_collocation_pmi_plan_shape(spark):
     assert not re.search(r"\n\s*[+:]- Sort ", p)
 
 
+def test_copurchase_lift_plan_shape(spark):
+    """copurchase_lift's one-gate-per-claim pin: pairs come from the
+    inverted-index equi-self-join on the basket key (SortMergeJoin or
+    shuffled hash — never CartesianProduct), the apriori support prune
+    and pair counts are partial/final HashAggregate pairs (map-side
+    combine), the total-baskets frame reaches the plan as the single
+    broadcast BNLJ (bounded by the registry-wide keyless-agg gate),
+    and the top-100 is TakeOrderedAndProject, never a global Sort."""
+    p = formatted_plan(spark, "copurchase_lift")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert _nodes(p, "BroadcastNestedLoopJoin") == 1
+    assert not re.search(r"\n\s*[+:]- Sort ", p)
+
+
 def test_topk_windows_run_on_bounded_prefix(spark):
     """VERDICT r6 #1-#3: rank_topk / slice_rows / vocab_coverage_curve
     must take the top-k FIRST (TakeOrderedAndProject — per-partition
@@ -728,6 +743,7 @@ BNLJ_OK = (
     "hybrid_rank_fusion",  # post-limit fused frame + 1-row norms
     "theta_sketch_exact_battery",  # 1-row keyless-agg reference sketch
     "collocation_pmi",  # 1-row keyless-agg corpus totals frame
+    "copurchase_lift",  # 1-row keyless-agg total-baskets frame
 )
 
 # Structural evidence that a broadcast side cannot grow with the data:
