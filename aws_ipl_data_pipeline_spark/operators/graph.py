@@ -229,6 +229,70 @@ def pagerank_fixed_int_reference(
     return r
 
 
+def top_out_edges(edges: DataFrame, m: int = 2) -> DataFrame:
+    """k-NN graph sparsification: keep each node's ``m`` strongest
+    out-edges (by weight desc, dst asc as the deterministic tiebreak).
+    The standard preparation before graph traversals on co-occurrence
+    graphs, which are otherwise near-complete: bounded out-degree makes
+    BFS/walk costs O(m·nodes) per round at ANY corpus scale, and the
+    threshold is scale-invariant (an absolute weight floor is not —
+    co-occurrence counts grow linearly with data volume). One window
+    partitioned by src: bounded partitions (a node's out-edges), never
+    a global sort."""
+    w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return (
+        edges.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= int(m))
+        .drop("_r")
+    )
+
+
+def bfs_distances(
+    seeds: DataFrame, edges: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from ANY seed node,
+    bounded at ``max_hops`` expansion rounds — the k-hop neighborhood
+    primitive under graph-based data selection (expand a trusted seed
+    set through the link graph) and impact analysis.
+
+    ``seeds``: one column ``v`` (deduped here). ``edges``: ``src``/
+    ``dst`` (directed; extra columns ignored). Returns (v, dist) for
+    every node whose shortest directed path from a seed is ≤ max_hops,
+    seeds at 0. Hop counts are small exact ints — nothing float, so
+    results are bit-deterministic by construction.
+
+    Scale: per round ONE equi-join of the current frontier against the
+    edge list (the frontier is new-nodes-only, so total join work
+    across all rounds touches each reachable edge once per discovery
+    level — the standard frontier BFS bound) plus one anti-join
+    against the visited set, both keyed on the node id. The edge list
+    and the growing distance frame are localCheckpointed so iterative
+    lineage stays flat (the pagerank discipline). Rounds are FIXED at
+    max_hops: an empty frontier makes later rounds empty no-op joins,
+    which keeps the plan count deterministic without a per-round
+    driver-side count()."""
+    dist = (
+        seeds.select("v")
+        .distinct()
+        .select("v", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    frontier = dist.select("v")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges.withColumnRenamed("src", "v"), "v")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(dist.select("v"), "v", "left_anti")
+            .select("v", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("v")
+    return dist
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts by degree-ordered orientation — the
     classic distributed formulation (orient every undirected edge from

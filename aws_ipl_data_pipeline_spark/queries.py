@@ -7893,6 +7893,74 @@ def personalized_pagerank_covisit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_BFS_ITER_TMPL = """
+    n{t} AS (
+      SELECT DISTINCT e.dst AS v
+      FROM edges e JOIN d{p} f ON f.v = e.src AND f.dist = {p}
+    ),
+    d{t} AS (
+      SELECT v, dist FROM d{p}
+      UNION ALL
+      SELECT v, {t} AS dist FROM n{t}
+      WHERE v NOT IN (SELECT v FROM d{p})
+    )
+"""
+
+
+@register(
+    "bfs_khop_distances",
+    f"""
+    WITH {_COVISIT_TR_SQL},
+    ew AS (
+      SELECT prev_k AS src, k AS dst, COUNT(*) AS w
+      FROM tr WHERE prev_k IS NOT NULL AND prev_k <> k
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS r
+      FROM ew
+    ),
+    edges AS (SELECT src, dst FROM rk WHERE r <= 2),
+    nodes AS (SELECT DISTINCT k AS v FROM ev),
+    d0 AS (SELECT v, 0 AS dist FROM nodes WHERE v < 2),
+    {_BFS_ITER_TMPL.format(t=1, p=0)},
+    {_BFS_ITER_TMPL.format(t=2, p=1)},
+    {_BFS_ITER_TMPL.format(t=3, p=2)},
+    {_BFS_ITER_TMPL.format(t=4, p=3)}
+    SELECT CAST(v AS BIGINT) AS item_k, CAST(dist AS INT) AS dist FROM d4
+    """,
+)
+def bfs_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the top-2-out-edge k-NN covisit graph:
+    minimum hop distance from the seed items (k < 2), bounded at 4
+    rounds — the k-hop neighborhood expansion behind graph-based data
+    selection. The raw co-occurrence graph is near-complete, so it is
+    first sparsified to each node's 2 strongest transitions
+    (graph.top_out_edges — the scale-invariant rule; an absolute
+    weight floor drifts with corpus volume), then expanded with
+    frontier-only per-round joins (graph.bfs_distances), exact
+    small-int distances. The oracle unrolls the identical four
+    frontier rounds as chained CTEs — the pagerank oracle discipline
+    applied to reachability. Non-degenerate at every sf: all five
+    distance levels populated, part of the graph unreachable."""
+    from aws_ipl_data_pipeline_spark.operators.graph import (
+        bfs_distances,
+        covisit_edges,
+        top_out_edges,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    edges = top_out_edges(covisit_edges(ev, item), m=2)
+    nodes = (
+        ev.select(item.alias("v")).where(F.col("v").isNotNull()).distinct()
+    )
+    seeds = nodes.where(F.col("v") < 2)
+    out = bfs_distances(seeds, edges, max_hops=4)
+    return out.select(F.col("v").cast("long").alias("item_k"), "dist")
+
+
 # --------------------------------------------------------------------------
 # Retrieval-quality evaluation (recall@k / MRR of ANN vs exact)
 # --------------------------------------------------------------------------
@@ -8099,7 +8167,6 @@ _DRIVER_FIRST = [
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_recall_eval",
-    "approx_distinct_counts",
     # r9 slots 47-50: new this round (rotation rule 2) — the
     # oracle-backed exact-regime companion to the rows-only
     # datasketches_battery, the embedding-level decontamination
@@ -8111,10 +8178,12 @@ _DRIVER_FIRST = [
     "near_dup_safe_split",
     "dedup_containment",
     "copurchase_lift",
+    "bfs_khop_distances",
     # past slot 50 from here — the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
     # via _reorder_registry
+    "approx_distinct_counts",
     "array_functions_battery",
     "bigram_counts",
     "bpe_merge_candidates",

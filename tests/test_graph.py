@@ -217,3 +217,66 @@ def test_personalized_pagerank_empty_and_duplicate_seeds(spark):
     )
     clean = pagerank_fixed_int_reference(nodes, edges, iters=2, seed_ids=[0, 1])
     assert got_dup == want == clean
+
+
+def test_bfs_distances_chain_and_unreachable(spark):
+    """Min-hop semantics on a constructed graph: a chain past the hop
+    bound (nodes beyond max_hops absent), a shortcut (min of two path
+    lengths wins), multi-source (distance from the NEAREST seed), a
+    node unreachable along edge direction (absent — edges are
+    directed), and duplicate seed rows deduped."""
+    from aws_ipl_data_pipeline_spark.operators.graph import bfs_distances
+
+    # chain 0->1->2->3->4->5->6, shortcut 0->3, reverse-only edge 8->0,
+    # second seed 10 -> 4
+    edges = spark.createDataFrame(
+        [
+            Row(src=0, dst=1, w=1),
+            Row(src=1, dst=2, w=1),
+            Row(src=2, dst=3, w=1),
+            Row(src=3, dst=4, w=1),
+            Row(src=4, dst=5, w=1),
+            Row(src=5, dst=6, w=1),
+            Row(src=0, dst=3, w=1),
+            Row(src=8, dst=0, w=1),
+            Row(src=10, dst=4, w=1),
+        ]
+    )
+    seeds = spark.createDataFrame([Row(v=0), Row(v=0), Row(v=10)])
+    got = {
+        r["v"]: r["dist"]
+        for r in bfs_distances(seeds, edges, max_hops=3).collect()
+    }
+    assert got == {
+        0: 0,
+        10: 0,
+        1: 1,  # 0->1
+        3: 1,  # shortcut beats 0->1->2->3
+        4: 1,  # nearest seed is 10, not 0 (which is 2 via shortcut)
+        2: 2,  # 0->1->2
+        5: 2,  # 10->4->5
+        6: 3,  # 10->4->5->6
+        # 8 unreachable (edge points INTO the seed); nothing past hop 3
+    }
+
+
+def test_top_out_edges_keeps_strongest_with_deterministic_ties(spark):
+    from aws_ipl_data_pipeline_spark.operators.graph import top_out_edges
+
+    edges = spark.createDataFrame(
+        [
+            Row(src=1, dst=10, w=5),
+            Row(src=1, dst=11, w=3),
+            Row(src=1, dst=12, w=3),  # tie with 11 -> dst asc wins
+            Row(src=1, dst=13, w=9),
+            Row(src=2, dst=10, w=1),  # under-m node keeps all edges
+        ]
+    )
+    got = {
+        (r["src"], r["dst"]) for r in top_out_edges(edges, m=2).collect()
+    }
+    assert got == {(1, 13), (1, 10), (2, 10)}
+    got3 = {
+        (r["src"], r["dst"]) for r in top_out_edges(edges, m=3).collect()
+    }
+    assert got3 == {(1, 13), (1, 10), (1, 11), (2, 10)}
