@@ -7961,6 +7961,81 @@ def bfs_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("v").cast("long").alias("item_k"), "dist")
 
 
+@register(
+    "gap_fill_interpolate",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value FROM events
+    ),
+    obs AS (
+      SELECT user_id, bucket,
+             CAST(round(avg(value) * 10000, 0) AS BIGINT) AS obs
+      FROM ev GROUP BY 1, 2
+    ),
+    rng AS (
+      SELECT user_id, MIN(bucket) AS h0, MAX(bucket) AS h1
+      FROM obs GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(range(h0, h1 + 1)) AS bucket FROM rng
+    ),
+    j AS (
+      SELECT s.user_id, s.bucket, o.obs
+      FROM spine s
+      LEFT JOIN obs o ON s.user_id = o.user_id AND s.bucket = o.bucket
+    ),
+    f AS (
+      SELECT user_id, bucket, obs,
+        last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN obs IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN obs IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(CASE WHEN obs IS NOT NULL THEN obs
+                ELSE pv + ((nv - pv) * (bucket - ph)) //
+                       (CASE WHEN nh <> ph THEN nh - ph ELSE 1 END)
+           END AS DOUBLE) / 10000 AS value,
+           (obs IS NULL) AS filled
+    FROM f
+    """,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid gap filling (operators/timeseries.gap_fill_linear):
+    per-user hourly buckets from first to last observation, empty
+    buckets linearly interpolated between the nearest observed
+    neighbors — the time_bucket_gapfill + interpolate resampling
+    primitive. Per-key spine via sequence() (never a global calendar
+    cross join), neighbor lookups are two window frames over ONE
+    user-keyed exchange; observed means are quantized to integer 1e-4
+    units and the interpolation is pure int64 with truncating division
+    (Spark `div` ≡ DuckDB `//`), so values are bit-identical across
+    engines — float interpolation lands midpoints exactly on .00005
+    rounding boundaries where the engines disagree."""
+    from aws_ipl_data_pipeline_spark.operators.timeseries import (
+        gap_fill_linear,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    out = gap_fill_linear(ev, key_col="user_id", ts_col="ts")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "value",
+        "filled",
+    )
+
+
 # --------------------------------------------------------------------------
 # Retrieval-quality evaluation (recall@k / MRR of ANN vs exact)
 # --------------------------------------------------------------------------
@@ -8166,7 +8241,6 @@ _DRIVER_FIRST = [
     # newest driver row is r6
     "ann_brute_force_topk",
     "ann_lsh_topk",
-    "ann_recall_eval",
     # r9 slots 47-50: new this round (rotation rule 2) — the
     # oracle-backed exact-regime companion to the rows-only
     # datasketches_battery, the embedding-level decontamination
@@ -8179,10 +8253,12 @@ _DRIVER_FIRST = [
     "dedup_containment",
     "copurchase_lift",
     "bfs_khop_distances",
+    "gap_fill_interpolate",
     # past slot 50 from here — the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
     # via _reorder_registry
+    "ann_recall_eval",
     "approx_distinct_counts",
     "array_functions_battery",
     "bigram_counts",

@@ -1420,3 +1420,49 @@ def test_pmi_collocations_lift_gate_is_exact(spark):
     assert sorted(
         (r["w1"], r["w2"], r["pair_count"]) for r in below.collect()
     ) == [("a", "a", 1), ("a", "b", 1), ("b", "a", 1), ("b", "b", 1)]
+
+
+def test_gap_fill_linear_constructed_series(spark):
+    """Interpolation semantics on a constructed grid: interior gaps
+    linearly filled (exact on integer-spaced values), multi-bucket gap
+    positions each interpolated at their own offset, negative slopes
+    quantized by truncating division (Spark div ≡ DuckDB //), per-key
+    spines independent, observed rows flagged filled=false."""
+    from datetime import datetime, timezone
+
+    from aws_ipl_data_pipeline_spark.operators.timeseries import (
+        gap_fill_linear,
+    )
+
+    def ts(h):
+        return datetime(2024, 1, 1, h, 30, tzinfo=timezone.utc)
+
+    rows = [
+        # key 1: hours 0, 3 observed -> gap at 1, 2 on slope (10 -> 40)
+        (1, ts(0), 10.0),
+        (1, ts(3), 40.0),
+        # key 2: negative slope 5 -> 4 over 2 hours; midpoint 4.5
+        (2, ts(0), 5.0),
+        (2, ts(2), 4.0),
+        # key 3: single observation -> spine is 1 bucket, no gap
+        (3, ts(5), 7.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = gap_fill_linear(ev, key_col="user_id").collect()
+    got = {
+        (r["user_id"], r["bucket"] % 24): (r["value"], r["filled"])
+        for r in out
+    }
+    assert len(out) == 4 + 3 + 1
+    assert got[(1, 0)] == (10.0, False)
+    assert got[(1, 1)] == (20.0, True)
+    assert got[(1, 2)] == (30.0, True)
+    assert got[(1, 3)] == (40.0, False)
+    assert got[(2, 0)] == (5.0, False)
+    # exact midpoint 4.5: integer units 50000 + (40000-50000)*1 div 2
+    # = 45000 -> 4.5 (no float-boundary coin flip)
+    assert got[(2, 1)] == (4.5, True)
+    assert got[(2, 2)] == (4.0, False)
+    assert got[(3, 5)] == (7.5, False)
