@@ -8036,6 +8036,145 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_24h_stats",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(round(value * 10000, 0) AS BIGINT) AS q
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(tus AS BIGINT) AS ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           CAST(SUM(q) OVER w AS DOUBLE) / (COUNT(*) OVER w) / 10000
+             AS avg_24h,
+           CAST(MAX(q) OVER w AS DOUBLE) / 10000 AS max_24h
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_24h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-24-hour moving statistics via a RANGE window
+    frame over epoch-microseconds — the time-range moving-aggregate
+    surface (W-family extension): each event sees exactly the events
+    within the preceding 24h, not a fixed row count. Values are
+    quantized to integer 1e-4 units so the frame sums are exact int64
+    on both engines (a float moving sum diverges: DuckDB's segment-
+    tree accumulation and Spark's running accumulation sum in
+    different orders); the average is a fixed-order double division of
+    exact integers. One user-keyed exchange, bounded partitions."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("_q"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count("*").over(w).cast("long").alias("n_24h"),
+        (
+            F.sum("_q").over(w).cast("double")
+            / F.count("*").over(w)
+            / F.lit(10000)
+        ).alias("avg_24h"),
+        (F.max("_q").over(w).cast("double") / F.lit(10000)).alias("max_24h"),
+    )
+
+
+@register(
+    "user_value_trend",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+             CAST(round(value * 10000, 0) AS BIGINT) AS q
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, b - MIN(b) OVER (PARTITION BY user_id) AS x, q
+      FROM ev
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(q) AS sy,
+             SUM(x * x) AS sxx, SUM(x * q) AS sxy
+      FROM c GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n AS BIGINT) AS n_points,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 10000 AS slope_per_hour,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 10000 AS intercept
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise OLS trend: per-user least-squares slope (value/hour)
+    and intercept (value at the user's first observed hour) over the
+    event series — the entity-level trend/drift pass. x is the hour
+    index centered on the per-user minimum (a window MIN over the same
+    user clustering the final aggregate reuses — one exchange total);
+    y is the value quantized to integer 1e-4 units. ALL five OLS
+    moments are exact int64 sums and both closed-form numerators/
+    denominators stay integer until one fixed-order double division,
+    so results are bit-identical across engines (float moment sums
+    would diverge by accumulation order). Overflow envelope documented
+    against this corpus: |q|≤5.6e6, span≤720h, n≤99 keeps every
+    product ≤ ~3e16 « 2^63; the quantum and bucket width are the knobs
+    if a deployment's ranges grow. Users with a single observation or
+    a single distinct hour carry no slope and are excluded (den > 0:
+    the Cauchy-Schwarz-degenerate case)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias(
+            "_b"
+        ),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("_q"),
+    )
+    wmin = Window.partitionBy("user_id")
+    c = ev.select(
+        "user_id",
+        (F.col("_b") - F.min("_b").over(wmin)).alias("_x"),
+        "_q",
+    )
+    s = c.groupBy("user_id").agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_q").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_q")).alias("_sxy"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return (
+        s.where((F.col("_n") >= 2) & (den > 0))
+        .select(
+            "user_id",
+            F.col("_n").cast("long").alias("n_points"),
+            (
+                (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+                .cast("double")
+                / den.cast("double")
+                / F.lit(10000)
+            ).alias("slope_per_hour"),
+            (
+                (F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy"))
+                .cast("double")
+                / den.cast("double")
+                / F.lit(10000)
+            ).alias("intercept"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Retrieval-quality evaluation (recall@k / MRR of ANN vs exact)
 # --------------------------------------------------------------------------
@@ -8232,16 +8371,14 @@ _DRIVER_FIRST = [
     "string_battery",
     "top_customers_by_revenue",
     "winner_per_group",
+    # (ann_brute_force_topk displaced to the r10 queue by the r9
+    # continuation additions below)
     # r9 slots 38-40: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r9 slots 41-50: refresh of the 10 alphabetically-first rows whose
-    # newest driver row is r6
-    "ann_brute_force_topk",
-    "ann_lsh_topk",
-    # r9 slots 47-50: new this round (rotation rule 2) — the
+    # r9 slots 41-50: new this round (rotation rule 2) — the
     # oracle-backed exact-regime companion to the rows-only
     # datasketches_battery, the embedding-level decontamination
     # complement of decontamination_overlap, exact-integer PMI
@@ -8254,10 +8391,14 @@ _DRIVER_FIRST = [
     "copurchase_lift",
     "bfs_khop_distances",
     "gap_fill_interpolate",
+    "rolling_24h_stats",
+    "user_value_trend",
     # past slot 50 from here — the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
     # via _reorder_registry
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
     "ann_recall_eval",
     "approx_distinct_counts",
     "array_functions_battery",

@@ -682,6 +682,31 @@ def test_copurchase_lift_plan_shape(spark):
     assert not re.search(r"\n\s*[+:]- Sort ", p)
 
 
+def test_timeseries_windows_share_one_user_clustering(spark):
+    """gap_fill_interpolate / rolling_24h_stats / user_value_trend all
+    claim their window work rides ONE user-keyed clustering: every
+    window function lands in a single Window node (gap-fill's four
+    neighbor lookups, rolling's three RANGE-frame aggs, the trend's
+    centering MIN), never a SinglePartition window, and nothing plans
+    more than the one user-hash exchange (zero when the source is a
+    single split — the clustering is then already satisfied)."""
+    for name in (
+        "gap_fill_interpolate",
+        "rolling_24h_stats",
+        "user_value_trend",
+    ):
+        p = formatted_plan(spark, name)
+        assert p.count("Window") >= 1, name
+        assert "SinglePartition" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1, name
+        # user_value_trend's final aggregate must reuse the window's
+        # clustering: no exchange may sit between Window and the agg
+        if name == "user_value_trend":
+            seg = p.split("Window")[0]  # nodes ABOVE the window
+            assert "Exchange" not in seg, seg
+
+
 def test_topk_windows_run_on_bounded_prefix(spark):
     """VERDICT r6 #1-#3: rank_topk / slice_rows / vocab_coverage_curve
     must take the top-k FIRST (TakeOrderedAndProject — per-partition
