@@ -8016,8 +8016,11 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets linearly interpolated between the nearest observed
     neighbors — the time_bucket_gapfill + interpolate resampling
     primitive. Per-key spine via sequence() (never a global calendar
-    cross join), neighbor lookups are two window frames over ONE
-    user-keyed exchange; observed means are quantized to integer 1e-4
+    cross join); neighbor lookups are RUNNING unbounded-preceding
+    frames in both directions (the "next" side over reversed order —
+    an unbounded-FOLLOWING frame re-aggregates per row, O(n²) per key,
+    measured 14.8 s vs 1.6 s on sf0.1) sharing ONE user-keyed
+    clustering; observed means are quantized to integer 1e-4
     units and the interpolation is pure int64 with truncating division
     (Spark `div` ≡ DuckDB `//`), so values are bit-identical across
     engines — float interpolation lands midpoints exactly on .00005
@@ -8172,6 +8175,124 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(10000)
             ).alias("intercept"),
         )
+    )
+
+
+@register(
+    "decayed_engagement",
+    """
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+    ev AS (
+      SELECT user_id,
+             (ref.tmax - epoch_us(ts)) // 86400000000 AS age_days
+      FROM events, ref
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(CASE WHEN age_days < 41
+                THEN (CAST(1 AS BIGINT) << CAST(40 - age_days AS INT))
+                ELSE 0 END) AS BIGINT) AS score_scaled,
+           CAST(SUM(CASE WHEN age_days < 41
+                THEN (CAST(1 AS BIGINT) << CAST(40 - age_days AS INT))
+                ELSE 0 END) AS DOUBLE) / 1099511627776 AS score,
+           CAST(COUNT(*) FILTER (WHERE age_days < 7) AS BIGINT) AS n_7d
+    FROM ev GROUP BY 1
+    """,
+)
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score per user with a one-day
+    half-life, EXACT: each event contributes 2^(40 - age_days) in
+    integer units (bit-shift, never a float pow), so the per-user sum
+    is an order-independent int64 — the standard exponential-decay
+    engagement metric made bit-deterministic across engines and
+    partitionings. Events older than the 41-day horizon contribute 0
+    (their weight would shift below the quantum anyway). The surfaced
+    `score` is score_scaled / 2^40 — "present-equivalent events" — an
+    exact power-of-two division (score_scaled ≤ ~1.4e13 < 2^53, so
+    the double conversion is lossless). The reference time is the
+    corpus max timestamp: a 1-row keyless agg broadcast back
+    (BNLJ-allowlist shape), never a driver collect. One combinable
+    user-keyed aggregation; overflow envelope: 2^40 × events-per-user
+    stays < 2^63 up to ~8M recent events per user."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_tus"),
+    )
+    ref = ev.agg(F.max("_tus").alias("_tmax"))
+    aged = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.expr("(_tmax - _tus) div 86400000000").alias("_age"),
+    )
+    w = F.when(
+        F.col("_age") < 41,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - _age AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return aged.groupBy("user_id").agg(
+        F.sum(w).cast("long").alias("score_scaled"),
+        (F.sum(w).cast("double") / F.lit(1099511627776.0)).alias("score"),
+        F.sum(F.when(F.col("_age") < 7, 1).otherwise(0))
+        .cast("long")
+        .alias("n_7d"),
+    )
+
+
+@register(
+    "chi2_source_lang",
+    """
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT source, lang, o,
+             SUM(o) OVER (PARTITION BY source) AS rt,
+             SUM(o) OVER (PARTITION BY lang) AS ct,
+             (SELECT SUM(o) FROM cells) AS n
+      FROM cells
+    )
+    SELECT source, lang, CAST(o AS BIGINT) AS observed,
+           CAST((rt * ct * 10000) // n AS BIGINT) AS expected_1e4,
+           round(CAST(o * n - rt * ct AS DOUBLE)
+                 * CAST(o * n - rt * ct AS DOUBLE) / n / rt / ct, 6)
+             AS contrib
+    FROM m
+    """,
+)
+def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for the source × lang
+    contingency table — the corpus-composition drift check (is
+    language mix independent of source?). Per-cell output, never a
+    cross-cell float total: `observed` and the 1e-4-scaled `expected`
+    are exact integers (rt·ct·10⁴ div n), and each cell's chi-square
+    contribution (o·n − rt·ct)²/(n·rt·ct) is a fixed-order double
+    expression over exact int64 products (|d| ≤ n·max_cell < 2^26
+    here, so even d² is float-exact). Marginals come from two window
+    sums over the aggregated cell frame (bounded partitions: one
+    source's langs / one lang's sources); the grand total is a 1-row
+    keyless agg broadcast back (BNLJ-allowlist shape)."""
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("_o"))
+    ws = Window.partitionBy("source")
+    wl = Window.partitionBy("lang")
+    tot = cells.agg(F.sum("_o").alias("_n"))
+    m = cells.select(
+        "source",
+        "lang",
+        "_o",
+        F.sum("_o").over(ws).alias("_rt"),
+        F.sum("_o").over(wl).alias("_ct"),
+    ).crossJoin(F.broadcast(tot))
+    dd = (
+        F.col("_o") * F.col("_n") - F.col("_rt") * F.col("_ct")
+    ).cast("double")
+    return m.select(
+        "source",
+        "lang",
+        F.col("_o").cast("long").alias("observed"),
+        F.expr("(_rt * _ct * 10000) div _n").cast("long").alias(
+            "expected_1e4"
+        ),
+        F.round(dd * dd / F.col("_n") / F.col("_rt") / F.col("_ct"), 6).alias(
+            "contrib"
+        ),
     )
 
 
@@ -8371,18 +8492,19 @@ _DRIVER_FIRST = [
     "string_battery",
     "top_customers_by_revenue",
     "winner_per_group",
-    # (ann_brute_force_topk displaced to the r10 queue by the r9
-    # continuation additions below)
     # r9 slots 38-40: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r9 slots 41-50: new this round (rotation rule 2) — the
-    # oracle-backed exact-regime companion to the rows-only
-    # datasketches_battery, the embedding-level decontamination
-    # complement of decontamination_overlap, exact-integer PMI
-    # collocation mining, and the near-dup-aware split
+    # r9 slots 41-50: ALL ten r9-new queries (rotation rule 2) — the
+    # exact-regime theta companion, embedding-level decontamination,
+    # PMI collocations, the near-dup-aware split, then the six
+    # continuation additions: containment dedup, market-basket lift,
+    # kNN-graph BFS, integer-exact gap filling, RANGE-frame rolling
+    # stats, and group-wise OLS trend. The ten r6-refresh rows they
+    # displaced (ann_brute_force_topk … bigram_counts) head the r10
+    # queue below.
     "theta_sketch_exact_battery",
     "semantic_decontamination",
     "collocation_pmi",
@@ -8393,7 +8515,15 @@ _DRIVER_FIRST = [
     "gap_fill_interpolate",
     "rolling_24h_stats",
     "user_value_trend",
-    # past slot 50 from here — the r10 refresh queue, stalest first:
+    # past slot 50 from here — the r10 queue. Slots 51-52: the two
+    # continuation additions the full window could not seat without
+    # evicting r5-stale refresh rows (VERDICT r8 #1's done-criterion);
+    # they have no driver row yet, so rotation rule 1 puts them FIRST
+    # in r10. Until then the in-repo oracle replica + recorded 3-sf
+    # sweeps cover them.
+    "decayed_engagement",
+    "chi2_source_lang",
+    # then the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
     # via _reorder_registry

@@ -684,12 +684,15 @@ def test_copurchase_lift_plan_shape(spark):
 
 def test_timeseries_windows_share_one_user_clustering(spark):
     """gap_fill_interpolate / rolling_24h_stats / user_value_trend all
-    claim their window work rides ONE user-keyed clustering: every
-    window function lands in a single Window node (gap-fill's four
-    neighbor lookups, rolling's three RANGE-frame aggs, the trend's
-    centering MIN), never a SinglePartition window, and nothing plans
-    more than the one user-hash exchange (zero when the source is a
-    single split — the clustering is then already satisfied)."""
+    claim their window work rides ONE user-keyed clustering: window
+    functions group into at most two Window nodes (gap-fill's forward
+    + reversed running frames; rolling's three RANGE-frame aggs and
+    the trend's centering MIN each in one), never a SinglePartition
+    window, and nothing plans more than the one user-hash exchange
+    (zero when the source is a single split — the clustering is then
+    already satisfied). Gap-fill's frames must both be RUNNING
+    (unbounded PRECEDING) — an unbounded-following frame is O(n²) per
+    key (measured 14.8 s vs 1.6 s at sf0.1)."""
     for name in (
         "gap_fill_interpolate",
         "rolling_24h_stats",
@@ -700,6 +703,14 @@ def test_timeseries_windows_share_one_user_clustering(spark):
         assert "SinglePartition" not in p, name
         assert "CartesianProduct" not in p, name
         assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1, name
+        # the O(n²)-per-key frame shape: a MOVING start that re-
+        # aggregates the tail for every row. Whole-partition frames
+        # (unboundedpreceding -> unboundedfollowing, no moving edge,
+        # e.g. the trend's centering MIN) are computed once per key
+        # and stay allowed.
+        assert not re.search(
+            r"currentrow\$\(\), unboundedfollowing", p.lower()
+        ), name
         # user_value_trend's final aggregate must reuse the window's
         # clustering: no exchange may sit between Window and the agg
         if name == "user_value_trend":
@@ -769,6 +780,8 @@ BNLJ_OK = (
     "theta_sketch_exact_battery",  # 1-row keyless-agg reference sketch
     "collocation_pmi",  # 1-row keyless-agg corpus totals frame
     "copurchase_lift",  # 1-row keyless-agg total-baskets frame
+    "decayed_engagement",  # 1-row keyless-agg reference-time frame
+    "chi2_source_lang",  # 1-row keyless-agg grand-total frame
 )
 
 # Structural evidence that a broadcast side cannot grow with the data:

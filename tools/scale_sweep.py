@@ -197,7 +197,7 @@ def build_tpch(spark, mult: int, out: str) -> None:
 _TPCH_QUERIES = {
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
     "q12_late_shipments", "q20_potential_promotion", "q1_pricing_summary",
-    "sql_udf_battery", "sql_pipe_syntax",
+    "sql_udf_battery", "sql_pipe_syntax", "copurchase_lift",
 }
 
 
@@ -218,7 +218,16 @@ def main() -> None:
     for mult in scales:
         sf_dir = build(spark, mult)
         if any(
-            n in ("sessionize_events", "scd2_user_state", "pagerank_covisit")
+            n
+            in (
+                "sessionize_events",
+                "scd2_user_state",
+                "pagerank_covisit",
+                "gap_fill_interpolate",
+                "rolling_24h_stats",
+                "user_value_trend",
+                "bfs_khop_distances",
+            )
             for n in QUERIES
         ):
             build_events(spark, mult, sf_dir)
