@@ -37,6 +37,36 @@ from pyspark.sql import functions as F
 MICROS_PER_HOUR = 3_600_000_000
 
 
+def cusum_stat(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    delta_col: str,
+    out_col: str = "cusum",
+) -> DataFrame:
+    """Upper CUSUM statistic S_t = max(0, S_{t-1} + d_t) per key,
+    WITHOUT a sequential fold: the recurrence has the closed form
+    S_t = P_t − min(0, min_{j≤t} P_j) with P the running prefix sum,
+    so it becomes two RUNNING window aggregates over one key
+    clustering — O(n) per key, distributed, and exact when the deltas
+    are integers (int64 prefix sums are order-independent; the
+    classic float fold is not). The trailing order column must be
+    unique within a key for determinism."""
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = df.withColumn("_cusum_psum", F.sum(delta_col).over(run))
+    return p.withColumn(
+        out_col,
+        F.col("_cusum_psum")
+        - F.least(
+            F.lit(0).cast("long"), F.min("_cusum_psum").over(run)
+        ),
+    ).drop("_cusum_psum")
+
+
 def gap_fill_linear(
     events: DataFrame,
     key_col: str = "user_id",

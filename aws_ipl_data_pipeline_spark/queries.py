@@ -8296,6 +8296,103 @@ def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cusum_drift_alarms",
+    """
+    WITH tgt AS (
+      SELECT CAST(round(avg(value) * 10000, 0) AS BIGINT) AS t FROM events
+    ),
+    ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(round(value * 10000, 0) AS BIGINT) - tgt.t AS d
+      FROM events, tgt
+    ),
+    p AS (
+      SELECT user_id, event_id, tus,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+      FROM ev
+    ),
+    s AS (
+      SELECT user_id, event_id, tus,
+             psum - LEAST(0, MIN(psum) OVER (
+                  PARTITION BY user_id ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cs
+      FROM p
+    ),
+    a AS (
+      SELECT user_id, event_id, tus, cs,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) AS rn
+      FROM s WHERE cs >= 5000000
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_alarms,
+           CAST(MAX(CASE WHEN rn = 1 THEN tus END) AS BIGINT)
+             AS first_alarm_ts_us,
+           CAST(MAX(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+             AS first_alarm_event_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN cs END) AS DOUBLE) / 10000
+             AS cusum_at_alarm
+    FROM a GROUP BY 1
+    """,
+)
+def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM change-point detection, EXACT: the sequential
+    recurrence S_t = max(0, S_{t-1} + d_t) has the closed form
+    S_t = P_t − min(0, min_{j≤t} P_j) (prefix-sum minus prefix-min),
+    so the classic drift statistic becomes two RUNNING window
+    aggregates — no stateful fold, no Python, and pure int64
+    throughout (d = value quantized to 1e-4 units minus the corpus
+    mean quantized the same way; the reference is a 1-row keyless agg
+    broadcast, BNLJ-allowlist shape). A user alarms when S exceeds
+    500 value-units (5e6 scaled); output is one row per alarming user
+    with the alarm count and the FIRST alarm's event/ts/statistic
+    (row_number over the same user clustering every window shares —
+    one exchange end to end, the aggregate included). Non-degenerate
+    at every sf: 4 / 43 / 499 alarming users."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("_q"),
+    )
+    # the reference is round(avg(raw)*1e4) — NOT avg of the quantized
+    # values, which would drift from the oracle by up to a half-quantum
+    tgt = (
+        t(spark, sf_dir, "events")
+        .agg(F.round(F.avg("value") * 10000, 0).cast("long").alias("_t"))
+    )
+    d = ev.crossJoin(F.broadcast(tgt)).select(
+        "user_id",
+        "event_id",
+        "tus",
+        (F.col("_q") - F.col("_t")).alias("_d"),
+    )
+    from aws_ipl_data_pipeline_spark.operators.timeseries import cusum_stat
+
+    s = cusum_stat(
+        d, "user_id", ("tus", "event_id"), "_d", out_col="_cs"
+    )
+    ordw = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    a = s.where(F.col("_cs") >= 5_000_000).withColumn(
+        "_rn", F.row_number().over(ordw)
+    )
+    return a.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_alarms"),
+        F.max(F.when(F.col("_rn") == 1, F.col("tus")))
+        .cast("long")
+        .alias("first_alarm_ts_us"),
+        F.max(F.when(F.col("_rn") == 1, F.col("event_id")))
+        .cast("long")
+        .alias("first_alarm_event_id"),
+        (
+            F.max(F.when(F.col("_rn") == 1, F.col("_cs"))).cast("double")
+            / F.lit(10000)
+        ).alias("cusum_at_alarm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Retrieval-quality evaluation (recall@k / MRR of ANN vs exact)
 # --------------------------------------------------------------------------
@@ -8523,6 +8620,7 @@ _DRIVER_FIRST = [
     # sweeps cover them.
     "decayed_engagement",
     "chi2_source_lang",
+    "cusum_drift_alarms",
     # then the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order

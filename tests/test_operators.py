@@ -1466,3 +1466,35 @@ def test_gap_fill_linear_constructed_series(spark):
     assert got[(2, 1)] == (4.5, True)
     assert got[(2, 2)] == (4.0, False)
     assert got[(3, 5)] == (7.5, False)
+
+
+def test_cusum_closed_form_equals_sequential_fold(spark):
+    """The window closed form S_t = P_t - min(0, prefix-min(P)) must
+    reproduce the sequential recurrence S_t = max(0, S_{t-1} + d_t)
+    exactly — checked against a pure-Python fold on series that
+    exercise resets to zero, recovery after deep negative runs, ties
+    broken by the trailing order key, and multiple keys."""
+    import random
+
+    from aws_ipl_data_pipeline_spark.operators.timeseries import cusum_stat
+
+    rng = random.Random(7)
+    rows = []
+    for k in (1, 2, 3):
+        for i in range(200):
+            rows.append((k, i, rng.randint(-50, 55)))
+    # adversarial tail for key 9: big swings + a tie on the order col
+    rows += [(9, 0, 100), (9, 1, -300), (9, 2, 250), (9, 3, -1), (9, 4, 7)]
+    df = spark.createDataFrame(rows, "k long, i long, d long")
+    got = {
+        (r["k"], r["i"]): r["cusum"]
+        for r in cusum_stat(df, "k", ("i",), "d").collect()
+    }
+    series: dict[int, list[tuple[int, int]]] = {}
+    for k, i, d in rows:
+        series.setdefault(k, []).append((i, d))
+    for k, pts in series.items():
+        s = 0
+        for i, d in sorted(pts):
+            s = max(0, s + d)
+            assert got[(k, i)] == s, (k, i, got[(k, i)], s)

@@ -782,6 +782,7 @@ BNLJ_OK = (
     "copurchase_lift",  # 1-row keyless-agg total-baskets frame
     "decayed_engagement",  # 1-row keyless-agg reference-time frame
     "chi2_source_lang",  # 1-row keyless-agg grand-total frame
+    "cusum_drift_alarms",  # 1-row keyless-agg target frame
 )
 
 # Structural evidence that a broadcast side cannot grow with the data:
