@@ -8,6 +8,7 @@ from aws_ipl_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     windowed_event_counts,
 )
 from aws_ipl_data_pipeline_spark.streaming.stateful import (  # noqa: F401
+    cusum_monitor_stateful,
     running_totals_stateful,
     running_totals_tws,
 )

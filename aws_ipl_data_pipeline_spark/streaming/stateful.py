@@ -125,3 +125,106 @@ def running_totals_tws(
             timeMode="None",
         )
     )
+
+
+CUSUM_MONITOR_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("cusum", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("first_alarm_order", T.LongType()),
+        T.StructField("cusum_at_alarm", T.LongType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("psum", T.LongType()),
+        T.StructField("pmin", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("first_alarm_order", T.LongType()),
+        T.StructField("cusum_at_alarm", T.LongType()),
+    ]
+)
+
+
+def cusum_monitor_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    delta_col: str = "d",
+    threshold: int = 5_000_000,
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.cusum_stat`` + the
+    alarm query: per-key CUSUM drift monitoring that survives
+    micro-batch boundaries with O(keys) state — the monitoring use
+    case is inherently streaming (alarm WHEN drift crosses the
+    threshold, not in tomorrow's batch).
+
+    State per key is just (n_events, prefix_sum, prefix_min, n_alarms,
+    first_alarm_order, cusum_at_alarm): the closed form
+    S = P − min(0, min_prefix(P)) needs nothing else, so a billion-key
+    stream carries six int64s per key (n_events is monotonic — sinks
+    and tests use it to pick each key's latest emission without
+    trusting append order). Deltas must be pre-quantized
+    integers (the batch discipline); the per-batch fold is vectorized
+    numpy (cumsum + minimum.accumulate), never a Python per-row loop.
+    Rows are processed in (order_col) order within each batch, and
+    batches must arrive key-ordered in time (file streams replaying a
+    log do; for out-of-order sources compose with a watermark sort
+    upstream). Emits one refreshed row per key per batch (update
+    mode): current statistic, alarm count, and the first
+    threshold-crossing's order key and statistic."""
+    import numpy as np
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_events, psum, pmin, n_alarms, first_o, first_cs = state.get
+        else:
+            n_events, psum, pmin, n_alarms, first_o, first_cs = (
+                0, 0, 0, 0, None, None,
+            )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            d = pdf[delta_col].to_numpy(dtype="int64")
+            if len(d) == 0:
+                continue
+            p = psum + np.cumsum(d)
+            m = np.minimum(np.minimum.accumulate(p), pmin)
+            cs = p - m
+            hits = np.flatnonzero(cs >= threshold)
+            n_events += int(len(d))
+            n_alarms += int(len(hits))
+            if len(hits) and first_o is None:
+                first_o = int(pdf[order_col].to_numpy()[hits[0]])
+                first_cs = int(cs[hits[0]])
+            psum, pmin = int(p[-1]), int(m[-1])
+        state.update((n_events, psum, pmin, n_alarms, first_o, first_cs))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n_events],
+                "cusum": [psum - min(0, pmin)],
+                "n_alarms": [n_alarms],
+                "first_alarm_order": [first_o],
+                "cusum_at_alarm": [first_cs],
+            }
+        )
+
+    return (
+        events.select(key_col, order_col, delta_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=CUSUM_MONITOR_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

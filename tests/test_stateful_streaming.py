@@ -146,3 +146,91 @@ def test_transform_with_state_matches_v1_semantics(spark, tmp_path_factory):
         k: (round(v[0], 9), v[1]) for k, v in expect.items()
     }
     assert final[1][1] == 3  # state crossed micro-batches
+
+
+@pytest.mark.slow
+def test_cusum_monitor_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming CUSUM (applyInPandasWithState) across micro-batch
+    boundaries must equal the batch closed form on the same events:
+    final statistic, alarm count, and the FIRST alarm even when the
+    threshold crossing happens mid-stream and later batches dip back
+    below it. Deltas chosen so key 1 alarms in batch 1 (then decays),
+    key 2 alarms only once batch 2's rows arrive (the cross-batch
+    carry), key 3 never alarms."""
+    import json
+    import os
+
+    from aws_ipl_data_pipeline_spark.operators.timeseries import cusum_stat
+    from aws_ipl_data_pipeline_spark.streaming import cusum_monitor_stateful
+
+    batches = [
+        [(1, 0, 60), (1, 1, 55), (2, 0, 40), (3, 0, -20), (3, 1, 5)],
+        [(1, 2, -90), (2, 1, 45), (2, 2, 30), (3, 2, 10), (1, 3, 10)],
+    ]
+    thr = 100
+    base = str(tmp_path_factory.mktemp("cusum_stream"))
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        path = f"{src}/b{i}.json"
+        with open(path, "w") as f:
+            for k, o, d in rows:
+                f.write(json.dumps({"user_id": k, "event_id": o, "d": d}) + "\n")
+        # FileStreamSource orders micro-batches by modification time;
+        # equal mtimes make the order nondeterministic (observed: b1
+        # before b0). Pin strictly increasing mtimes.
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, d long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        cusum_monitor_stateful(
+            stream, "user_id", "event_id", "d", threshold=thr
+        )
+        .writeStream.format("memory")
+        .queryName("cusum_mon")
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = spark.table("cusum_mon")
+    # update mode emits one row per key per batch; the final state row
+    # is the one with the max (monotonic) n_events — never trust the
+    # memory sink's append order
+    rows = out.collect()
+    final, seen = {}, {}
+    for r in rows:
+        if r["n_events"] >= seen.get(r["key"], -1):
+            seen[r["key"]] = r["n_events"]
+            final[r["key"]] = (
+                r["cusum"],
+                r["n_alarms"],
+                r["first_alarm_order"],
+                r["cusum_at_alarm"],
+            )
+
+    # batch reference: closed-form statistic over ALL events at once
+    flat = [r for b in batches for r in b]
+    df = spark.createDataFrame(flat, "user_id long, event_id long, d long")
+    cs = cusum_stat(df, "user_id", ("event_id",), "d").collect()
+    import collections
+
+    ref = collections.defaultdict(lambda: [0, 0, None, None])
+    for r in sorted(cs, key=lambda r: (r["user_id"], r["event_id"])):
+        k = r["user_id"]
+        ref[k][0] = r["cusum"]
+        if r["cusum"] >= thr:
+            ref[k][1] += 1
+            if ref[k][2] is None:
+                ref[k][2] = r["event_id"]
+                ref[k][3] = r["cusum"]
+    assert final == {k: tuple(v) for k, v in ref.items()}
+    # scenario sanity: the cross-batch carry actually happened
+    assert final[2][2] is not None and final[2][2] >= 1  # alarmed in batch 2
+    assert final[1][1] >= 1 and final[3][1] == 0
