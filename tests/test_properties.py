@@ -1070,3 +1070,239 @@ def test_pmi_collocations_matches_python_reference(token_docs, min_pair):
         if c >= min_pair and 5 * c * n_toks * n_toks > 6 * n_pairs * tok_c[w1] * tok_c[w2]:
             want[(w1, w2)] = (c, tok_c[w1], tok_c[w2])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r9 continuation operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+_VOCAB = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_matches_set_reference(docs):
+    """shingle_containment_pairs ≡ brute-force Python set containment
+    (threshold 50%, min_size 2) on random small-vocab docs — the tiny
+    vocabulary forces heavy shingle overlap, so both the gate boundary
+    and the contained/container orientation get exercised."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    spark = _get_spark()
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in shingle_containment_pairs(
+            df, threshold_pct=50, min_size=2
+        ).collect()
+    }
+    sets = {
+        i: {tuple(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        for i, ws in enumerate(docs)
+    }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            common = len(sets[a] & sets[b])
+            least = min(len(sets[a]), len(sets[b]))
+            if least < 2 or common * 100 < 50 * least:
+                continue
+            if len(sets[a]) < len(sets[b]):
+                contained, container = a, b
+            else:
+                contained, container = b, a
+            want[(contained, container)] = round(common / least, 4)
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 6)),  # (basket, item)
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_copurchase_matches_python_reference(pairs):
+    """copurchase_pairs ≡ brute-force Python reference: supports,
+    co-basket counts, the integer lift gate, and the min-support
+    boundary, on random (basket, item) memberships with duplicates."""
+    from aws_ipl_data_pipeline_spark.operators.itemsets import (
+        copurchase_pairs,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(b, i) for b, i in pairs] or [(0, 0)], "b long, i long"
+    )
+    if not pairs:
+        df = df.limit(0)
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["co_baskets"],
+            r["supp_a"],
+            r["supp_b"],
+            r["lift"],
+        )
+        for r in copurchase_pairs(df, "b", "i", min_pair_support=2).collect()
+    }
+    members = set(pairs)
+    baskets = {}
+    supp = {}
+    for b, i in members:
+        baskets.setdefault(b, set()).add(i)
+        supp[i] = supp.get(i, 0) + 1
+    n = len(baskets)
+    co = {}
+    for items in baskets.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                co[(s[x], s[y])] = co.get((s[x], s[y]), 0) + 1
+    want = {}
+    for (a, b), c in co.items():
+        if c >= 2 and n * c > supp[a] * supp[b]:
+            want[(a, b)] = (
+                c,
+                supp[a],
+                supp[b],
+                round(n * c / (supp[a] * supp[b]), 4),
+            )
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.sets(st.integers(0, 11), min_size=1, max_size=3),
+    st.integers(1, 4),
+)
+def test_bfs_matches_python_reference(edges, seeds, hops):
+    """bfs_distances ≡ textbook multi-source BFS on random digraphs
+    (self-loops dropped like covisit_edges does), any seed set, any
+    hop bound."""
+    from aws_ipl_data_pipeline_spark.operators.graph import bfs_distances
+
+    spark = _get_spark()
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    if not edges:
+        edf = edf.limit(0)
+    sdf = spark.createDataFrame([(v,) for v in seeds], "v long")
+    got = {
+        (r["v"]): r["dist"]
+        for r in bfs_distances(sdf, edf, max_hops=hops).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for h in range(1, hops + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        nxt -= dist.keys()
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    assert got == dist
+
+
+def _trunc_div(num: int, den: int) -> int:
+    # Spark `div` / DuckDB `//` truncate toward zero; Python // floors
+    q = abs(num) // den
+    return q if num >= 0 else -q
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # key
+            st.integers(0, 20),  # hour bucket
+            st.integers(-(10**6), 10**6),  # value in 1e-4 units
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gap_fill_matches_python_reference(obs):
+    """gap_fill_linear ≡ a pure-Python replica of the quantized
+    algorithm (per-bucket integer-rounded mean, interior linear
+    interpolation with TRUNCATING division — Python // floors, so the
+    reference must re-implement trunc-div) on random sparse series
+    including negative values and single-observation keys."""
+    from datetime import datetime, timezone
+
+    from aws_ipl_data_pipeline_spark.operators.timeseries import (
+        gap_fill_linear,
+    )
+
+    spark = _get_spark()
+    rows = [
+        (
+            k,
+            datetime(2024, 1, 1, tzinfo=timezone.utc).replace(hour=0)
+            + __import__("datetime").timedelta(hours=h, minutes=7),
+            v / 10000.0,
+        )
+        for k, h, v in obs
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["bucket"]): (round(r["value"], 6), r["filled"])
+        for r in gap_fill_linear(df, key_col="user_id").collect()
+    }
+    # python reference
+    per = {}
+    for k, h, v in obs:
+        per.setdefault(k, {}).setdefault(h, []).append(v / 10000.0)
+    base = None
+    # recover the absolute bucket ids the operator produced
+    some_key = obs[0][0]
+    abs_buckets = sorted(b for (kk, b) in got if kk == some_key)
+    rel_min = min(h for k, h, v in obs if k == some_key)
+    base = abs_buckets[0] - rel_min
+    want = {}
+    for k, series in per.items():
+        q = {
+            h: int(
+                __import__("decimal").Decimal(
+                    sum(vs) / len(vs) * 10000
+                ).quantize(0, rounding="ROUND_HALF_UP")
+            )
+            for h, vs in series.items()
+        }
+        h0, h1 = min(q), max(q)
+        hs = sorted(q)
+        for h in range(h0, h1 + 1):
+            if h in q:
+                want[(k, base + h)] = (round(q[h] / 10000.0, 6), False)
+            else:
+                ph = max(x for x in hs if x < h)
+                nh = min(x for x in hs if x > h)
+                val = q[ph] + _trunc_div(
+                    (q[nh] - q[ph]) * (h - ph), nh - ph
+                )
+                want[(k, base + h)] = (round(val / 10000.0, 6), True)
+    assert got == want
