@@ -8393,6 +8393,87 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_label_drift",
+    """
+    WITH x AS (
+      SELECT label, r.i AS pos,
+             CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000, 0) AS BIGINT)
+               AS q
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    ls AS (SELECT label, pos, SUM(q) AS s FROM x GROUP BY 1, 2),
+    g AS (SELECT pos, SUM(s) AS gs FROM ls GROUP BY 1),
+    bb AS (SELECT SUM(gs * gs) AS b FROM g),
+    n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1),
+    d AS (
+      SELECT ls.label, SUM(ls.s * g.gs) AS dot, SUM(ls.s * ls.s) AS aa
+      FROM ls JOIN g USING (pos) GROUP BY 1
+    )
+    SELECT CAST(d.label AS INT) AS label,
+           CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           round(CAST(dot AS DOUBLE) / sqrt(CAST(aa AS DOUBLE))
+                 / sqrt(CAST(bb.b AS DOUBLE)), 6) AS cos_to_global
+    FROM d JOIN n USING (label), bb
+    """,
+)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space composition monitor: cosine of each label's
+    centroid against the global centroid — the drift check that
+    catches a class/source whose representation has moved, the
+    aggregate-level complement of the pairwise cosine dedup family.
+    Cosine is scale-invariant, so centroids are replaced by per-
+    coordinate SUMS of 1e-3-quantized components: every sum and both
+    self/cross dot products are exact int64 (order-independent —
+    float centroid means diverge across engines by summation order),
+    with one fixed-order double division + sqrt at the end. Plan: one
+    posexplode → skinny (label, pos) map-side-combining agg (640 rows
+    from 8.2M exploded components at sf0.1), global sums REUSE the
+    label sums (never a second scan), the 1-row global self-dot rides
+    the BNLJ-allowlist broadcast. Overflow envelope: quantum 1e3 ×
+    |x|≤0.6 × 12.8M vectors per label stays < 2^63 in the global
+    self-dot; the quantum is the knob beyond that."""
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("pos", "_v")
+    ).select(
+        "label",
+        "pos",
+        # explicit float32→double BEFORE the multiply: a float32
+        # product quantizes a handful of boundary coordinates
+        # differently from DuckDB's double promotion (caught at sf0.1)
+        F.round(F.col("_v").cast("double") * 1000, 0)
+        .cast("long")
+        .alias("_q"),
+    )
+    ls = x.groupBy("label", "pos").agg(F.sum("_q").alias("_s"))
+    g = ls.groupBy("pos").agg(F.sum("_s").alias("_gs"))
+    bb = g.agg(F.sum(F.col("_gs") * F.col("_gs")).alias("_bb"))
+    n = e.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    d = (
+        ls.join(g, "pos")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("_s") * F.col("_gs")).alias("_dot"),
+            F.sum(F.col("_s") * F.col("_s")).alias("_aa"),
+        )
+    )
+    return (
+        d.join(n, "label")
+        .crossJoin(F.broadcast(bb))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vecs",
+            F.round(
+                F.col("_dot").cast("double")
+                / F.sqrt(F.col("_aa").cast("double"))
+                / F.sqrt(F.col("_bb").cast("double")),
+                6,
+            ).alias("cos_to_global"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Retrieval-quality evaluation (recall@k / MRR of ANN vs exact)
 # --------------------------------------------------------------------------
@@ -8621,6 +8702,7 @@ _DRIVER_FIRST = [
     "decayed_engagement",
     "chi2_source_lang",
     "cusum_drift_alarms",
+    "embedding_label_drift",
     # then the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order

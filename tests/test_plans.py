@@ -783,6 +783,7 @@ BNLJ_OK = (
     "decayed_engagement",  # 1-row keyless-agg reference-time frame
     "chi2_source_lang",  # 1-row keyless-agg grand-total frame
     "cusum_drift_alarms",  # 1-row keyless-agg target frame
+    "embedding_label_drift",  # 1-row keyless-agg global self-dot frame
 )
 
 # Structural evidence that a broadcast side cannot grow with the data:
