@@ -1306,3 +1306,134 @@ def test_gap_fill_matches_python_reference(obs):
                 )
                 want[(k, base + h)] = (round(val / 10000.0, 6), True)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.integers(0, 100),  # offset seconds scaled to hours
+            st.integers(-(10**6), 10**6),  # value in 1e-4 units
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_rolling_range_frame_matches_python(obs):
+    """The trailing-24h RANGE frame ≡ a brute-force Python reference:
+    per row, aggregate exactly the same-key rows within [t-24h, t]
+    INCLUSIVE on both ends (peers at the boundary included — the SQL
+    RANGE semantics), with exact integer sums."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import Window as W
+
+    spark = _get_spark()
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (u, i, base + timedelta(hours=h), v / 10000.0)
+        for i, (u, h, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    ev = df.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("q"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    got = {
+        r["event_id"]: (r["n"], r["s"])
+        for r in ev.select(
+            "event_id",
+            F.count("*").over(w).alias("n"),
+            F.sum("q").over(w).alias("s"),
+        ).collect()
+    }
+    pts = [
+        (u, i, int((base + timedelta(hours=h) - base).total_seconds() * 1e6), v)
+        for i, (u, h, v) in enumerate(obs)
+    ]
+    for u, i, t, v in pts:
+        inwin = [
+            vv
+            for (uu, ii, tt, vv) in pts
+            if uu == u and t - 86_400_000_000 <= tt <= t
+        ]
+        assert got[i] == (len(inwin), sum(inwin)), (u, i)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.integers(0, 30),  # hour bucket
+            st.integers(-(10**5), 10**5),  # value in 1e-4 units
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_ols_moments_match_fraction_reference(obs):
+    """user_value_trend's closed-form slope/intercept ≡ exact rational
+    OLS via Fraction on the same integer moments — catching any drift
+    in the moment algebra or the centering. Degenerate keys (single
+    point / single distinct hour) must be absent from the output."""
+    from datetime import datetime, timedelta, timezone
+    from fractions import Fraction
+
+    spark = _get_spark()
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (u, base + timedelta(hours=h, minutes=13), v / 10000.0)
+        for u, h, v in obs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        got = {
+            r["user_id"]: (
+                r["n_points"],
+                r["slope_per_hour"],
+                r["intercept"],
+            )
+            for r in REGISTRY["user_value_trend"].fn(spark, td).collect()
+        }
+    per: dict[int, list[tuple[int, int]]] = {}
+    for u, h, v in obs:
+        per.setdefault(u, []).append((h, v))
+    want = {}
+    for u, pts in per.items():
+        xs0 = [h for h, _ in pts]
+        x0 = min(xs0)
+        xs = [h - x0 for h in xs0]
+        ys = [v for _, v in pts]
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = n * sxx - sx * sx
+        if n < 2 or den <= 0:
+            continue
+        slope = Fraction(n * sxy - sx * sy, den) / 10000
+        inter = Fraction(sy * sxx - sx * sxy, den) / 10000
+        want[u] = (n, float(slope), float(inter))
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        # engine computes num/den in double then /1e4; the Fraction is
+        # the exact value — agree to 1e-9 relative
+        for gi, wi in zip(got[u][1:], want[u][1:]):
+            assert abs(gi - wi) <= 1e-9 * max(1.0, abs(wi)), (u, gi, wi)
