@@ -8693,12 +8693,12 @@ _DRIVER_FIRST = [
     "gap_fill_interpolate",
     "rolling_24h_stats",
     "user_value_trend",
-    # past slot 50 from here — the r10 queue. Slots 51-52: the two
-    # continuation additions the full window could not seat without
-    # evicting r5-stale refresh rows (VERDICT r8 #1's done-criterion);
-    # they have no driver row yet, so rotation rule 1 puts them FIRST
-    # in r10. Until then the in-repo oracle replica + recorded 3-sf
-    # sweeps cover them.
+    # past slot 50 from here — the r10 queue. Slots 51-54: the four
+    # late continuation additions the full window could not seat
+    # without evicting r5-stale refresh rows (VERDICT r8 #1's
+    # done-criterion); they have no driver row yet, so rotation rule 1
+    # puts them FIRST in r10. Until then the in-repo oracle replica +
+    # recorded 3-sf sweeps cover them.
     "decayed_engagement",
     "chi2_source_lang",
     "cusum_drift_alarms",

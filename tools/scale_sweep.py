@@ -227,6 +227,8 @@ def main() -> None:
                 "rolling_24h_stats",
                 "user_value_trend",
                 "bfs_khop_distances",
+                "decayed_engagement",
+                "cusum_drift_alarms",
             )
             for n in QUERIES
         ):
