@@ -340,6 +340,30 @@ def dedup_within_watermark(
     )
 
 
+def sessionized_event_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST6 extension: DYNAMIC-gap session windows with a watermark —
+    per-user sessions close when no event arrives within ``gap``.
+    Works identically over a batch or streaming frame; in a stream the
+    state store keeps one open session per active key and MERGES
+    adjacent sessions when a bridging event arrives in a later
+    micro-batch (the semantics fixed-width windows cannot express).
+    Append mode emits a session only after the watermark passes its
+    close — late-but-in-watermark events still extend or merge it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("w.start", "w.end", "user_id", "n_events", "total_value")
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

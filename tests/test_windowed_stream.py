@@ -165,3 +165,94 @@ def test_append_mode_no_resurrection_after_eviction(spark, tmp_path_factory):
     assert sorted(got) == [(10, 1, 1.0), (11, 1, 2.0)], got
     # exactly one emission per closed window (no resurrection), the
     # late row 5 is absent, and the open 13:00 window never emitted
+
+
+@pytest.mark.slow
+def test_session_windows_stream_equals_batch_with_merge(spark, tmp_path_factory):
+    """Streaming session windows (dynamic gap) must equal the batch
+    form, INCLUDING the session-merge path: a bridging event arriving
+    in a later micro-batch extends an earlier open session, and two
+    provisional sessions an in-between event connects collapse into
+    one. A far-future flush row advances the watermark so every real
+    session closes; its own still-open session must NOT be emitted."""
+    from datetime import datetime
+
+    from aws_ipl_data_pipeline_spark.streaming import (
+        sessionized_event_rollup,
+    )
+
+    u_schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = [
+        [
+            (1, "2024-03-01 10:00:00", 1, 1.0),
+            (2, "2024-03-01 10:10:00", 1, 2.0),
+            (3, "2024-03-01 11:30:00", 1, 4.0),
+            (4, "2024-03-01 10:05:00", 2, 8.0),
+        ],
+        [
+            (5, "2024-03-01 10:25:00", 1, 16.0),  # extends session A
+            (6, "2024-03-01 11:05:00", 1, 32.0),  # merges into session B
+            (7, "2024-03-01 20:00:00", 3, 64.0),  # watermark flush; stays open
+        ],
+    ]
+    base = str(tmp_path_factory.mktemp("sesswin"))
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        path = f"{src}/f{i}.json"
+        with open(path, "w") as f:
+            for e, ts, u, v in rows:
+                f.write(
+                    json.dumps(
+                        {"event_id": e, "ts": ts, "user_id": u, "value": v}
+                    )
+                    + "\n"
+                )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(u_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        sessionized_event_rollup(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_roll")
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch_df = spark.createDataFrame(
+        [
+            (e, datetime.fromisoformat(ts), u, v)
+            for rows in batches
+            for e, ts, u, v in rows
+        ],
+        u_schema,
+    )
+    batch = sessionized_event_rollup(
+        batch_df, gap="30 minutes", watermark="1 hour"
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.where("user_id <> 3").collect()
+    )
+    streamed = spark.table("sess_roll")
+    assert canon(streamed) == canon(batch)
+    got = {
+        (r["user_id"], r["start"].hour, r["start"].minute): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in streamed.collect()
+    }
+    # session A: 10:00 + 10:10 + the batch-2 bridge 10:25 (merge into
+    # the open session); session B: 11:05 merged with 11:30
+    assert got[(1, 10, 0)] == (3, 19.0)
+    assert got[(1, 11, 5)] == (2, 36.0)
+    assert got[(2, 10, 5)] == (1, 8.0)
+    # the flush row's own session is still open -> not emitted
+    assert all(k[0] != 3 for k in got)
