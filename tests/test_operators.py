@@ -1498,3 +1498,74 @@ def test_cusum_closed_form_equals_sequential_fold(spark):
         for i, d in sorted(pts):
             s = max(0, s + d)
             assert got[(k, i)] == s, (k, i, got[(k, i)], s)
+
+
+def test_decayed_engagement_horizon_and_halving(spark, tmp_path_factory):
+    """The corpus spans 30 days, so the >41-day horizon branch is dead
+    in the oracle battery — pin it here: events older than the horizon
+    contribute exactly 0, each day of age exactly halves the integer
+    weight, and same-day events share the full 2^40 quantum."""
+    from datetime import datetime, timedelta, timezone
+
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+    base = datetime(2024, 6, 1, 12, 0, tzinfo=timezone.utc)
+    rows = [
+        # user 1: reference event (age 0) + one exactly 1 day older +
+        # one 40 days old (weight 1) + one 41 days old (weight 0) +
+        # one 300 days old (shift guard: must be 0, not overflow)
+        (1, base, 1.0),
+        (1, base - timedelta(days=1), 1.0),
+        (1, base - timedelta(days=40), 1.0),
+        (1, base - timedelta(days=41), 1.0),
+        (1, base - timedelta(days=300), 1.0),
+        # user 2: two same-day events
+        (2, base - timedelta(hours=1), 1.0),
+        (2, base - timedelta(hours=2), 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, i, ts, v) for i, (u, ts, v) in enumerate(rows)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.select("user_id", "event_id", "ts", "value").write.parquet(
+            f"{td}/events.parquet"
+        )
+        got = {
+            r["user_id"]: (r["score_scaled"], r["n_7d"])
+            for r in REGISTRY["decayed_engagement"].fn(spark, td).collect()
+        }
+    w = 1 << 40
+    # score = 2^40 + 2^39 + 2^0 + 0 + 0; n_7d counts ages 0 AND 1
+    assert got[1] == (w + w // 2 + 1, 2)
+    assert got[2] == (2 * w, 2)
+
+
+def test_chi2_independent_table_has_zero_contributions(spark, tmp_path_factory):
+    """A perfectly independent contingency table must produce contrib
+    exactly 0.0 in every cell and expected_1e4 == observed*1e4 — the
+    null-hypothesis fixed point the synthetic corpus never hits."""
+    import tempfile
+
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+    rows = []
+    did = 0
+    # counts: source s_i has 10*(i+1) docs, split 50/50 across 2 langs
+    for i, src in enumerate(("a", "b", "c")):
+        for lang in ("en", "de"):
+            for _ in range(5 * (i + 1)):
+                rows.append((did, "t", lang, src, 1))
+                did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/documents.parquet")
+        out = REGISTRY["chi2_source_lang"].fn(spark, td).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["contrib"] == 0.0, r
+        assert r["expected_1e4"] == r["observed"] * 10000, r
