@@ -8474,6 +8474,78 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_twap",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(round(value * 10000, 0) AS BIGINT) AS q
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, q,
+             (lead(tus) OVER (PARTITION BY user_id
+                              ORDER BY tus, event_id) - tus) // 1000
+               AS dt_ms
+      FROM ev
+    ),
+    s AS (
+      SELECT user_id, SUM(q * dt_ms) AS num, SUM(dt_ms) AS den,
+             COUNT(*) AS n_seg
+      FROM seg WHERE dt_ms IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_seg AS BIGINT) AS n_segments,
+           CAST(den AS BIGINT) AS span_ms,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10000, 6)
+             AS twap
+    FROM s WHERE den > 0
+    """,
+)
+def user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user: each observation holds
+    its value until the next one, so the mean is ∫value·dt / ∫dt over
+    the user's observed span — the standard sensor/financial aggregate
+    that plain AVG gets wrong under irregular sampling. Exact: values
+    quantized to 1e-4 units, holding durations in integer MILLIseconds
+    (microsecond products would overflow int64 at this span×magnitude:
+    5.6e6 quanta × 2.6e12 µs ≈ 1.5e19 > 2^63; milliseconds keep the
+    worst product at 1.5e16), both sums order-independent int64, one
+    fixed-order double division. One lead() window and the aggregate
+    share the user clustering; same-timestamp ties contribute zero
+    duration deterministically (event_id tiebreak); single-event and
+    zero-span users are excluded (den > 0)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("_q"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seg = ev.select(
+        "user_id",
+        "_q",
+        F.expr("(lead(tus) over (partition by user_id order by tus, event_id) - tus) div 1000").alias(
+            "_dt"
+        ),
+    ).where(F.col("_dt").isNotNull())
+    s = seg.groupBy("user_id").agg(
+        F.sum(F.col("_q") * F.col("_dt")).alias("_num"),
+        F.sum("_dt").alias("_den"),
+        F.count("*").alias("_n"),
+    )
+    return s.where(F.col("_den") > 0).select(
+        "user_id",
+        F.col("_n").cast("long").alias("n_segments"),
+        F.col("_den").cast("long").alias("span_ms"),
+        F.round(
+            F.col("_num").cast("double") / F.col("_den").cast("double")
+            / F.lit(10000),
+            6,
+        ).alias("twap"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Retrieval-quality evaluation (recall@k / MRR of ANN vs exact)
 # --------------------------------------------------------------------------
@@ -8693,7 +8765,7 @@ _DRIVER_FIRST = [
     "gap_fill_interpolate",
     "rolling_24h_stats",
     "user_value_trend",
-    # past slot 50 from here — the r10 queue. Slots 51-54: the four
+    # past slot 50 from here — the r10 queue. Slots 51-55: the five
     # late continuation additions the full window could not seat
     # without evicting r5-stale refresh rows (VERDICT r8 #1's
     # done-criterion); they have no driver row yet, so rotation rule 1
@@ -8703,6 +8775,7 @@ _DRIVER_FIRST = [
     "chi2_source_lang",
     "cusum_drift_alarms",
     "embedding_label_drift",
+    "user_twap",
     # then the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
