@@ -1437,3 +1437,64 @@ def test_ols_moments_match_fraction_reference(obs):
         # the exact value — agree to 1e-9 relative
         for gi, wi in zip(got[u][1:], want[u][1:]):
             assert abs(gi - wi) <= 1e-9 * max(1.0, abs(wi)), (u, gi, wi)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.integers(0, 10_000),  # offset seconds
+            st.integers(-(10**6), 10**6),  # value in 1e-4 units
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_twap_matches_fraction_reference(obs):
+    """user_twap ≡ exact rational TWAP (Fraction over the same
+    millisecond-quantized holding durations) — pins segment counting,
+    span arithmetic, the zero-span exclusion, and that single-event
+    users are absent."""
+    from datetime import datetime, timedelta, timezone
+    from fractions import Fraction
+    import tempfile
+
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+    spark = _get_spark()
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (i, u, base + timedelta(seconds=s), v / 10000.0)
+        for i, (u, s, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        got = {
+            r["user_id"]: (r["n_segments"], r["span_ms"], r["twap"])
+            for r in REGISTRY["user_twap"].fn(spark, td).collect()
+        }
+    per: dict[int, list[tuple[int, int]]] = {}
+    for u, s, v in obs:
+        per.setdefault(u, []).append((s, v))
+    want = {}
+    for u, pts in per.items():
+        pts = sorted(pts)
+        segs = [
+            (v, (pts[i + 1][0] - s) * 1000)  # dt in ms
+            for i, (s, v) in enumerate(pts[:-1])
+        ]
+        den = sum(dt for _, dt in segs)
+        if not segs or den <= 0:
+            continue
+        num = sum(v * dt for v, dt in segs)
+        twap = float(Fraction(num, den) / 10000)
+        want[u] = (len(segs), den, twap)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0] and got[u][1] == want[u][1]
+        assert abs(got[u][2] - want[u][2]) <= 1e-6 * max(1.0, abs(want[u][2]))

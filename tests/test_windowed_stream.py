@@ -256,3 +256,55 @@ def test_session_windows_stream_equals_batch_with_merge(spark, tmp_path_factory)
     assert got[(2, 10, 5)] == (1, 8.0)
     # the flush row's own session is still open -> not emitted
     assert all(k[0] != 3 for k in got)
+
+
+@pytest.mark.slow
+def test_session_rollup_checkpoint_replay_emits_nothing_new(
+    spark, tmp_path_factory
+):
+    """Restarting the session-window stream against the same checkpoint
+    with no new files must emit zero additional rows — closed sessions
+    are not re-emitted (exactly-once via the commit log), and the
+    still-open flush session stays held."""
+    from datetime import datetime  # noqa: F401
+
+    from aws_ipl_data_pipeline_spark.streaming import (
+        sessionized_event_rollup,
+    )
+
+    u_schema = "event_id long, ts timestamp, user_id long, value double"
+    rows = [
+        (1, "2024-03-01 10:00:00", 1, 1.0),
+        (2, "2024-03-01 10:10:00", 1, 2.0),
+        (3, "2024-03-01 20:00:00", 9, 4.0),  # flush
+    ]
+    base = str(tmp_path_factory.mktemp("sessreplay"))
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/f0.json", "w") as f:
+        for e, ts, u, v in rows:
+            f.write(
+                json.dumps({"event_id": e, "ts": ts, "user_id": u, "value": v})
+                + "\n"
+            )
+
+    out = f"{base}/out"
+
+    def run():
+        stream = spark.readStream.schema(u_schema).json(src)
+        q = (
+            sessionized_event_rollup(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out).count()
+
+    first = run()
+    assert first == 1  # user 1's closed session only
+    second = run()  # SAME checkpoint + sink, no new files
+    assert second == 1  # nothing re-emitted, nothing duplicated
