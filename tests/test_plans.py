@@ -683,7 +683,8 @@ def test_copurchase_lift_plan_shape(spark):
 
 
 def test_timeseries_windows_share_one_user_clustering(spark):
-    """gap_fill_interpolate / rolling_24h_stats / user_value_trend all
+    """gap_fill_interpolate / rolling_24h_stats / user_value_trend /
+    user_twap all
     claim their window work rides ONE user-keyed clustering: window
     functions group into at most two Window nodes (gap-fill's forward
     + reversed running frames; rolling's three RANGE-frame aggs and
@@ -697,6 +698,7 @@ def test_timeseries_windows_share_one_user_clustering(spark):
         "gap_fill_interpolate",
         "rolling_24h_stats",
         "user_value_trend",
+        "user_twap",
     ):
         p = formatted_plan(spark, name)
         assert p.count("Window") >= 1, name
