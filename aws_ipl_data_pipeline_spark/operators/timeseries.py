@@ -11,9 +11,10 @@ ops so it runs JVM-side at any scale.
 Scale posture: everything is keyed by the series id. The spine is
 generated per key with `sequence()` (bounded by the key's own time
 span — never a global calendar cross join), the observation join is a
-key+bucket equi-join, and the four neighbor lookups are two window
-frames over one `hashpartitioning(key)` exchange (bounded partitions:
-one series each). Nothing global, nothing Python-side.
+key+bucket equi-join, and the four neighbor lookups are two RUNNING
+window nodes (forward + reversed order) over one
+`hashpartitioning(key)` exchange (bounded partitions: one series
+each). Nothing global, nothing Python-side.
 
 Determinism: bucket ids are exact integer `div`s of epoch
 microseconds; observed bucket values are quantized to integer
