@@ -1649,6 +1649,57 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
 
 
+@register(
+    "ann_filtered_topk",
+    f"""
+    WITH {_EMB_EXPAND},
+    ql AS (SELECT label FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT i, x AS qx FROM exd WHERE vec_id = 0),
+    qn AS (SELECT sqrt(SUM(qx * qx)) AS qnorm FROM q),
+    cand AS (
+      SELECT vec_id FROM embeddings
+      WHERE label <> (SELECT label FROM ql)
+    ),
+    s AS (
+      SELECT e.vec_id, SUM(e.x * q.qx) AS dot, sqrt(SUM(e.x * e.x)) AS nrm
+      FROM exd e
+      JOIN cand c ON e.vec_id = c.vec_id
+      JOIN q ON e.i = q.i
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           round(dot / (nrm * (SELECT qnorm FROM qn)), 4) AS cos_sim
+    FROM s WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search, the hard-negative-mining shape:
+    exact cosine top-10 neighbors of vec_id=0 restricted to vectors of
+    a DIFFERENT label. The filter is applied PRE-scoring (predicate on
+    the scan, so the fold never touches excluded vectors) — the
+    pre-filter-vs-post-filter axis every vector system must pick a
+    side on: post-filtering an ANN candidate list can starve the
+    result set when the predicate is selective, while pre-filtering
+    keeps exact k guarantees at the cost of scanning the filtered
+    corpus (composable with the IVF/LSH pruned paths when approximate
+    is acceptable). The query's label is a 1-value memoized lookup —
+    the same materialized-artifact posture as the query vector."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+
+    def _fetch_label():
+        return emb.where(F.col("vec_id") == 0).select("label").head()[0]
+
+    qlabel = session_memo(spark, ("query_label", sf_dir), _fetch_label)
+    cand = emb.where(F.col("label") != F.lit(qlabel))
+    return brute_force_topk(cand, _query_vec(spark, sf_dir), k=10, exclude_id=0)
+
+
 def _proj_planes_values(dim: int = 64, out_dim: int = 8, seed: int = 42) -> str:
     """FLOAT plane literals for random_projection_embed — projections
     are VALUE outputs (rounded 4dp), not discrete decisions, so they
@@ -8765,7 +8816,7 @@ _DRIVER_FIRST = [
     "gap_fill_interpolate",
     "rolling_24h_stats",
     "user_value_trend",
-    # past slot 50 from here — the r10 queue. Slots 51-55: the five
+    # past slot 50 from here — the r10 queue. Slots 51-56: the six
     # late continuation additions the full window could not seat
     # without evicting r5-stale refresh rows (VERDICT r8 #1's
     # done-criterion); they have no driver row yet, so rotation rule 1
@@ -8776,6 +8827,7 @@ _DRIVER_FIRST = [
     "cusum_drift_alarms",
     "embedding_label_drift",
     "user_twap",
+    "ann_filtered_topk",
     # then the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
