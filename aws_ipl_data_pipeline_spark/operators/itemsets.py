@@ -41,9 +41,18 @@ def copurchase_pairs(
     Supports counted on the pruned frame are exact: pruning removes
     other items' rows, never a surviving item's basket memberships.
     """
-    items = baskets.select(
-        F.col(basket_col).alias("_k"), F.col(item_col).alias("_id")
-    ).dropDuplicates()
+    # the membership frame is consumed five times (total-baskets agg,
+    # support prune, both self-join sides, sizes); localCheckpoint pins
+    # it so the scan+distinct runs once instead of per consumer — the
+    # pagerank/BFS lineage discipline (plan-level exchange reuse across
+    # the self-join aliases is otherwise left to AQE runtime matching)
+    items = (
+        baskets.select(
+            F.col(basket_col).alias("_k"), F.col(item_col).alias("_id")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
     # total baskets BEFORE pruning: lift's N is the full basket count
     tot = items.agg(F.countDistinct("_k").alias("_n"))
     if min_pair_support > 1:
