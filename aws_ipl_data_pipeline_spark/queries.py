@@ -1700,6 +1700,63 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(cand, _query_vec(spark, sf_dir), k=10, exclude_id=0)
 
 
+@register(
+    "source_pareto",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    w AS (
+      SELECT source, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, source) AS BIGINT)
+               AS rank,
+             SUM(n) OVER (ORDER BY n DESC, source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(n) OVER () AS total
+      FROM c
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs, rank,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+    FROM w
+    """,
+)
+def source_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition Pareto report: per-source doc counts with
+    rank, share, and CUMULATIVE share in descending-size order — the
+    'which sources cover 80% of the corpus' curation view. Everything
+    stays integer until the final divisions (cumulative sums of int64
+    counts over a deterministic (n desc, source) order; shares are
+    fixed-order double divisions of exact ints, rounded 6dp). The
+    windows run on the AGGREGATED per-source frame — bounded by the
+    source cardinality, so the deliberate single-partition form uses
+    the bounded_window_key marker, and the corpus-sized scan only
+    feeds one map-side-combining count."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("_n"))
+    bwk = bounded_window_key("source")
+    ordw = Window.partitionBy(bwk).orderBy(F.desc("_n"), F.asc("source"))
+    runw = ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totw = Window.partitionBy(bwk)
+    w = c.select(
+        "source",
+        "_n",
+        F.row_number().over(ordw).cast("long").alias("rank"),
+        F.sum("_n").over(runw).alias("_cum"),
+        F.sum("_n").over(totw).alias("_total"),
+    )
+    return w.select(
+        "source",
+        F.col("_n").cast("long").alias("n_docs"),
+        "rank",
+        F.round(F.col("_n").cast("double") / F.col("_total"), 6).alias(
+            "share"
+        ),
+        F.round(F.col("_cum").cast("double") / F.col("_total"), 6).alias(
+            "cum_share"
+        ),
+    )
+
+
 def _proj_planes_values(dim: int = 64, out_dim: int = 8, seed: int = 42) -> str:
     """FLOAT plane literals for random_projection_embed — projections
     are VALUE outputs (rounded 4dp), not discrete decisions, so they
@@ -8816,7 +8873,7 @@ _DRIVER_FIRST = [
     "gap_fill_interpolate",
     "rolling_24h_stats",
     "user_value_trend",
-    # past slot 50 from here — the r10 queue. Slots 51-56: the six
+    # past slot 50 from here — the r10 queue. Slots 51-57: the seven
     # late continuation additions the full window could not seat
     # without evicting r5-stale refresh rows (VERDICT r8 #1's
     # done-criterion); they have no driver row yet, so rotation rule 1
@@ -8828,6 +8885,7 @@ _DRIVER_FIRST = [
     "embedding_label_drift",
     "user_twap",
     "ann_filtered_topk",
+    "source_pareto",
     # then the r10 refresh queue, stalest first:
     # the r6 rows displaced by the r9-new queries, the remaining 33 r6
     # rows alphabetically, then the r7/r8 sets in registration order
