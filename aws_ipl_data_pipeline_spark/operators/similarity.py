@@ -319,6 +319,82 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def ivf_probe_order(
+    centroids: list[list[int]], query_vec: list[float]
+) -> list[int]:
+    """Cells ranked nearest-first for a query, INTEGER-EXACT: the dot
+    of the quantized query against each unit-scaled integer centroid
+    (exact int64 sums — order-independent, bit-identical to a SQL
+    oracle's SUM(exq.x * cn.cx)), ties to the lower cell id. The
+    discrete probe decision must not hang on float summation order —
+    same discipline as cell assignment."""
+    qq = _quantize_list(query_vec)
+    dots = [
+        sum(a * b for a, b in zip(qq, _unit_scaled(c))) for c in centroids
+    ]
+    return sorted(range(len(centroids)), key=lambda i: (-dots[i], i))
+
+
+def filtered_ivf_topk(
+    celled: DataFrame,
+    centroids: list[list[int]],
+    query_vec: list[float],
+    predicate: Column,
+    k: int = 10,
+    n_probe: int = 4,
+    min_candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Metadata-FILTERED IVF search with starvation-aware probe
+    widening — the composition a 100 TB vector store actually runs:
+    the predicate is applied INSIDE the probed cells (pre-scoring, so
+    the cosine fold never touches excluded vectors) while cell pruning
+    is retained, and the probe list widens past ``n_probe`` until the
+    filtered candidate pool reaches ``min_candidates`` (default 3k).
+    Post-filtering an ANN result list starves under selective
+    predicates (a 10%-selective filter leaves ~k/10 of a k-list);
+    fixed-probe pre-filtering starves the same way one level down —
+    the probed cells may simply not CONTAIN min_candidates matching
+    rows. The widening cut is computed from per-cell filtered-count
+    stats: cumulative filtered count along the nearest-first probe
+    order, stop at the first rank covering min_candidates (all cells
+    when the whole corpus can't — graceful degradation to the exact
+    filtered scan).
+
+    Scale posture: the stats pass reads ONLY (cell, predicate columns)
+    — a skinny column-pruned scan, never vectors; in the materialized
+    on-disk form (write_ivf_index partitions by cell) it is a
+    metadata/stats lookup. The collect is ≤ n_cells rows (bounded-
+    collect allowlist). The scoring scan then reads vectors from the
+    probed cells only, predicate pushed to the scan.
+
+    Determinism: probe order via ivf_probe_order (exact integer dots),
+    counts are exact, so the probe SET — which the widening makes
+    answer-affecting — is bit-identical to a SQL oracle replaying the
+    same cut rule."""
+    if min_candidates is None:
+        min_candidates = 3 * k
+    order = ivf_probe_order(centroids, query_vec)
+    counts = {
+        r["_c"]: r["_n"]
+        for r in celled.where(predicate)
+        .groupBy(F.col(cell_col).alias("_c"))
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    }
+    cum, stop = 0, len(order)
+    for rank, cell in enumerate(order, start=1):
+        cum += counts.get(cell, 0)
+        if cum >= min_candidates:
+            stop = rank
+            break
+    probes = order[: max(n_probe, stop)]
+    candidates = celled.where(F.col(cell_col).isin(probes)).where(predicate)
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def batch_topk(
     emb: DataFrame,
     queries: DataFrame,

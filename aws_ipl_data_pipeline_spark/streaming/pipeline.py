@@ -352,13 +352,23 @@ def sessionized_event_rollup(
     adjacent sessions when a bridging event arrives in a later
     micro-batch (the semantics fixed-width windows cannot express).
     Append mode emits a session only after the watermark passes its
-    close — late-but-in-watermark events still extend or merge it."""
+    close — late-but-in-watermark events still extend or merge it.
+
+    total_value is summed in integer CENTS (0.01 quantum) and divided
+    once on output: a double sum's accumulation order differs between
+    streaming state merges and batch execution, so summing doubles
+    would break the advertised stream≡batch equality on half-boundary
+    values — the same integer-quantization discipline every exact
+    operator in the repo uses. Sub-cent input precision is rounded at
+    the quantum."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
         )
         .select("w.start", "w.end", "user_id", "n_events", "total_value")
     )
@@ -371,11 +381,19 @@ def windowed_event_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """ST6 extension: event-time windowed aggregation with a watermark —
-    works identically over a batch or streaming events frame."""
+    works identically over a batch or streaming events frame.
+    total_value sums integer cents and divides once on output (see
+    sessionized_event_rollup — double-sum order differs between state
+    merges and batch execution)."""
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(win.alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
         .select("w.start", "w.end", "event_type", "n", "total_value")
     )

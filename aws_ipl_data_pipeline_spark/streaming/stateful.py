@@ -171,12 +171,16 @@ def cusum_monitor_stateful(
     trusting append order). Deltas must be pre-quantized
     integers (the batch discipline); the per-batch fold is vectorized
     numpy (cumsum + minimum.accumulate), never a Python per-row loop.
-    Rows are processed in (order_col) order within each batch, and
-    batches must arrive key-ordered in time (file streams replaying a
-    log do; for out-of-order sources compose with a watermark sort
-    upstream). Emits one refreshed row per key per batch (update
-    mode): current statistic, alarm count, and the first
-    threshold-crossing's order key and statistic."""
+    A key's micro-batch arrives as MULTIPLE Arrow chunks (split at
+    spark.sql.execution.arrow.maxRecordsPerBatch, default 10k) in
+    arbitrary cross-chunk order, so the fold materializes the whole
+    key-batch and sorts ONCE globally before folding — sorting each
+    chunk independently would mis-order the prefix sums for keys with
+    >10k rows per batch. Batches must still arrive key-ordered in
+    time (file streams replaying a log do; for out-of-order sources
+    compose with a watermark sort upstream). Emits one refreshed row
+    per key per batch (update mode): current statistic, alarm count,
+    and the first threshold-crossing's order key and statistic."""
     import numpy as np
 
     def fold(
@@ -190,11 +194,15 @@ def cusum_monitor_stateful(
             n_events, psum, pmin, n_alarms, first_o, first_cs = (
                 0, 0, 0, 0, None, None,
             )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
+        # Materialize every Arrow chunk of this key's micro-batch and
+        # sort globally: cross-chunk delivery order is undefined and
+        # the prefix-sum/prefix-min fold is order-dependent. State is
+        # still O(keys); the transient batch frame is O(key-batch),
+        # the same bound applyInPandasWithState already imposes.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order_col)
             d = pdf[delta_col].to_numpy(dtype="int64")
-            if len(d) == 0:
-                continue
             p = psum + np.cumsum(d)
             m = np.minimum(np.minimum.accumulate(p), pmin)
             cs = p - m

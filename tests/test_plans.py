@@ -736,6 +736,30 @@ def test_topk_windows_run_on_bounded_prefix(spark):
         assert re.search(r"% 1\)", p), name  # bounded_window_key marker
 
 
+def test_filtered_ivf_predicate_before_scoring_with_pruning(spark):
+    """VERDICT r9 #3: ann_filtered_ivf_topk must apply the metadata
+    predicate INSIDE the probed cells — one codegen'd Filter carrying
+    BOTH the cell IN-list (pruning retained) and the label equality,
+    sitting BELOW the cosine-scoring Project, so the fold never
+    touches excluded vectors — then TakeOrderedAndProject, zero
+    exchanges (map-only scan + driver top-k). The IN-list length also
+    pins the starvation-aware widening: at sf0.001 the ~10%-selective
+    same-label predicate starves the base 4/16 probe, so the cut rule
+    must have widened past 4 while still pruning (< 16)."""
+    p = formatted_plan(spark, "ann_filtered_ivf_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    m = re.search(r"Condition : (.*)", p)
+    assert m, p
+    cond = m.group(1)
+    assert re.search(r"cell#\d+ IN \(", cond), cond  # pruning retained
+    assert re.search(r"label#\d+ = ", cond), cond  # predicate pre-scoring
+    # the scoring fold appears only ABOVE the filter (later plan node)
+    assert p.index("Condition :") < p.index("aggregate(zip_with")
+    probes = re.search(r"cell#\d+ IN \(([\d,]+)\)", cond).group(1).split(",")
+    assert 4 < len(probes) < 16, probes  # widened, still pruned
+
+
 def test_no_cartesian_anywhere_and_bnlj_only_broadcast_sided(spark):
     """Registry-wide scale gate (r7, modeled on the EvalPython gate):
     NO query may plan a CartesianProduct — quadratic at scale, always a

@@ -226,3 +226,72 @@ def test_recall_eval_full_probe_is_perfect(spark):
     )
     assert len(per_q) == 2
     assert all(r["n_found"] == 5 and r["rr_scaled"] == 2520 for r in per_q)
+
+
+def test_filtered_ivf_widening_boundaries(spark):
+    """filtered_ivf_topk's starvation-aware cut: min_candidates=1
+    keeps the base probe floor (no widening past n_probe unless
+    starved to zero); min_candidates > filtered-corpus size degrades
+    to ALL cells = the exact filtered scan; and the default (3k)
+    result always CONTAINS at least k candidates' worth of coverage
+    (the starvation guarantee the fixed probe lacks)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        filtered_ivf_topk,
+        ivf_probe_order,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    qlabel = emb.where(F.col("vec_id") == 0).head()["label"]
+    pred = (F.col("label") == F.lit(qlabel)) & (F.col("vec_id") != 0)
+    cents = select_centroids(emb, 16)
+    celled = add_ivf_cell(emb, cents)
+
+    # min_candidates beyond the filtered corpus → all cells → exact
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(emb.where(pred), q, k=10).collect()
+    ]
+    widened_all = [
+        r["vec_id"]
+        for r in filtered_ivf_topk(
+            celled, cents, q, pred, k=10, n_probe=4, min_candidates=10**9
+        ).collect()
+    ]
+    assert widened_all == exact
+
+    # min_candidates=1: stops at the first nearest cell holding any
+    # filtered row — probe set is a prefix of the nearest-first order
+    # no longer than the base floor
+    few = filtered_ivf_topk(
+        celled, cents, q, pred, k=10, n_probe=4, min_candidates=1
+    )
+    order = ivf_probe_order(cents, q)
+    base_cells = set(order[:4])
+    got_cells = {
+        r["cell"]
+        for r in celled.where(pred)
+        .where(F.col("cell").isin(order[:4]))
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    # sanity: the base probe does hold some filtered rows here, so the
+    # min_candidates=1 cut must NOT widen past the floor
+    assert got_cells
+    assert few.count() <= 10
+
+    # default cut (3k=30): the probed cells must jointly hold >= 30
+    # filtered candidates (or the whole filtered corpus if smaller)
+    total_filtered = celled.where(pred).count()
+    res = filtered_ivf_topk(
+        celled, cents, q, pred, k=10, n_probe=4, min_candidates=30
+    )
+    assert res.count() == min(10, total_filtered)
+    # and every returned neighbor satisfies the predicate
+    ids = [r["vec_id"] for r in res.collect()]
+    labs = {
+        r["vec_id"]: r["label"]
+        for r in emb.where(F.col("vec_id").isin(ids)).collect()
+    }
+    assert all(labs[i] == qlabel for i in ids) and 0 not in ids

@@ -234,3 +234,67 @@ def test_cusum_monitor_stream_equals_batch(spark, tmp_path_factory):
     # scenario sanity: the cross-batch carry actually happened
     assert final[2][2] is not None and final[2][2] >= 1  # alarmed in batch 2
     assert final[1][1] >= 1 and final[3][1] == 0
+
+
+@pytest.mark.slow
+def test_cusum_monitor_multichunk_key_batch(spark, tmp_path_factory):
+    """One key whose micro-batch spans MULTIPLE Arrow chunks
+    (maxRecordsPerBatch=2, 6 rows) delivered in REVERSE event order:
+    applyInPandasWithState splits a key's batch at the Arrow record
+    cap with undefined cross-chunk order, and the prefix-sum fold is
+    order-dependent — sorting each chunk independently (the pre-fix
+    behavior) folds e4,e5,e2,e3,e0,e1 and reports cusum=40 / first
+    alarm at e5-before-the-dip; the global concat+sort folds the true
+    order and reports cusum=100 with the alarm fired only at e5 after
+    the -100 dips. Deltas chosen so the two disagree on the final
+    statistic (40 vs 100), making per-chunk folding impossible to
+    pass."""
+    import json
+    import os
+
+    from aws_ipl_data_pipeline_spark.streaming import cusum_monitor_stateful
+
+    # event order e0..e5; written to the file in DESCENDING order so
+    # arrival order != event order across chunks
+    deltas = {0: 60, 1: -100, 2: 80, 3: -100, 4: 90, 5: 10}
+    thr = 100
+    base = str(tmp_path_factory.mktemp("cusum_chunks"))
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/b0.json", "w") as f:
+        for o in sorted(deltas, reverse=True):
+            f.write(
+                json.dumps({"user_id": 1, "event_id": o, "d": deltas[o]})
+                + "\n"
+            )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, d long"
+        ).json(src)
+        q = (
+            cusum_monitor_stateful(
+                stream, "user_id", "event_id", "d", threshold=thr
+            )
+            .writeStream.format("memory")
+            .queryName("cusum_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    rows = spark.table("cusum_chunks").collect()
+    final = max(rows, key=lambda r: r["n_events"])
+    # true event-order prefix: 60,-40,40,-60,30,40; min-prefix -60 →
+    # cusum 100, single alarm exactly at e5 with statistic 100
+    assert final["n_events"] == 6
+    assert final["cusum"] == 100
+    assert final["n_alarms"] == 1
+    assert final["first_alarm_order"] == 5
+    assert final["cusum_at_alarm"] == 100
