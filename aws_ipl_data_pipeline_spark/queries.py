@@ -5703,6 +5703,177 @@ def _sessionize_frame(ev: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "attribution_last_touch",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    m AS (
+      SELECT user_id, event_id, event_type, tus,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS touch_event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN tus END IGNORE NULLS)
+               OVER w AS touch_tus,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS purchase_event_id,
+           CAST(touch_event_id AS BIGINT) AS touch_event_id,
+           touch_type,
+           CAST((tus - touch_tus) // 1000 AS BIGINT) AS lag_ms
+    FROM m WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH conversion attribution — for every purchase, the
+    user's most recent PRECEDING click/view (the classic marketing /
+    growth-analytics join). One window pass over the union of touches
+    and conversions: touch columns are null-masked on conversion rows
+    and recovered with last(ignorenulls) over a frame that EXCLUDES
+    the current row, so a purchase can never attribute to itself and
+    consecutive purchases share the same earlier touch. Purchases
+    with no preceding touch surface with NULL touch columns (organic
+    conversions) rather than being dropped. All three recovered
+    columns ride ONE user-clustered window (one exchange end to end);
+    lag_ms is an exact integer division of microsecond timestamps —
+    deterministic ordering by (tus, event_id) everywhere. Scale: the
+    window state per user is three scalars, never a buffered event
+    list; the event_type IN pre-filter is pushed to the scan."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") != "purchase"
+    m = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "tus",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("tus")), ignorenulls=True)
+        .over(w)
+        .alias("touch_tus"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    return m.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long"),
+        F.col("event_id").cast("long").alias("purchase_event_id"),
+        F.col("touch_event_id").cast("long"),
+        "touch_type",
+        F.expr("(tus - touch_tus) div 1000").cast("long").alias("lag_ms"),
+    )
+
+
+@register(
+    "session_funnel_paths",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 14400000000
+                    OR LAG(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    ),
+    paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths — sessionize (the 4 h gap rule shared
+    with sessionize_events), join each session's event types into an
+    ordered '>'-path, count sessions per path, top-20. The
+    path-analysis shape behind funnel/journey dashboards, expressed
+    without any iterative sequence mining: the lag window, the
+    prefix-sum session numbering, AND the per-session path aggregate
+    all share ONE user-clustered exchange (HashPartitioning(user_id)
+    satisfies the (user_id, session_seq) clustering), so the fact
+    stream shuffles once; only the already-aggregated per-session
+    paths cross a second, skinny exchange to be counted. In-session
+    order is pinned by array_sort over (tus, event_id, type) structs
+    — collect_list alone has no order contract — matching the
+    oracle's ORDER BY inside string_agg. Top-k is
+    TakeOrderedAndProject with (count DESC, path ASC) ties."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    numbered = ev.withColumn(
+        "session_seq",
+        F.sum(
+            F.when(gap.isNull() | (gap > 14_400_000_000), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = numbered.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tus", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("_n").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Sequence-length histogram (packing/curriculum planning input)
 # --------------------------------------------------------------------------
@@ -8959,20 +9130,23 @@ _DRIVER_FIRST = [
     "user_twap",
     "ann_filtered_topk",
     "source_pareto",
-    # r10 slot 8 (rotation rule 2 — this round's new queries): the
+    # r10 slots 8-10 (rotation rule 2 — this round's new queries): the
     # filtered-IVF composition with starvation-aware probe widening
-    # (VERDICT r9 item 3).
+    # (VERDICT r9 item 3), last-touch conversion attribution, and
+    # session path mining.
     "ann_filtered_ivf_topk",
-    # r10 slots 9-11: the IPL medallion golden surface holds a seat
+    "attribution_last_touch",
+    "session_funnel_paths",
+    # r10 slots 11-13: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r10 slots 12-50 (rotation rule 3 — refresh stalest first): the
-    # first 39 of the 44 queries whose newest driver row is r6
+    # r10 slots 14-50 (rotation rule 3 — refresh stalest first): the
+    # first 37 of the 44 queries whose newest driver row is r6
     # (alphabetical; newest-row audit over CORRECTNESS_r01..r09
     # recomputed this round: r6:44 / r7:46 / r8:47 / r9:50). The
-    # remaining five r6 rows head the r11 queue below.
+    # remaining seven r6 rows head the r11 queue below.
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_recall_eval",
@@ -9010,11 +9184,11 @@ _DRIVER_FIRST = [
     "running_totals",
     "semantic_dedup_clusters",
     "semantic_dedup_clusters_ivf",
-    "sliding_window",
-    "source_mixing",
-    # past slot 50 from here — the r11 queue: the last five r6-stale
+    # past slot 50 from here — the r11 queue: the last seven r6-stale
     # refresh rows, then the r7/r8/r9 sets in registration order via
     # _reorder_registry.
+    "sliding_window",
+    "source_mixing",
     "text_token_stats",
     "time_rollup_hierarchy",
     "training_shuffle_shards",

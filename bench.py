@@ -183,6 +183,22 @@ ROUND9 = [
     "semantic_decontamination",
 ]
 
+# round-10 additions (VERDICT r9 #5: the r9-continuation families —
+# time-series gap filling, market-basket lift, CUSUM monitoring,
+# graph BFS, containment dedup — were invisible in the stdout
+# artifact; plus this round's filtered-IVF composition). Unlike the
+# earlier roundN sets these ALSO go to stdout (compact, ~200 bytes)
+# so a regression in the new families surfaces in BENCH_r{N} without
+# the full-breakdown file: same frozen-set policy
+ROUND10 = [
+    "gap_fill_interpolate",
+    "copurchase_lift",
+    "cusum_drift_alarms",
+    "bfs_khop_distances",
+    "dedup_containment",
+    "ann_filtered_ivf_topk",
+]
+
 
 def _calib_once(spark) -> float:
     """One reading of the FIXED calibration probe: constant synthetic
@@ -307,6 +323,7 @@ def main() -> None:
     round7 = time_set(ROUND7, "round7")
     round8 = time_set(ROUND8, "round8")
     round9 = time_set(ROUND9, "round9")
+    round10 = time_set(ROUND10, "round10")
 
     calib_series.append(round(_calib_once(spark), 3))
     try:
@@ -336,6 +353,7 @@ def main() -> None:
         "queries_round7": round7,
         "queries_round8": round8,
         "queries_round9": round9,
+        "queries_round10": round10,
         "calib_series": calib_series,
         "calib": calib,
         "loadavg_start": load_start,
@@ -367,6 +385,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "median5": med5,
+                "round10": round10,
                 "calib": calib,
                 "iters": iters,
                 "sf": sf,

@@ -95,6 +95,57 @@ def test_minhash_recall_equals_exact(spark):
     assert lsh == exact  # precision exact by construction; recall on this corpus
 
 
+def test_jaccard_auto_routing_boundary(spark):
+    """jaccard_pairs_auto (VERDICT r9 #4): at or below the crossover
+    the exact inverted-index join runs with NO warning; above it the
+    call warns and routes to minhash_lsh_pairs — on this corpus the
+    two agree exactly (test_minhash_recall_equals_exact), so routing
+    must not change the answer. corpus_docs skips the count and
+    drives the routing alone (a 1e9 claim routes a 500-doc frame)."""
+    import warnings
+
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        JACCARD_LSH_CROSSOVER_DOCS,
+        jaccard_pairs_auto,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    assert n <= JACCARD_LSH_CROSSOVER_DOCS  # fixture is below the boundary
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in shingle_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # below boundary must NOT warn
+        below = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs_auto(docs, threshold=0.8).collect()
+        }
+    assert below == exact
+
+    # exact boundary value stays on the exact join (<=, not <)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        at = jaccard_pairs_auto(
+            docs, threshold=0.8, corpus_docs=n, crossover_docs=n
+        )
+        assert {(r["id_a"], r["id_b"]) for r in at.collect()} == exact
+
+    # one past the boundary warns and routes to LSH
+    with pytest.warns(UserWarning, match="routing to minhash_lsh_pairs"):
+        routed = jaccard_pairs_auto(
+            docs, threshold=0.8, corpus_docs=n + 1, crossover_docs=n
+        )
+    assert {(r["id_a"], r["id_b"]) for r in routed.collect()} == exact
+
+    # a claimed-huge corpus routes without running any count job
+    with pytest.warns(UserWarning):
+        huge = jaccard_pairs_auto(docs, threshold=0.8, corpus_docs=10**9)
+    assert {(r["id_a"], r["id_b"]) for r in huge.collect()} == exact
+
+
 def test_minhash_hot_bucket_star_fallback(spark):
     """Degenerate corpus (1k boilerplate-identical docs): every band
     bucket blows past the ceiling, so candidates come from the O(b)

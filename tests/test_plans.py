@@ -760,6 +760,32 @@ def test_filtered_ivf_predicate_before_scoring_with_pruning(spark):
     assert 4 < len(probes) < 16, probes  # widened, still pruned
 
 
+def test_attribution_single_user_exchange(spark):
+    """attribution_last_touch: the three null-masked last(ignorenulls)
+    recoveries must share ONE user-clustered window — one Exchange end
+    to end, no join (the asof-like attribution is a window pass, not a
+    self-join), and the event_type IN pre-filter pushed to the scan."""
+    p = formatted_plan(spark, "attribution_last_touch")
+    assert _nodes(p, "Exchange") == 1
+    assert _nodes(p, "Window") == 1  # all three last() in one WindowExec
+    assert "Join" not in p
+    assert "PushedFilters" in p and "In(event_type" in p
+
+
+def test_funnel_paths_fact_shuffles_once(spark):
+    """session_funnel_paths: lag window, prefix-sum numbering, AND the
+    per-session path aggregate share the user_id exchange
+    (HashPartitioning(user) satisfies the (user, session_seq)
+    clustering); only the aggregated per-session paths cross the
+    second, skinny exchange. Top-k is TakeOrderedAndProject, never a
+    global sort."""
+    p = formatted_plan(spark, "session_funnel_paths")
+    assert _nodes(p, "Exchange") == 2
+    assert "TakeOrderedAndProject" in p
+    parts = re.findall(r"Arguments: hashpartitioning\((\w+)#", p)
+    assert sorted(parts) == ["path", "user_id"], parts
+
+
 def test_no_cartesian_anywhere_and_bnlj_only_broadcast_sided(spark):
     """Registry-wide scale gate (r7, modeled on the EvalPython gate):
     NO query may plan a CartesianProduct — quadratic at scale, always a
