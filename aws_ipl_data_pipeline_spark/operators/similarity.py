@@ -608,13 +608,7 @@ def probe_ivf_index(
     dedupe a duplicated near neighbor would occupy two of the k result
     rows. The dedupe shuffles only the probed subset, and a periodic
     per-cell compaction removes the physical duplicates."""
-    qq = _quantize_list(query_vec)
-    order = sorted(
-        range(len(centroids)),
-        key=lambda i: -sum(
-            a * b for a, b in zip(qq, _unit_scaled(centroids[i]))
-        ),
-    )
+    order = ivf_probe_order(centroids, query_vec)
     probes = order[: min(n_probe, len(order))]
     candidates = (
         spark.read.parquet(path)

@@ -5874,6 +5874,64 @@ def session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT from_type, SUM(n) AS row_n FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 1000000 // r.row_n AS BIGINT) AS p_1e6
+    FROM c JOIN r USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams —
+    the journey model behind next-action prediction and anomaly
+    scoring: for every (from_type → to_type) pair, the transition
+    count and probability. One lead() window over the user clustering
+    (the same deterministic (tus, event_id) ordering every sequence
+    operator uses), then a skinny 25-cell aggregate; the row-marginal
+    normalization joins on the aggregated frame, never the fact
+    stream. Probability is an exact 1e-6-scaled integer quotient
+    (n·10⁶ div row_n) — no float division enters the compare, and the
+    quotient ≤ 10⁶ trivially fits int64 at any corpus size (the
+    product n·10⁶ holds to n < 9.2e12 transitions per cell; beyond
+    that widen to decimal as chi2_source_lang does)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    r = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return c.join(F.broadcast(r), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long"),
+        F.expr("(n * 1000000) div row_n").cast("long").alias("p_1e6"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sequence-length histogram (packing/curriculum planning input)
 # --------------------------------------------------------------------------
@@ -9130,23 +9188,24 @@ _DRIVER_FIRST = [
     "user_twap",
     "ann_filtered_topk",
     "source_pareto",
-    # r10 slots 8-10 (rotation rule 2 — this round's new queries): the
+    # r10 slots 8-11 (rotation rule 2 — this round's new queries): the
     # filtered-IVF composition with starvation-aware probe widening
-    # (VERDICT r9 item 3), last-touch conversion attribution, and
-    # session path mining.
+    # (VERDICT r9 item 3), last-touch conversion attribution, session
+    # path mining, and the event transition matrix.
     "ann_filtered_ivf_topk",
     "attribution_last_touch",
     "session_funnel_paths",
-    # r10 slots 11-13: the IPL medallion golden surface holds a seat
+    "event_transition_matrix",
+    # r10 slots 12-14: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r10 slots 14-50 (rotation rule 3 — refresh stalest first): the
-    # first 37 of the 44 queries whose newest driver row is r6
+    # r10 slots 15-50 (rotation rule 3 — refresh stalest first): the
+    # first 36 of the 44 queries whose newest driver row is r6
     # (alphabetical; newest-row audit over CORRECTNESS_r01..r09
     # recomputed this round: r6:44 / r7:46 / r8:47 / r9:50). The
-    # remaining seven r6 rows head the r11 queue below.
+    # remaining eight r6 rows head the r11 queue below.
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_recall_eval",
@@ -9183,10 +9242,10 @@ _DRIVER_FIRST = [
     "personalized_pagerank_covisit",
     "running_totals",
     "semantic_dedup_clusters",
-    "semantic_dedup_clusters_ivf",
-    # past slot 50 from here — the r11 queue: the last seven r6-stale
+    # past slot 50 from here — the r11 queue: the last eight r6-stale
     # refresh rows, then the r7/r8/r9 sets in registration order via
     # _reorder_registry.
+    "semantic_dedup_clusters_ivf",
     "sliding_window",
     "source_mixing",
     "text_token_stats",

@@ -120,6 +120,7 @@ def test_assignment_matches_numpy_brute_force(spark):
         assert got[r["vec_id"]] == cids[int(np.argmin(d2))]
 
 
+@pytest.mark.slow
 def test_kmeans_converges_and_is_deterministic(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     a1, c1 = kmeans_fit(emb, k=4, max_iter=30)

@@ -178,6 +178,7 @@ def test_cli_prep_chunk_and_mix(spark, tmp_path_factory):
     assert 0 < mixed.count() < spark.read.parquet(docs).count()
 
 
+@pytest.mark.slow
 def test_cli_prep_kmeans(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("prepk"))
     emb = "/root/testdata/sf0.001/embeddings.parquet"
@@ -192,6 +193,7 @@ def test_cli_prep_kmeans(spark, tmp_path_factory):
     assert out.select("centroid_id").distinct().count() <= 4
 
 
+@pytest.mark.slow
 def test_cli_gold_versioned_snapshots(spark, tmp_path_factory):
     """gold --versioned writes snapshot-isolated tables: a second run
     creates v2 while v1 stays time-travel-readable."""

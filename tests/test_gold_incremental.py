@@ -56,6 +56,7 @@ def _write_csv(path: str, rows) -> None:
         w.writerows(rows)
 
 
+@pytest.mark.slow
 def test_partials_merge_equals_batch_builders(spark):
     """finisher(partials(silver)) ≡ builder(silver) for all four gold
     tables on the golden fixtures — the static half of batch ≡
@@ -408,6 +409,7 @@ def test_partials_compaction_preserves_incremental(spark, tmp_path_factory):
         assert got == want, name
 
 
+@pytest.mark.slow
 def test_scoped_run_migrates_pre_bucket_partials_layout(
     spark, tmp_path_factory
 ):
@@ -472,6 +474,7 @@ def test_scoped_run_migrates_pre_bucket_partials_layout(
         assert got == want, name
 
 
+@pytest.mark.slow
 def test_half_applied_scoped_batch_heals_on_replay(spark, tmp_path_factory):
     """Crash-replay idempotence across the FOUR partials tables: a
     scoped batch that dies after updating only some of them leaves the

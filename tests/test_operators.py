@@ -202,6 +202,7 @@ def test_simhash_hot_bucket_star_fallback(spark):
     assert all(r["hamming"] == 0 for r in pairs)
 
 
+@pytest.mark.slow
 def test_hot_bucket_ceiling_inert_below_threshold(spark):
     """On the real corpus no bucket approaches the default ceiling, so
     the guarded plan returns bit-identical pairs to the unguarded one
@@ -353,6 +354,7 @@ def test_near_dup_groups_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+@pytest.mark.slow
 def test_near_dup_groups_raises_on_non_convergence(spark):
     """A component whose diameter (minlabel) or size (star) exceeds the
     round bound must raise, never silently return unconverged labels
@@ -383,6 +385,7 @@ def test_near_dup_groups_raises_on_non_convergence(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+@pytest.mark.slow
 def test_star_contraction_long_chain_beats_diameter(spark):
     """The capability minlabel cannot have: a 200-node path (diameter
     199) labels completely in ≤12 star rounds — O(log n), not
@@ -404,6 +407,7 @@ def test_star_contraction_long_chain_beats_diameter(spark):
     assert len(labels) == n
 
 
+@pytest.mark.slow
 def test_star_equals_minlabel_on_random_graph(spark):
     """Star contraction and min-label propagation are independent CC
     implementations; identical labels on a seeded random multigraph

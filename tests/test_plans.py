@@ -65,6 +65,7 @@ def test_dim_joins_broadcast(spark):
         assert "BroadcastHashJoin" in p, q
 
 
+@pytest.mark.slow
 def test_no_python_udf_in_relational_core(spark):
     """Everything except the fuzzy/multimodal operators must stay
     JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
@@ -786,6 +787,7 @@ def test_funnel_paths_fact_shuffles_once(spark):
     assert sorted(parts) == ["path", "user_id"], parts
 
 
+@pytest.mark.slow
 def test_no_cartesian_anywhere_and_bnlj_only_broadcast_sided(spark):
     """Registry-wide scale gate (r7, modeled on the EvalPython gate):
     NO query may plan a CartesianProduct — quadratic at scale, always a

@@ -3,6 +3,7 @@ over randomized ball sequences."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -102,6 +103,7 @@ def test_bronze_invariants(seq):
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ball_sequences())
+@pytest.mark.slow
 def test_bronze_dedupe_idempotent(seq):
     """Processing the same scrape twice yields the same bronze (the
     reference's re-run safety, ex_match_rb.py:183,207)."""
@@ -156,6 +158,7 @@ def test_standings_points_property():
     ),
     st.integers(2, 16),  # salt buckets
 )
+@pytest.mark.slow
 def test_salted_aggregate_invariant(rows, buckets):
     """salted_aggregate ≡ plain groupBy for any distribution and any
     bucket count (sums compared exactly: both sides sum the same float32
@@ -224,6 +227,7 @@ def test_rollup_hierarchy_consistency(rows):
         max_size=4,
     )
 )
+@pytest.mark.slow
 def test_upsert_by_key_model(tmp_path_factory, batches):
     """upsert_by_key over any batch sequence equals the dict model
     (last write per key wins); within a batch, precedence is undefined
@@ -299,6 +303,7 @@ def test_sequence_packing_invariants(rows, budget):
     st.sampled_from([1, 2, 5]),
 )
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_blocked_cosine_matches_exact_random(vecs, n_blocks):
     """Reducer-blocked GEMM pairs == single-cartesian exact pairs on
     arbitrary vectors and block counts (zero vectors excluded — cosine
@@ -544,6 +549,7 @@ def small_corpora(draw):
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(small_corpora())
+@pytest.mark.slow
 def test_substring_dedup_matches_python_model(docs):
     """Exact model-based check: a 15-line pure-Python mirror of the
     stride-1 first-occurrence-wins semantics (including WITHIN-doc
@@ -603,6 +609,7 @@ _ND_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omega", "kap
     )
 )
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_incremental_near_dedup_precision_and_exact_recall(docs):
     """Sound invariants of the approximate operator (never a full-recall
     claim — banding recall <1 is the documented contract): (1) PRECISION
@@ -669,6 +676,7 @@ def test_incremental_near_dedup_precision_and_exact_recall(docs):
         max_size=60,
     )
 )
+@pytest.mark.slow
 def test_star_contraction_matches_union_find(edges):
     """connected_components_star == a pure-Python union-find ground
     truth on arbitrary small multigraphs (self-loops, duplicate and
@@ -741,6 +749,7 @@ def weighted_graphs(draw):
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(weighted_graphs())
+@pytest.mark.slow
 def test_pagerank_distributed_equals_reference(graph):
     """The distributed integer PageRank is bit-identical to the
     pure-python replica on arbitrary small weighted digraphs —
@@ -814,6 +823,7 @@ def silver_rows(draw):
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=silver_rows())
+@pytest.mark.slow
 def test_gold_partials_merge_equals_builders_on_random_silver(rows):
     """finisher(partials(silver)) must be row-identical to
     builder(silver) for EVERY silver frame, not just the golden
@@ -945,6 +955,7 @@ def _match_pool(spark):
         max_size=4,
     ),
 )
+@pytest.mark.slow
 def test_bucketed_partials_model_equivalence(spark, start, ops):
     """Model-based check of the r9 bucketed partials layout: ANY
     sequence of per-match rescrapes and full-match retractions applied
@@ -1037,6 +1048,7 @@ def test_bucketed_partials_model_equivalence(spark, start, ops):
     st.integers(min_value=1, max_value=3),
 )
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_pmi_collocations_matches_python_reference(token_docs, min_pair):
     """pmi_collocations ≡ a direct python recount on random tiny
     corpora: same kept pairs under the exact integer lift gate, same
@@ -1134,6 +1146,7 @@ def test_containment_matches_set_reference(docs):
         max_size=60,
     )
 )
+@pytest.mark.slow
 def test_copurchase_matches_python_reference(pairs):
     """copurchase_pairs ≡ brute-force Python reference: supports,
     co-basket counts, the integer lift gate, and the min-support
@@ -1192,6 +1205,7 @@ def test_copurchase_matches_python_reference(pairs):
     st.sets(st.integers(0, 11), min_size=1, max_size=3),
     st.integers(1, 4),
 )
+@pytest.mark.slow
 def test_bfs_matches_python_reference(edges, seeds, hops):
     """bfs_distances ≡ textbook multi-source BFS on random digraphs
     (self-loops dropped like covisit_edges does), any seed set, any
@@ -1244,6 +1258,7 @@ def _trunc_div(num: int, den: int) -> int:
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_gap_fill_matches_python_reference(obs):
     """gap_fill_linear ≡ a pure-Python replica of the quantized
     algorithm (per-bucket integer-rounded mean, interior linear
@@ -1383,6 +1398,7 @@ def test_rolling_range_frame_matches_python(obs):
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_ols_moments_match_fraction_reference(obs):
     """user_value_trend's closed-form slope/intercept ≡ exact rational
     OLS via Fraction on the same integer moments — catching any drift

@@ -13,7 +13,12 @@ from tests.oracle_check import compare, duck_con
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
-ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+# kmeans_lloyd runs full Lloyd iterations (~19 s) — slow-marked so the
+# fast inner loop keeps the other rows-only smoke checks
+ROWS_ONLY_QUERIES = [
+    pytest.param(n, marks=pytest.mark.slow) if n == "kmeans_lloyd" else n
+    for n in sorted(n for n, q in REGISTRY.items() if not q.oracle)
+]
 
 
 @pytest.fixture(scope="module")

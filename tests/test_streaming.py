@@ -192,6 +192,7 @@ def test_corpus_ingest_stream_dedupes_across_batches(spark, tmp_path_factory):
     assert got3 == got2
 
 
+@pytest.mark.slow
 def test_near_dedup_ingest_rejects_across_and_within_batches(spark, tmp_path_factory):
     """Streaming near-dup admission: a later-batch paraphrase of an
     admitted doc is rejected via the SIGNATURE state (admitted text is
@@ -474,6 +475,7 @@ def test_restart_from_checkpoint_is_exactly_once_per_file(
     assert _canon(streamed) == _canon(batch)
 
 
+@pytest.mark.slow
 def test_covisit_edge_ingest_stream_equals_batch(spark, tmp_path_factory):
     """Streaming co-visitation edge maintenance: intra-batch transitions
     plus the tail-stitched boundary transition reproduce the batch
