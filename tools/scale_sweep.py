@@ -229,6 +229,10 @@ def main() -> None:
                 "bfs_khop_distances",
                 "decayed_engagement",
                 "cusum_drift_alarms",
+                "attribution_last_touch",
+                "session_funnel_paths",
+                "event_transition_matrix",
+                "user_twap",
             )
             for n in QUERIES
         ):
