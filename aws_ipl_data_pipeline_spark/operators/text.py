@@ -493,3 +493,82 @@ def pmi_collocations(
         .orderBy(F.desc("pair_count"), "w1", "w2")
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table application — tokenization as JVM string expressions
+# ---------------------------------------------------------------------------
+# A fixed, rank-ordered demo merge table (common English pairs over the
+# chars+'</w>' word form bpe_merge_candidates counts). TOPOLOGICAL: a
+# merge's inputs exist before it runs (rank 3 consumes ranks 1+2's
+# outputs), matching how a learned table is ordered — fixed-order full
+# application per rank is then equivalent to the canonical
+# lowest-rank-first loop, because a merge can never create a pair of an
+# EARLIER rank (earlier outputs are prefixes of later inputs, never the
+# reverse, by construction of BPE learning).
+BPE_DEMO_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"),
+    ("t", "h"),
+    ("th", "e</w>"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("s", "</w>"),
+    ("d", "</w>"),
+    ("o", "r"),
+    ("e", "n"),
+    ("a", "r"),
+    ("a", "t"),
+    ("s", "t"),
+    ("t", "</w>"),
+]
+
+
+def bpe_apply_token_count(
+    word_col: Column | str,
+    merges: list[tuple[str, str]] | None = None,
+) -> Column:
+    """Number of BPE tokens a word tokenizes to under ``merges`` —
+    computed ENTIRELY as JVM string expressions (chained replaces), no
+    Python tokenizer in the loop: the word becomes the space-separated
+    chars+'</w>' form (bpe_merge_candidates' representation) wrapped in
+    boundary spaces, each merge is one ``replace(' a b ', ' ab ')``
+    pass, and the token count is the final symbol count. One pass per
+    merge uses the engine's leftmost non-overlapping replace — for a
+    run of 3+ adjacent identical pairs a single pass merges every
+    other occurrence (both engines of the correctness gate share the
+    semantics, so results stay bit-identical cross-engine; canonical
+    BPE would loop until fixed point). Cost per word is
+    O(len·|merges|) of codegen'd string work — and callers apply it to
+    the VOCABULARY (distinct words), never the corpus, so 100 TB of
+    text pays tokenization proportional to word types."""
+    c = F.col(word_col) if isinstance(word_col, str) else word_col
+    s = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.concat(F.split(c, ""), F.array(F.lit("</w>"))), " "
+        ),
+        F.lit(" "),
+    )
+    for a, b in merges or BPE_DEMO_MERGES:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return F.size(F.split(F.trim(s), " "))
+
+
+def bpe_apply_sql_expr(
+    word_expr: str, merges: list[tuple[str, str]] | None = None
+) -> str:
+    """The DuckDB twin of ``bpe_apply_token_count`` — generated from
+    the SAME merge list so the two engines cannot desync (the
+    graph-constants interpolation pattern). Returns an SQL expression
+    yielding the token count for ``word_expr``."""
+    s = (
+        "(' ' || array_to_string(list_append(string_split("
+        + word_expr
+        + ", ''), '</w>'), ' ') || ' ')"
+    )
+    for a, b in merges or BPE_DEMO_MERGES:
+        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return f"len(string_split(trim({s}), ' '))"

@@ -8130,6 +8130,81 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from aws_ipl_data_pipeline_spark.operators.text import (  # noqa: E402
+    bpe_apply_sql_expr as _bpe_sql,
+)
+
+
+@register(
+    "bpe_apply_stats",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS word
+      FROM documents
+    ),
+    sw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE word <> '' GROUP BY 1, 2
+    ),
+    tn AS (
+      SELECT source, word, tf,
+             CAST({_bpe_sql('word')} AS BIGINT) AS tok_n
+      FROM sw
+    )
+    SELECT source,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(SUM(tf * (length(word) + 1)) AS BIGINT) AS n_tokens_char,
+           CAST(SUM(tf * tok_n) AS BIGINT) AS n_tokens_bpe,
+           CAST((SUM(tf * (length(word) + 1)) * 10000)
+                // SUM(tf * tok_n) AS BIGINT) AS compression_1e4
+    FROM tn GROUP BY source
+    """,
+)
+def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a BPE merge table — the other half of tokenizer training
+    (bpe_merge_candidates learns candidates; this tokenizes under a
+    rank-ordered table) — with ZERO Python in the loop: each merge is
+    one codegen'd ``replace(' a b ', ' ab ')`` pass over the
+    chars+'</w>' word form (operators/text.bpe_apply_token_count; the
+    oracle's replace chain is GENERATED from the same
+    BPE_DEMO_MERGES list, so the engines cannot desync). Tokenization
+    runs on the (source, word) AGGREGATED frame — cost proportional
+    to word types × sources, never corpus tokens, the same
+    vocab-bounded shape as the candidates query. Per-source output:
+    word count, char-level token count (chars+1 end mark), BPE token
+    count, and the exact 1e-4-scaled compression ratio."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.text import (
+        bpe_apply_token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "source",
+            F.explode(F.split(normalized_text("text"), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    tn = sw.withColumn(
+        "tok_n", bpe_apply_token_count("word").cast("long")
+    )
+    return tn.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        F.sum(F.col("tf") * (F.length("word") + 1))
+        .cast("long")
+        .alias("n_tokens_char"),
+        F.sum(F.col("tf") * F.col("tok_n")).cast("long").alias("n_tokens_bpe"),
+        F.expr(
+            "(SUM(tf * (length(word) + 1)) * 10000) div SUM(tf * tok_n)"
+        )
+        .cast("long")
+        .alias("compression_1e4"),
+    )
+
+
 # oracle constants interpolated from the operator module so a change
 # to the scales or default damping can never desync the two engines
 from aws_ipl_data_pipeline_spark.operators.graph import (  # noqa: E402
@@ -9188,24 +9263,26 @@ _DRIVER_FIRST = [
     "user_twap",
     "ann_filtered_topk",
     "source_pareto",
-    # r10 slots 8-11 (rotation rule 2 — this round's new queries): the
+    # r10 slots 8-12 (rotation rule 2 — this round's new queries): the
     # filtered-IVF composition with starvation-aware probe widening
     # (VERDICT r9 item 3), last-touch conversion attribution, session
-    # path mining, and the event transition matrix.
+    # path mining, the event transition matrix, and BPE merge-table
+    # application.
     "ann_filtered_ivf_topk",
     "attribution_last_touch",
     "session_funnel_paths",
     "event_transition_matrix",
-    # r10 slots 12-14: the IPL medallion golden surface holds a seat
+    "bpe_apply_stats",
+    # r10 slots 13-15: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r10 slots 15-50 (rotation rule 3 — refresh stalest first): the
-    # first 36 of the 44 queries whose newest driver row is r6
+    # r10 slots 16-50 (rotation rule 3 — refresh stalest first): the
+    # first 35 of the 44 queries whose newest driver row is r6
     # (alphabetical; newest-row audit over CORRECTNESS_r01..r09
     # recomputed this round: r6:44 / r7:46 / r8:47 / r9:50). The
-    # remaining eight r6 rows head the r11 queue below.
+    # remaining nine r6 rows head the r11 queue below.
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_recall_eval",
@@ -9241,10 +9318,10 @@ _DRIVER_FIRST = [
     "pagerank_covisit",
     "personalized_pagerank_covisit",
     "running_totals",
-    "semantic_dedup_clusters",
-    # past slot 50 from here — the r11 queue: the last eight r6-stale
+    # past slot 50 from here — the r11 queue: the last nine r6-stale
     # refresh rows, then the r7/r8/r9 sets in registration order via
     # _reorder_registry.
+    "semantic_dedup_clusters",
     "semantic_dedup_clusters_ivf",
     "sliding_window",
     "source_mixing",

@@ -1624,3 +1624,38 @@ def test_chi2_independent_table_has_zero_contributions(spark, tmp_path_factory):
     for r in out:
         assert r["contrib"] == 0.0, r
         assert r["expected_1e4"] == r["observed"] * 10000, r
+
+
+def test_bpe_apply_token_count_known_words(spark):
+    """bpe_apply_token_count under the demo merge table: 'the'
+    collapses to ONE token through the topological chain
+    (e+</w> → th → th+e</w>), 'then' keeps th/en/</w>, single chars
+    keep char+</w>, and a word with no applicable merges stays
+    chars+1. Also pins the single-pass replace semantics on a
+    repeated-pair run ('tttt' → t,t,t,t</w>: the (t,</w>) merge
+    applies once at the end, no (t,t) merge exists)."""
+    from aws_ipl_data_pipeline_spark.operators.text import (
+        bpe_apply_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("the",), ("then",), ("a",), ("tttt",), ("xyz",)], "word string"
+    )
+    got = {
+        r["word"]: r["n"]
+        for r in df.select(
+            "word", bpe_apply_token_count("word").alias("n")
+        ).collect()
+    }
+    assert got == {"the": 1, "then": 3, "a": 2, "tttt": 4, "xyz": 4}
+    # and the generated SQL twin agrees symbol-for-symbol
+    import duckdb
+
+    from aws_ipl_data_pipeline_spark.operators.text import bpe_apply_sql_expr
+
+    e = bpe_apply_sql_expr("w")
+    sql = duckdb.sql(
+        f"SELECT w, {e} AS n FROM (VALUES ('the'), ('then'), ('a'), "
+        "('tttt'), ('xyz')) t(w)"
+    ).fetchall()
+    assert dict(sql) == got
