@@ -5902,13 +5902,17 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring: for every (from_type → to_type) pair, the transition
     count and probability. One lead() window over the user clustering
     (the same deterministic (tus, event_id) ordering every sequence
-    operator uses), then a skinny 25-cell aggregate; the row-marginal
-    normalization joins on the aggregated frame, never the fact
-    stream. Probability is an exact 1e-6-scaled integer quotient
-    (n·10⁶ div row_n) — no float division enters the compare, and the
-    quotient ≤ 10⁶ trivially fits int64 at any corpus size (the
-    product n·10⁶ holds to n < 9.2e12 transitions per cell; beyond
-    that widen to decimal as chi2_source_lang does)."""
+    operator uses), then a skinny 25-cell aggregate; the row marginal
+    is a WINDOW over that aggregated frame, not a join — a join's
+    second branch would re-execute the whole fact lineage (measured:
+    the join form planned 5 exchanges, both the user window and the
+    pair agg duplicated; the window form plans 3, the fact stream
+    shuffling once). Probability is an exact 1e-6-scaled integer
+    quotient (n·10⁶ div row_n) — no float division enters the
+    compare, and the quotient ≤ 10⁶ trivially fits int64 at any
+    corpus size (the product n·10⁶ holds to n < 9.2e12 transitions
+    per cell; beyond that widen to decimal as chi2_source_lang
+    does)."""
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -5923,12 +5927,15 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.col("next_type").alias("to_type"),
     ).agg(F.count("*").alias("n"))
-    r = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
-    return c.join(F.broadcast(r), "from_type").select(
+    return c.select(
         "from_type",
         "to_type",
         F.col("n").cast("long"),
-        F.expr("(n * 1000000) div row_n").cast("long").alias("p_1e6"),
+        F.expr(
+            "(n * 1000000) div (sum(n) over (partition by from_type))"
+        )
+        .cast("long")
+        .alias("p_1e6"),
     )
 
 

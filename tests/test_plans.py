@@ -788,6 +788,18 @@ def test_funnel_paths_fact_shuffles_once(spark):
 
 
 @pytest.mark.slow
+def test_transition_matrix_marginal_is_window_not_join(spark):
+    """event_transition_matrix: the row marginal must be a window over
+    the 25-cell aggregated frame, never a join — a join's second
+    branch re-executes the whole fact lineage (measured 5 exchanges
+    with the user window and pair agg duplicated vs 3 with the
+    window form: user clustering, pair agg, from_type window)."""
+    p = formatted_plan(spark, "event_transition_matrix")
+    assert "Join" not in p
+    assert _nodes(p, "Exchange") == 3
+    assert _nodes(p, "Window") == 2  # the lead() + the marginal sum
+
+
 def test_no_cartesian_anywhere_and_bnlj_only_broadcast_sided(spark):
     """Registry-wide scale gate (r7, modeled on the EvalPython gate):
     NO query may plan a CartesianProduct — quadratic at scale, always a
