@@ -9175,6 +9175,88 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Integer nDCG rank weights: W[i] = round(1e6 / log2(i+1)) computed
+# ONCE here and interpolated into BOTH engines as literals — libm log2
+# never runs inside either engine, so a last-ulp difference between
+# implementations can never flip a rounded weight.
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853,
+           356207, 333333, 315465, 301030, 289065]
+_NDCG_IDEAL = sum(_NDCG_W[:5])  # |ground truth| = 5 → IDCG@10 = Σ W[1..5]
+
+
+def _ndcg_eval_oracle() -> str:
+    # composed VERBATIM from the two batch oracles (the
+    # ann_recall_eval pattern): eval can never drift from the ranked
+    # sets it scores
+    gt_sql = REGISTRY["ann_batch_topk"].oracle
+    iv_sql = REGISTRY["ann_batch_ivf_topk"].oracle
+    w_rows = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+    return f"""
+    WITH gt AS (SELECT query_id, vec_id FROM ({gt_sql}) g),
+    iv AS (SELECT query_id, vec_id, rk FROM ({iv_sql}) v),
+    w(rk, wt) AS (VALUES {w_rows}),
+    h AS (SELECT iv.query_id, iv.rk FROM iv JOIN gt USING (query_id, vec_id)),
+    q AS (SELECT DISTINCT query_id FROM gt),
+    s AS (
+      SELECT h.query_id, CAST(SUM(w.wt) AS BIGINT) AS dcg_s
+      FROM h JOIN w ON h.rk = w.rk GROUP BY 1
+    )
+    SELECT CAST(q.query_id AS BIGINT) AS query_id,
+           CAST(COALESCE(s.dcg_s, 0) AS BIGINT) AS dcg_s,
+           CAST(COALESCE(s.dcg_s, 0) * 1000000 // {_NDCG_IDEAL} AS BIGINT)
+             AS ndcg_1e6
+    FROM q LEFT JOIN s USING (query_id)
+    """
+
+
+@register("ann_ndcg_eval", _ndcg_eval_oracle())
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 for the IVF index vs the exact top-5 ground truth — the
+    third standard retrieval metric beside ann_recall_eval's recall
+    and MRR, and like them EXACT: the per-rank discount weights are
+    precomputed integers (round(1e6/log2(rk+1)) — evaluated once in
+    Python and interpolated into both engines as literals, so no libm
+    log2 runs cross-engine), binary relevance is set membership in
+    the hash-proven ground-truth set, DCG is an exact integer sum,
+    and nDCG is the exact 1e-6-scaled quotient against the constant
+    IDCG (Σ W[1..5], ground truth is 5 items). Queries with zero
+    relevant retrievals surface as 0, not dropped. The composed
+    oracle reuses the registered batch specs verbatim."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        batch_ivf_topk,
+        batch_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double_vec("embedding").alias("query_vec"),
+    )
+    gt = batch_topk(emb, queries, k=5).select("query_id", "vec_id")
+    iv = batch_ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "vec_id", "rk"
+    )
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    per_q = (
+        iv.join(gt, ["query_id", "vec_id"])
+        .select(
+            "query_id",
+            F.element_at(warr, F.col("rk").cast("int")).alias("wt"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("wt").cast("long").alias("dcg_s"))
+    )
+    qids = gt.select("query_id").distinct()
+    return qids.join(per_q, "query_id", "left").select(
+        F.col("query_id").cast("long"),
+        F.coalesce("dcg_s", F.lit(0).cast("long")).alias("dcg_s"),
+        F.expr(f"(coalesce(dcg_s, 0) * 1000000) div {_NDCG_IDEAL}")
+        .cast("long")
+        .alias("ndcg_1e6"),
+    )
+
+
 @register(
     "media_frame_dedup",
     """
@@ -9270,26 +9352,27 @@ _DRIVER_FIRST = [
     "user_twap",
     "ann_filtered_topk",
     "source_pareto",
-    # r10 slots 8-12 (rotation rule 2 — this round's new queries): the
+    # r10 slots 8-13 (rotation rule 2 — this round's new queries): the
     # filtered-IVF composition with starvation-aware probe widening
     # (VERDICT r9 item 3), last-touch conversion attribution, session
-    # path mining, the event transition matrix, and BPE merge-table
-    # application.
+    # path mining, the event transition matrix, BPE merge-table
+    # application, and integer-exact nDCG@10 retrieval eval.
     "ann_filtered_ivf_topk",
     "attribution_last_touch",
     "session_funnel_paths",
     "event_transition_matrix",
     "bpe_apply_stats",
-    # r10 slots 13-15: the IPL medallion golden surface holds a seat
+    "ann_ndcg_eval",
+    # r10 slots 14-16: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r10 slots 16-50 (rotation rule 3 — refresh stalest first): the
-    # first 35 of the 44 queries whose newest driver row is r6
+    # r10 slots 17-50 (rotation rule 3 — refresh stalest first): the
+    # first 34 of the 44 queries whose newest driver row is r6
     # (alphabetical; newest-row audit over CORRECTNESS_r01..r09
     # recomputed this round: r6:44 / r7:46 / r8:47 / r9:50). The
-    # remaining nine r6 rows head the r11 queue below.
+    # remaining ten r6 rows head the r11 queue below.
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_recall_eval",
@@ -9324,10 +9407,10 @@ _DRIVER_FIRST = [
     "near_dup_groups",
     "pagerank_covisit",
     "personalized_pagerank_covisit",
-    "running_totals",
-    # past slot 50 from here — the r11 queue: the last nine r6-stale
+    # past slot 50 from here — the r11 queue: the last ten r6-stale
     # refresh rows, then the r7/r8/r9 sets in registration order via
     # _reorder_registry.
+    "running_totals",
     "semantic_dedup_clusters",
     "semantic_dedup_clusters_ivf",
     "sliding_window",
