@@ -6062,6 +6062,90 @@ def _scd2_frame(ev: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "point_in_time_state",
+    """
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    ordered AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM src
+    ),
+    changes AS (
+      SELECT user_id, ts, event_type FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    st AS (
+      SELECT user_id, event_type AS state,
+             epoch_us(ts) AS valid_from_us,
+             coalesce(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts)), -1)
+               AS valid_to_us
+      FROM changes
+    ),
+    p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(p.event_id AS BIGINT) AS purchase_event_id,
+           st.state AS state_at_purchase,
+           CAST(st.valid_from_us AS BIGINT) AS state_since_us
+    FROM p LEFT JOIN st
+      ON p.user_id = st.user_id
+     AND p.tus >= st.valid_from_us
+     AND (st.valid_to_us = -1 OR p.tus < st.valid_to_us)
+    """,
+)
+def point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension join — the classic warehouse question
+    "what SCD2 state was this user in when the fact happened": each
+    purchase joins the state interval (built by the scd2_user_state
+    logic over the NON-purchase change log) that was valid at its
+    timestamp. The oracle expresses it the textbook way (LEFT JOIN on
+    user + ts BETWEEN [valid_from, valid_to)); the Spark plan is the
+    SCALABLE rewrite — operators/asof.asof_join's union trick (tag
+    both sides, one user-clustered window, last(ignorenulls) carries
+    the latest change forward) — because the interval predicate would
+    otherwise be a nested-loop join. Non-strict as-of: a state change
+    at exactly the purchase timestamp applies (intervals are
+    [from, to)). Purchases before any state change keep NULL state
+    (organic/left semantics). Precondition shared with
+    scd2_user_state: the change log has unique (user, ts) — interval
+    tiling and the as-of tie order are both defined by it."""
+    from aws_ipl_data_pipeline_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    dim = _scd2_frame(ev.where(F.col("event_type") != "purchase")).select(
+        "user_id",
+        "state",
+        F.timestamp_micros("valid_from_us").alias("ts"),
+        "valid_from_us",
+    )
+    joined = asof_join(
+        purchases,
+        dim,
+        on="user_id",
+        value_cols=["state", "valid_from_us"],
+        strict=False,
+    )
+    return joined.select(
+        F.col("user_id").cast("long"),
+        F.col("event_id").cast("long").alias("purchase_event_id"),
+        F.col("asof_state").alias("state_at_purchase"),
+        F.col("asof_valid_from_us").cast("long").alias("state_since_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Cluster-balanced diversity sampling (embedding-space coverage quota)
 # --------------------------------------------------------------------------
@@ -9352,27 +9436,29 @@ _DRIVER_FIRST = [
     "user_twap",
     "ann_filtered_topk",
     "source_pareto",
-    # r10 slots 8-13 (rotation rule 2 — this round's new queries): the
+    # r10 slots 8-14 (rotation rule 2 — this round's new queries): the
     # filtered-IVF composition with starvation-aware probe widening
     # (VERDICT r9 item 3), last-touch conversion attribution, session
     # path mining, the event transition matrix, BPE merge-table
-    # application, and integer-exact nDCG@10 retrieval eval.
+    # application, integer-exact nDCG@10 retrieval eval, and the
+    # SCD2 point-in-time join.
     "ann_filtered_ivf_topk",
     "attribution_last_touch",
     "session_funnel_paths",
     "event_transition_matrix",
     "bpe_apply_stats",
     "ann_ndcg_eval",
-    # r10 slots 14-16: the IPL medallion golden surface holds a seat
+    "point_in_time_state",
+    # r10 slots 15-17: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r10 slots 17-50 (rotation rule 3 — refresh stalest first): the
-    # first 34 of the 44 queries whose newest driver row is r6
+    # r10 slots 18-50 (rotation rule 3 — refresh stalest first): the
+    # first 33 of the 44 queries whose newest driver row is r6
     # (alphabetical; newest-row audit over CORRECTNESS_r01..r09
     # recomputed this round: r6:44 / r7:46 / r8:47 / r9:50). The
-    # remaining ten r6 rows head the r11 queue below.
+    # remaining eleven r6 rows head the r11 queue below.
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_recall_eval",
@@ -9406,10 +9492,10 @@ _DRIVER_FIRST = [
     "near_dup_clusters",
     "near_dup_groups",
     "pagerank_covisit",
-    "personalized_pagerank_covisit",
-    # past slot 50 from here — the r11 queue: the last ten r6-stale
+    # past slot 50 from here — the r11 queue: the last eleven r6-stale
     # refresh rows, then the r7/r8/r9 sets in registration order via
     # _reorder_registry.
+    "personalized_pagerank_covisit",
     "running_totals",
     "semantic_dedup_clusters",
     "semantic_dedup_clusters_ivf",

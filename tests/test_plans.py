@@ -800,6 +800,17 @@ def test_transition_matrix_marginal_is_window_not_join(spark):
     assert _nodes(p, "Window") == 2  # the lead() + the marginal sum
 
 
+def test_point_in_time_join_is_joinless(spark):
+    """point_in_time_state: the SCD2 interval predicate must compile
+    to the union-window as-of rewrite — ZERO join nodes in the plan
+    (the BETWEEN form would be a nested loop at scale), user-clustered
+    exchanges only, no SinglePartition."""
+    p = formatted_plan(spark, "point_in_time_state")
+    assert not re.findall(r"\(\d+\) \w*Join", p)
+    assert "SinglePartition" not in p
+    assert _nodes(p, "Exchange") <= 3
+
+
 def test_no_cartesian_anywhere_and_bnlj_only_broadcast_sided(spark):
     """Registry-wide scale gate (r7, modeled on the EvalPython gate):
     NO query may plan a CartesianProduct — quadratic at scale, always a
