@@ -94,6 +94,7 @@ def test_no_python_udf_in_relational_core(spark):
         "ann_batch_ivf_topk",
         # composes batch_ivf_topk above, so inherits its Arrow encode
         "ann_recall_eval",
+        "ann_ndcg_eval",
         # broadcast-benchmark GEMM over the train scan (r9): the JVM
         # form would be a |bench|-way join or per-row HOF over a
         # broadcast array — measured orders slower than one numpy
@@ -844,6 +845,7 @@ BNLJ_OK = (
     "ann_batch_topk",
     "ann_batch_ivf_topk",
     "ann_recall_eval",  # composes the two above
+    "ann_ndcg_eval",  # composes the same two batch specs
     "bm25_retrieval",  # broadcast query-term frame
     "dedup_embedding_cosine",  # broadcast probe/threshold block
     "q11_important_stock",
