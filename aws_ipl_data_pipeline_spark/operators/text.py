@@ -572,3 +572,87 @@ def bpe_apply_sql_expr(
     for a, b in merges or BPE_DEMO_MERGES:
         s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
     return f"len(string_split(trim({s}), ' '))"
+
+
+def bpe_train_merges(
+    words: DataFrame,
+    n_merges: int = 8,
+    word_col: str = "word",
+    tf_col: str = "tf",
+) -> list[tuple[str, str, int]]:
+    """Train a BPE merge table — the N-round loop that
+    ``bpe_merge_candidates`` is one iteration of (reference trains no
+    tokenizer; this is the LLM-pipeline extension of the pair-stats
+    operator). Follows the ``kmeans_fit_fixed_int`` discipline: FIXED
+    round count, integer-exact tie-breaks (count DESC, sym_a ASC,
+    sym_b ASC), one BOUNDED driver collect per round (exactly 1 row —
+    the argmax pair), so an unrolled SQL oracle replays the training
+    bit-identically.
+
+    State per word type is ONE string column: the boundary-spaced
+    chars+'</w>' form (`` c h a t </w> ``, the bpe_apply_token_count
+    representation); applying round r's winning merge is one codegen'd
+    ``replace(' a b ', ' ab ')`` over the vocab — leftmost
+    non-overlapping single-pass semantics, identical in Spark and
+    DuckDB, so trained tables and the apply path cannot desync. Round
+    r's pair-count job executes r-1 accumulated replaces: total string
+    work is O(N²/2 · |vocab|), VOCAB-bounded — at 100 TB the corpus
+    pays one scan (the word-frequency agg feeding ``words``, which
+    this function checkpoints once); every training round touches only
+    word TYPES weighted by tf, exactly how distributed tokenizer
+    trainers scale.
+
+    Returns ``[(sym_a, sym_b, pair_count), ...]`` rank-ordered — the
+    count is the pre-merge weighted pair count (standard BPE). Stops
+    early if the vocabulary runs out of adjacent pairs."""
+    state = words.select(
+        F.col(tf_col).cast("long").alias("tf"),
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.concat(
+                    F.split(F.col(word_col), ""), F.array(F.lit("</w>"))
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("s"),
+    ).localCheckpoint(eager=True)  # one corpus scan; rounds rescan vocab only
+
+    merges: list[tuple[str, str, int]] = []
+    s: Column = F.col("s")
+    for _ in range(n_merges):
+        syms = F.split(F.trim(s), " ")
+        pairs = (
+            state.select(
+                syms.alias("cs"),
+                F.col("tf"),
+            )
+            # a fully-merged word is ONE symbol; guard it out because
+            # Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than
+            # yielding empty like DuckDB's range(1, 1)
+            .where(F.size("cs") >= 2)
+            .select(
+                "tf",
+                "cs",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("cs") - 1)
+                ).alias("i"),
+            )
+            .select(
+                F.element_at("cs", F.col("i")).alias("a"),
+                F.element_at("cs", F.col("i") + 1).alias("b"),
+                "tf",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("tf").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not pairs:
+            break
+        a, b, cnt = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["cnt"])
+        merges.append((a, b, cnt))
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return merges

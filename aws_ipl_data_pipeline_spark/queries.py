@@ -8296,6 +8296,114 @@ def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_oracle(n: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled-CTE replay of ``operators.text.bpe_train_merges`` —
+    one CTE block per training round, GENERATED from the same round
+    count so the two engines cannot desync (the graph-constants
+    pattern). Each round's winner is a scalar-subquery argmax with the
+    exact (count DESC, sym_a, sym_b) integer tie-break, and the merge
+    application is the identical leftmost non-overlapping
+    ``replace(' a b ', ' ab ')`` pass the trainer and
+    bpe_apply_token_count use.
+
+    The round-state CTEs are MATERIALIZED: DuckDB inlines CTEs by
+    default, and each round references the previous state twice (pair
+    stats + merge application), so the inlined tree re-expands the
+    corpus scan 2^n times — measured as an fd-exhaustion blowup at
+    n=8. Materializing s{i} and the thrice-referenced b{i} argmaxes
+    bounds every round to one vocab pass, the same cost shape as the
+    Spark trainer."""
+    parts = [
+        f"""
+    tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+    ),
+    w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE word <> '' GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT tf,
+             ' ' || array_to_string(
+               list_append(string_split(word, ''), '</w>'), ' ') || ' ' AS s
+      FROM w
+    )"""
+    ]
+    for i in range(1, n + 1):
+        a = f"(SELECT a FROM b{i})"
+        b = f"(SELECT b FROM b{i})"
+        parts.append(
+            f"""
+    e{i} AS (SELECT tf, string_split(trim(s), ' ') AS cs FROM s{i - 1}),
+    x{i} AS (SELECT tf, cs, unnest(range(1, len(cs))) AS i FROM e{i}),
+    p{i} AS (
+      SELECT cs[i] AS a, cs[i + 1] AS b, SUM(tf) AS cnt
+      FROM x{i} GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT tf,
+             replace(s, ' ' || {a} || ' ' || {b} || ' ',
+                        ' ' || {a} || {b} || ' ') AS s
+      FROM s{i - 1}
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a AS sym_a, b AS sym_b,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    return (
+        "WITH" + ",".join(parts) + f"\n    SELECT * FROM ({union}) ORDER BY rank"
+    )
+
+
+@register("bpe_train_merges", _bpe_train_oracle())
+def bpe_train_merges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE TRAINER (VERDICT r10 item 4) — the N-round loop
+    bpe_merge_candidates is one iteration of and bpe_apply_stats
+    consumes the output of: 8 fixed rounds over the vocab-bounded
+    (word, tf) table, each round one bounded 1-row driver collect (the
+    argmax pair under the exact integer count/sym tie-break) and one
+    codegen'd replace pass over word types (operators/text.
+    bpe_train_merges). Corpus cost is ONE scan (the word-frequency
+    agg, checkpointed); training cost is O(rounds² · |vocab|) string
+    work — how distributed tokenizer trainers actually scale to
+    100 TB. The oracle unrolls the identical 8 rounds as CTE blocks
+    with scalar-subquery argmaxes, so a hash match proves every
+    round's pair statistics, tie-break, AND single-pass merge
+    application are bit-identical cross-engine. The trained table is
+    session-memoized (train-once/apply-many — the production shape)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.text import bpe_train_merges
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _train() -> list[tuple[str, str, int]]:
+        w = (
+            docs.select(
+                F.explode(
+                    F.split(normalized_text("text"), " ")
+                ).alias("word")
+            )
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+        return bpe_train_merges(w, n_merges=_BPE_TRAIN_ROUNDS)
+
+    merges = session_memo(spark, ("bpe_train", sf_dir, _BPE_TRAIN_ROUNDS), _train)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, sym_a string, sym_b string, pair_count long",
+    )
+
+
 # oracle constants interpolated from the operator module so a change
 # to the scales or default damping can never desync the two engines
 from aws_ipl_data_pipeline_spark.operators.graph import (  # noqa: E402

@@ -1659,3 +1659,77 @@ def test_bpe_apply_token_count_known_words(spark):
         "('tttt'), ('xyz')) t(w)"
     ).fetchall()
     assert dict(sql) == got
+
+
+def test_bpe_train_merges_hand_traced(spark):
+    """bpe_train_merges on a 4-word vocab reproduces the hand-traced
+    training run: round argmaxes under the (count DESC, sym_a, sym_b)
+    tie-break — round 1 ties (h,e)/(t,h) at 7 and 'h' < 't' wins;
+    rounds 3-5 tie at 5 and resolve a < t < the — and pre-merge counts
+    recorded. Round 6 exercises a merged symbol ('at</w>') re-entering
+    the pair pool. Also pins early-stop: training past pair
+    exhaustion returns fewer rounds, never loops."""
+    from aws_ipl_data_pipeline_spark.operators.text import bpe_train_merges
+
+    w = spark.createDataFrame(
+        [("the", 5), ("then", 2), ("at", 3), ("hat", 2)],
+        "word string, tf long",
+    )
+    got = bpe_train_merges(w, n_merges=6)
+    assert got == [
+        ("h", "e", 7),
+        ("t", "he", 7),
+        ("a", "t", 5),
+        ("at", "</w>", 5),
+        ("the", "</w>", 5),
+        ("h", "at</w>", 2),
+    ]
+    # exhaustion: a single 2-char word has 2 mergeable pairs, then the
+    # fully-merged single symbol offers none — request 10, get 2
+    one = spark.createDataFrame([("ab", 1)], "word string, tf long")
+    assert len(bpe_train_merges(one, n_merges=10)) == 2
+
+
+def test_bpe_trained_table_drives_apply_path(spark):
+    """The trained table composes with the APPLY path (VERDICT r10
+    item 4's closing check): tokenizing a fixture under
+    bpe_train_merges' output via bpe_apply_token_count yields the
+    bpe_apply_stats token counts, bit-identical to the DuckDB twin
+    generated from the SAME trained table (bpe_apply_sql_expr) and to
+    a pure-Python replay of the leftmost non-overlapping single-pass
+    replace semantics."""
+    import duckdb
+
+    from aws_ipl_data_pipeline_spark.operators.text import (
+        bpe_apply_sql_expr,
+        bpe_apply_token_count,
+        bpe_train_merges,
+    )
+
+    words = [
+        ("the", 9), ("there", 4), ("then", 3), ("other", 5),
+        ("at", 6), ("hat", 2), ("that", 7), ("a", 8),
+    ]
+    w = spark.createDataFrame(words, "word string, tf long")
+    table = [(a, b) for a, b, _ in bpe_train_merges(w, n_merges=5)]
+
+    got = {
+        r["word"]: r["n"]
+        for r in w.select(
+            "word", bpe_apply_token_count("word", merges=table).alias("n")
+        ).collect()
+    }
+
+    def py_apply(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        s = " " + " ".join(syms) + " "
+        for a, b in table:
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(s.split())
+
+    assert got == {wd: py_apply(wd) for wd, _ in words}
+
+    vals = ", ".join(f"('{wd}')" for wd, _ in words)
+    e = bpe_apply_sql_expr("w", merges=table)
+    sql = duckdb.sql(f"SELECT w, {e} AS n FROM (VALUES {vals}) t(w)").fetchall()
+    assert dict(sql) == got
