@@ -384,15 +384,31 @@ def filtered_ivf_topk(
         .agg(F.count("*").alias("_n"))
         .collect()
     }
+    probes = _widened_probes(order, counts, n_probe, min_candidates)
+    candidates = celled.where(F.col(cell_col).isin(probes)).where(predicate)
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def _widened_probes(
+    order: list[int],
+    counts: dict[int, int],
+    n_probe: int,
+    min_candidates: int,
+) -> list[int]:
+    """THE starvation-aware widening cut, shared by the in-memory
+    (filtered_ivf_topk) and materialized (filtered_probe_ivf_index)
+    filtered probes so the answer-affecting probe SET can never drift
+    between the two forms: cumulative filtered count along the
+    nearest-first order, stop at the first rank covering
+    ``min_candidates`` (all cells when the corpus can't), floor at
+    ``n_probe``."""
     cum, stop = 0, len(order)
     for rank, cell in enumerate(order, start=1):
         cum += counts.get(cell, 0)
         if cum >= min_candidates:
             stop = rank
             break
-    probes = order[: max(n_probe, stop)]
-    candidates = celled.where(F.col(cell_col).isin(probes)).where(predicate)
-    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+    return order[: max(n_probe, stop)]
 
 
 def batch_topk(
@@ -563,6 +579,9 @@ def batch_ivf_topk(
     )
 
 
+IVF_STATS_SUFFIX = "__stats"
+
+
 def write_ivf_index(
     emb: DataFrame,
     path: str,
@@ -570,6 +589,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    stats_cols: list[str] | None = None,
 ) -> list[list[float]]:
     """Materialize the IVF index AS A PARTITIONED TABLE: assign cells
     once and write ``partitionBy(cell)`` so each cell is its own
@@ -578,11 +598,34 @@ def write_ivf_index(
     bytes read), which is the 100 TB payoff of IVF: a 4-of-16-probe
     query does 25% of the I/O with no runtime filtering at all.
     Returns the centroids (persist them beside the index; they are the
-    index metadata)."""
+    index metadata).
+
+    ``stats_cols`` (VERDICT r10 item 2) additionally materializes
+    per-cell PREDICATE-COUNT stats at ``{path}__stats``: one row per
+    (cell, *stats_cols) with its vector count — index METADATA sized
+    O(n_cells × |value combos|), never O(corpus). The filtered probe
+    (filtered_probe_ivf_index) computes its starvation-aware widening
+    cut from this table instead of scanning the corpus, retiring the
+    one linear-scan caveat of the in-memory form: at 100 TB the stats
+    pass is a lookup in a table that fits in a broadcast, not a pass
+    over the vectors. Stats are build-time metadata — the streaming
+    maintenance path must refresh them when it compacts appended
+    vectors into the index (stale stats only mis-size the widening;
+    candidate CORRECTNESS never depends on them)."""
     centroids = select_centroids(emb, n_cells, id_col, vec_col, seed)
-    add_ivf_cell(emb, centroids, vec_col).write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(path)
+    celled = add_ivf_cell(emb, centroids, vec_col)
+    celled.write.partitionBy("cell").mode("overwrite").parquet(path)
+    if stats_cols:
+        # recompute from the WRITTEN table, not the in-memory frame:
+        # the stats must describe exactly the bytes probes will read
+        spark = emb.sparkSession
+        (
+            spark.read.parquet(path)
+            .groupBy("cell", *stats_cols)
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(path + IVF_STATS_SUFFIX)
+        )
     return centroids
 
 
@@ -616,3 +659,58 @@ def probe_ivf_index(
         .dropDuplicates([id_col])
     )
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def filtered_probe_ivf_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    predicate: Column,
+    k: int = 10,
+    n_probe: int = 4,
+    min_candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_path: str | None = None,
+) -> DataFrame:
+    """Metadata-filtered search against a MATERIALIZED index — the
+    100 TB form of ``filtered_ivf_topk`` (VERDICT r10 item 2). Two
+    reads, neither a corpus scan:
+
+    1. the widening cut's per-cell filtered counts come from the
+       ``write_ivf_index(stats_cols=...)`` stats table (O(n_cells ×
+       value combos) rows — index metadata), NOT from scanning the
+       celled corpus; the collect is ≤ n_cells rows after the stats
+       aggregate. ``predicate`` must reference only stats columns.
+    2. the scoring read lists ONLY the probed cell directories —
+       ``cell IN (...)`` over the partition column is storage-level
+       partition pruning (zero bytes from non-probed cells), with the
+       metadata predicate pushed into the pruned scan.
+
+    Probe order, widening cut, and candidate scoring are shared code
+    with the in-memory form (ivf_probe_order / _widened_probes /
+    brute_force_topk), so the two forms return identical results on
+    identical data — pinned by tests. Same at-least-once posture as
+    probe_ivf_index: candidates dedupe by id (streaming appends can
+    duplicate vectors; duplicated rows carry identical metadata, so
+    predicate-then-dedupe is order-insensitive)."""
+    if min_candidates is None:
+        min_candidates = 3 * k
+    order = ivf_probe_order(centroids, query_vec)
+    stats = spark.read.parquet(stats_path or path + IVF_STATS_SUFFIX)
+    counts = {
+        r["_c"]: r["_n"]
+        for r in stats.where(predicate)
+        .groupBy(F.col("cell").alias("_c"))
+        .agg(F.sum("cnt").alias("_n"))
+        .collect()
+    }
+    probes = _widened_probes(order, counts, n_probe, min_candidates)
+    candidates = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probes))
+        .where(predicate)
+        .dropDuplicates([id_col])
+    )
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)

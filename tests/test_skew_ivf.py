@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from aws_ipl_data_pipeline_spark.queries import t
@@ -295,3 +297,74 @@ def test_filtered_ivf_widening_boundaries(spark):
         for r in emb.where(F.col("vec_id").isin(ids)).collect()
     }
     assert all(labs[i] == qlabel for i in ids) and 0 not in ids
+
+
+def test_filtered_probe_ivf_index_stats_path(spark, tmp_path):
+    """VERDICT r10 item 2 — the materialized filtered probe:
+
+    1. write_ivf_index(stats_cols=['label']) persists per-(cell,
+       label) counts as index metadata sized n_cells × labels, never
+       corpus-sized;
+    2. filtered_probe_ivf_index returns EXACTLY the in-memory
+       filtered_ivf_topk result on the same data/predicate (shared
+       probe order + widening cut + scoring);
+    3. the scoring scan is PARTITION-PRUNED: its plan carries a cell
+       partition filter whose IN-list is widened past n_probe but
+       strictly smaller than n_cells (no full-corpus scan), with the
+       label predicate pushed into the pruned scan — and the returned
+       plan never touches the stats table (stats feed the driver-side
+       cut only)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        filtered_ivf_topk,
+        filtered_probe_ivf_index,
+        select_centroids,
+        add_ivf_cell,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    centroids = write_ivf_index(emb, path, n_cells=16, stats_cols=["label"])
+
+    stats = spark.read.parquet(path + "__stats")
+    n_labels = emb.select("label").distinct().count()
+    assert stats.count() <= 16 * n_labels
+    assert stats.columns == ["cell", "label", "cnt"]
+    # stats describe the written table exactly
+    assert stats.agg(F.sum("cnt")).head()[0] == emb.count()
+
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    qlabel = emb.where(F.col("vec_id") == 0).head()["label"]
+    # stats-expressible predicate ONLY (the function's contract): the
+    # widening counts come from (cell, label) metadata, so id-level
+    # exclusions belong post-scoring, not in the probe predicate
+    pred = F.col("label") == F.lit(qlabel)
+
+    probed = filtered_probe_ivf_index(
+        spark, path, centroids, q, pred, k=10, n_probe=4, min_candidates=30
+    )
+    mem = filtered_ivf_topk(
+        add_ivf_cell(emb, centroids),
+        centroids,
+        q,
+        pred,
+        k=10,
+        n_probe=4,
+        min_candidates=30,
+    )
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in mem.collect()
+    ]
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = probed._jdf.queryExecution().explainString(mode)
+    assert "__stats" not in plan  # stats are driver-side cut input only
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
+    inlist = re.search(r"cell#\d+ IN \(([\d,]+)\)", pf.group(1))
+    assert inlist, pf.group(1)
+    probes = inlist.group(1).split(",")
+    assert 4 < len(probes) < 16, probes  # widened, still pruned
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label", plan), plan
