@@ -665,10 +665,10 @@ def ipl_batsman_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["ipl_batsman_incremental"].oracle = REGISTRY["ipl_batsman_stats_big"].oracle
 
 
-@register(
-    "ipl_bowler_stats",
-    f"""
-    WITH silver AS (SELECT * FROM {_player_values_sql()}),
+# the gold_bowler_stats SQL derivation, parameterized only by a
+# preceding `silver` CTE (shared by the fixture-grain registration and
+# the replicated-volume incremental twin — one spec, two plans)
+_BOWLER_SQL_BODY = """
     bowl AS (SELECT * FROM silver WHERE bowler IS NOT NULL AND bowler <> 'N/A'),
     stats AS (
       SELECT bowler, COUNT(DISTINCT match) AS matches,
@@ -691,6 +691,14 @@ REGISTRY["ipl_batsman_incremental"].oracle = REGISTRY["ipl_batsman_stats_big"].o
            round(legal_balls * 1.0 / (CASE WHEN wickets = 0 THEN 1 ELSE wickets END), 2) AS strike_rate,
            round(dot_balls * 100.0 / (CASE WHEN legal_balls = 0 THEN 1 ELSE legal_balls END), 2) AS dot_ball_pct
     FROM stats
+"""
+
+
+@register(
+    "ipl_bowler_stats",
+    f"""
+    WITH silver AS (SELECT * FROM {_player_values_sql()}),
+    {_BOWLER_SQL_BODY}
     """,
 )
 def ipl_bowler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,10 +753,9 @@ def _team_values_sql() -> str:
     )
 
 
-@register(
-    "ipl_team_stats",
-    f"""
-    WITH silver AS (SELECT * FROM {_team_values_sql()}),
+# the gold_team_stats SQL derivation, parameterized by a preceding
+# `silver` CTE (same one-spec discipline as _BATSMAN/_BOWLER_SQL_BODY)
+_TEAM_SQL_BODY = """
     tm AS (SELECT * FROM silver WHERE batting_team IS NOT NULL AND batting_team <> 'N/A'),
     stats AS (
       SELECT batting_team AS team, COUNT(DISTINCT match) AS matches,
@@ -770,6 +777,14 @@ def _team_values_sql() -> str:
              round(pp_runs / (CASE WHEN pp_balls = 0 THEN 1.0 ELSE pp_balls / 6.0 END), 2)
            END AS pp_run_rate
     FROM stats
+"""
+
+
+@register(
+    "ipl_team_stats",
+    f"""
+    WITH silver AS (SELECT * FROM {_team_values_sql()}),
+    {_TEAM_SQL_BODY}
     """,
 )
 def ipl_team_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,3 +920,148 @@ def ipl_gold_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         out = out.unionByName(s)
     return out
+
+
+@register(
+    "ipl_bowler_incremental",
+    f"""
+    WITH base AS (SELECT * FROM {_player_values_sql()}),
+    silver AS (
+      SELECT base.* REPLACE (
+        base.match || '_' || CAST(r.r AS VARCHAR) AS match,
+        CAST(base.runs + r.r % 3 AS INT) AS runs)
+      FROM base CROSS JOIN (SELECT unnest(range(0, 4999)) AS r) r
+    ),
+    {_BOWLER_SQL_BODY}
+    """,
+)
+def ipl_bowler_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bowler-grain incremental gold path (VERDICT r10 item 6) —
+    bowler_stats_from_partials(bowler_match_partials(silver)),
+    plans/gold_incremental.py — hash-proven through the driver at
+    ~50k-delivery volume over the SAME memoized 4999-replica fixture
+    as ipl_batsman_incremental, against the replicated-volume form of
+    the _BOWLER_SQL_BODY oracle (one spec shared with the
+    fixture-grain ipl_bowler_stats). Proves the two-level bowler
+    decomposition bit-identically: per-match integer partials →
+    per-bowler merge (matches = partial-row count ≡ COUNT DISTINCT
+    match), ratio math only in the shared _finish_bowler — including
+    the overs notation and divide-by-1-when-zero parity quirks —
+    and 5-prime-factor denominators (4999 replicas) that keep rounded
+    rates off the .xx5 cross-engine boundary."""
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        bowler_match_partials,
+        bowler_stats_from_partials,
+    )
+
+    tune_session(spark)
+
+    def _build() -> DataFrame:
+        reps = spark.range(4999).select(F.col("id").alias("_rep"))
+        return (
+            _player_df(spark)
+            .crossJoin(reps)
+            .withColumn(
+                "match", F.concat_ws("_", "match", F.col("_rep").cast("string"))
+            )
+            .withColumn(
+                "runs", (F.col("runs") + F.pmod("_rep", F.lit(3))).cast("int")
+            )
+            .drop("_rep")
+        )
+
+    silver = _session_fixture(spark, "batsman_big_4999", _build)
+    out = bowler_stats_from_partials(bowler_match_partials(silver))
+    return out.select(
+        "bowler",
+        F.col("matches").cast("long"),
+        F.col("total_runs_conceded").cast("long"),
+        F.col("legal_balls").cast("long"),
+        F.col("wickets").cast("long"),
+        F.col("dot_balls").cast("long"),
+        F.col("fours_conceded").cast("long"),
+        F.col("sixes_conceded").cast("long"),
+        F.col("overs_bowled").cast("double"),
+        "economy_rate",
+        "bowling_avg",
+        "strike_rate",
+        "dot_ball_pct",
+    )
+
+
+@register(
+    "ipl_team_incremental",
+    f"""
+    WITH base AS (SELECT * FROM {_team_values_sql()}),
+    silver AS (
+      SELECT base.* REPLACE (
+        base.match || '_' || CAST(r.r AS VARCHAR) AS match,
+        CAST(base.total_runs + r.r % 2 AS INT) AS total_runs)
+      FROM base CROSS JOIN (SELECT unnest(range(0, 2003)) AS r) r
+    ),
+    {_TEAM_SQL_BODY}
+    """,
+)
+def ipl_team_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The team-grain incremental gold path (VERDICT r10 item 6) —
+    team_stats_from_partials(team_match_partials(silver)) — at ~18k
+    team-delivery volume: the team fixture replicated across 2003
+    synthetic matches (prime; non-dyadic rate denominators) with a
+    per-replica total_runs shift that moves the Powerplay conditional
+    sums too. Oracle is the replicated-volume form of _TEAM_SQL_BODY
+    (one spec with ipl_team_stats). The tricky bits this pins at
+    volume: the nullable Powerplay partial sums stay null-skipping
+    through BOTH aggregation levels (CC keeps its NULL pp_run_rate in
+    all 2003 replicas), and the has_bat presence flag re-selects
+    exactly the not_na(batting_team) population after the outer join
+    with the standings-grain partials. team_match_partials requires a
+    bowling_team column (it feeds standings too); the fixture derives
+    one (the opposing label) which the team finisher provably ignores
+    — it is absent from the oracle."""
+    from aws_ipl_data_pipeline_spark.plans.gold_incremental import (
+        team_match_partials,
+        team_stats_from_partials,
+    )
+
+    tune_session(spark)
+
+    def _build() -> DataFrame:
+        reps = spark.range(2003).select(F.col("id").alias("_rep"))
+        base = spark.createDataFrame(
+            TEAM_ROWS,
+            "match string, batting_team string, total_runs int, wicket int, "
+            "is_legal_delivery int, is_four int, is_six int, innings_phase string",
+        )
+        return (
+            base.crossJoin(reps)
+            .withColumn(
+                "match", F.concat_ws("_", "match", F.col("_rep").cast("string"))
+            )
+            .withColumn(
+                "total_runs",
+                (F.col("total_runs") + F.pmod("_rep", F.lit(2))).cast("int"),
+            )
+            .withColumn(
+                "bowling_team",
+                F.when(F.col("batting_team") == "AA", F.lit("BB"))
+                .when(F.col("batting_team") == "BB", F.lit("AA"))
+                .when(F.col("batting_team") == "CC", F.lit("AA"))
+                .otherwise(F.lit("N/A")),
+            )
+            .drop("_rep")
+        )
+
+    silver = _session_fixture(spark, "team_big_2003", _build)
+    out = team_stats_from_partials(team_match_partials(silver))
+    return out.select(
+        "team",
+        F.col("matches").cast("long"),
+        F.col("total_runs").cast("long"),
+        F.col("total_wickets_lost").cast("long"),
+        F.col("legal_balls").cast("long"),
+        F.col("fours").cast("long"),
+        F.col("sixes").cast("long"),
+        F.col("overs_batted").cast("double"),
+        "overall_run_rate",
+        "pp_run_rate",
+    )
