@@ -518,6 +518,8 @@ def batch_ivf_topk(
     query_vec_col: str = "query_vec",
     seed: int = 42,
     exclude_self: bool = True,
+    centroids: list[list[float]] | None = None,
+    celled: DataFrame | None = None,
 ) -> DataFrame:
     """Batched IVF retrieval: Q queries, each scanning only its
     ``n_probe`` nearest cells — the composition of the two scale
@@ -536,8 +538,13 @@ def batch_ivf_topk(
     from pyspark.sql import Window
 
     spark = emb.sparkSession
-    centroids = select_centroids(emb, n_cells, id_col, vec_col, seed)
-    celled = add_ivf_cell(emb, centroids, vec_col)
+    # pass centroids/celled from a prior build to reuse a materialized
+    # index (the ivf_topk convention): probe sweeps re-rank the SAME
+    # index at different budgets, never rebuild it per level
+    if centroids is None:
+        centroids = select_centroids(emb, n_cells, id_col, vec_col, seed)
+    if celled is None:
+        celled = add_ivf_cell(emb, centroids, vec_col)
     # probe ranking on exact integer dots (quantized query × quantized-
     # unit centroids) — same determinism contract as add_ivf_cell
     cent_df = spark.createDataFrame(

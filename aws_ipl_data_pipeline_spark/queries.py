@@ -4990,9 +4990,12 @@ REGISTRY["dedup_ngram_jaccard_prefix"].oracle = REGISTRY[
 # --------------------------------------------------------------------------
 
 
-@register(
-    "ann_batch_ivf_topk",
-    f"""
+def _batch_ivf_sql(n_probe: int) -> str:
+    """The batched-IVF retrieval spec, parameterized ONLY by the probe
+    budget — registered verbatim at n_probe=4 (ann_batch_ivf_topk) and
+    composed per level by the operating-curve oracle, so the curve can
+    never drift from the hash-proven ranked-set spec it sweeps."""
+    return f"""
     WITH {_EMB_EXPAND},
     {_EMB_EXPAND_Q},
     cent_ids AS (
@@ -5038,7 +5041,7 @@ REGISTRY["dedup_ngram_jaccard_prefix"].oracle = REGISTRY[
                  PARTITION BY vec_id ORDER BY dot DESC, cell ASC
                ) AS rn
         FROM assign WHERE vec_id IN (0, 1, 2, 3)
-      ) WHERE rn <= 4
+      ) WHERE rn <= {n_probe}
     ),
     cand AS (
       SELECT p.query_id, c.vec_id
@@ -5072,8 +5075,10 @@ REGISTRY["dedup_ngram_jaccard_prefix"].oracle = REGISTRY[
            cos_sim,
            CAST(rk AS BIGINT) AS rk
     FROM r WHERE rk <= 10
-    """,
-)
+    """
+
+
+@register("ann_batch_ivf_topk", _batch_ivf_sql(4))
 def ann_batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF retrieval (operators/similarity.batch_ivf_topk):
     four queries, each scanning only its 4 probed cells of 16 — batch
@@ -9446,6 +9451,143 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(coalesce(dcg_s, 0) * 1000000) div {_NDCG_IDEAL}")
         .cast("long")
         .alias("ndcg_1e6"),
+    )
+
+
+_PROBE_SWEEP = [1, 2, 4, 8, 16]
+
+
+def _probe_recall_curve_oracle() -> str:
+    # one sweep level per _batch_ivf_sql(p) — the SAME generator that
+    # produces the registered ann_batch_ivf_topk spec, so every point
+    # on the curve is the hash-proven ranked-set spec at that budget
+    gt_sql = REGISTRY["ann_batch_topk"].oracle
+    levels = ", ".join(f"({p})" for p in _PROBE_SWEEP)
+    union = "\n      UNION ALL ".join(
+        f"SELECT {p} AS n_probe, v.query_id, v.vec_id, v.rk"
+        f" FROM ({_batch_ivf_sql(p)}) v"
+        for p in _PROBE_SWEEP
+    )
+    return f"""
+    WITH gt AS (SELECT query_id, vec_id FROM ({gt_sql}) g),
+    lv(n_probe) AS (VALUES {levels}),
+    sweep AS ({union}),
+    h AS (
+      SELECT s.n_probe, s.query_id, s.rk
+      FROM sweep s JOIN gt USING (query_id, vec_id)
+    ),
+    per_q AS (
+      SELECT n_probe, query_id, COUNT(*) AS n_found, 2520 // MIN(rk) AS rr
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT n_probe, SUM(n_found) AS n_found, SUM(rr) AS mrr_sum
+      FROM per_q GROUP BY 1
+    ),
+    gn AS (SELECT COUNT(*) AS ngt FROM gt)
+    SELECT CAST(lv.n_probe AS BIGINT) AS n_probe,
+           CAST(COALESCE(agg.n_found, 0) AS BIGINT) AS n_found,
+           CAST(COALESCE(agg.n_found, 0) * 10000 // (SELECT ngt FROM gn)
+                AS BIGINT) AS recall_1e4,
+           CAST(COALESCE(agg.mrr_sum, 0) AS BIGINT) AS mrr_sum_scaled
+    FROM lv LEFT JOIN agg USING (n_probe)
+    ORDER BY n_probe
+    """
+
+
+@register("ann_probe_recall_curve", _probe_recall_curve_oracle())
+def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN OPERATING CURVE (VERDICT r10 item 9): recall@k and
+    scaled-MRR vs probe budget, swept over n_probe ∈ {1,2,4,8,16}
+    against the exact batch top-5 ground truth — the tuning artifact a
+    100 TB deployment reads to pick its probe budget (where does
+    recall saturate vs how much of the corpus each query touches).
+    One row per budget: total hits across the query set, exact
+    1e-4-scaled recall (hits·10⁴ div |gt|) and the lcm-scaled MRR sum
+    (integers end to end — the ann_recall_eval discipline). The index
+    (centroids + cell assignments) is built ONCE and shared across
+    all levels via the session memo inside batch_ivf_topk's helpers;
+    each level re-ranks with a different probe cut, so the sweep costs
+    |levels| probed scans, not |levels| index builds. The oracle
+    composes _batch_ivf_sql(p) — the registered ann_batch_ivf_topk
+    generator — per level, and a VALUES spine keeps zero-hit budgets
+    as explicit 0 rows. At n_probe = n_cells the curve provably
+    closes at recall 10000 (full probe ≡ exact scan)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        add_ivf_cell,
+        batch_ivf_topk,
+        batch_topk,
+        select_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double_vec("embedding").alias("query_vec"),
+    )
+    gt = session_memo(
+        spark,
+        ("ann_curve_gt", sf_dir),
+        lambda: batch_topk(emb, queries, k=5)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True),
+    )
+    # the SAME memoized index as ann_ivf_topk / ann_filtered_ivf_topk:
+    # the sweep re-ranks one build at five budgets
+    cents = session_memo(
+        spark,
+        ("ivf_centroids", sf_dir, 16),
+        lambda: select_centroids(emb, 16),
+    )
+    celled = session_memo(
+        spark,
+        ("ivf_celled", sf_dir, 16),
+        lambda: add_ivf_cell(emb, cents).localCheckpoint(eager=True),
+    )
+    sweep = None
+    for p in _PROBE_SWEEP:
+        iv = batch_ivf_topk(
+            emb, queries, k=10, n_cells=16, n_probe=p,
+            centroids=cents, celled=celled,
+        ).select(
+            F.lit(p).cast("long").alias("n_probe"), "query_id", "vec_id", "rk"
+        )
+        sweep = iv if sweep is None else sweep.unionByName(iv)
+    per_q = (
+        sweep.join(gt, ["query_id", "vec_id"])
+        .groupBy("n_probe", "query_id")
+        .agg(
+            F.count("*").alias("n_found"),
+            F.expr("2520 div min(rk)").alias("rr"),
+        )
+    )
+    agg = per_q.groupBy("n_probe").agg(
+        F.sum("n_found").alias("n_found"), F.sum("rr").alias("mrr_sum")
+    )
+    levels = spark.createDataFrame(
+        [(p,) for p in _PROBE_SWEEP], "n_probe long"
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        levels.join(agg, "n_probe", "left")
+        .crossJoin(F.broadcast(gt.agg(F.count("*").alias("ngt"))))
+        .select(
+            F.col("n_probe").cast("long"),
+            F.coalesce("n_found", zero).cast("long").alias("n_found"),
+            (F.coalesce("n_found", zero) * 10000)
+            .cast("long")
+            .alias("_num"),
+            F.col("ngt"),
+            F.coalesce("mrr_sum", zero).cast("long").alias("mrr_sum_scaled"),
+        )
+        .select(
+            "n_probe",
+            "n_found",
+            F.expr("_num div ngt").cast("long").alias("recall_1e4"),
+            "mrr_sum_scaled",
+        )
+        .orderBy("n_probe")
     )
 
 

@@ -95,6 +95,7 @@ def test_no_python_udf_in_relational_core(spark):
         # composes batch_ivf_topk above, so inherits its Arrow encode
         "ann_recall_eval",
         "ann_ndcg_eval",
+        "ann_probe_recall_curve",  # the same composition, swept 5x
         # broadcast-benchmark GEMM over the train scan (r9): the JVM
         # form would be a |bench|-way join or per-row HOF over a
         # broadcast array — measured orders slower than one numpy
@@ -846,6 +847,7 @@ BNLJ_OK = (
     "ann_batch_ivf_topk",
     "ann_recall_eval",  # composes the two above
     "ann_ndcg_eval",  # composes the same two batch specs
+    "ann_probe_recall_curve",  # same composition swept; 1-row |gt| frame
     "bm25_retrieval",  # broadcast query-term frame
     "dedup_embedding_cosine",  # broadcast probe/threshold block
     "q11_important_stock",

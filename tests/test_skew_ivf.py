@@ -368,3 +368,21 @@ def test_filtered_probe_ivf_index_stats_path(spark, tmp_path):
     probes = inlist.group(1).split(",")
     assert 4 < len(probes) < 16, probes  # widened, still pruned
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label", plan), plan
+
+
+def test_probe_recall_curve_monotone_and_closes(spark):
+    """ann_probe_recall_curve invariants beyond the oracle hash: the
+    operating curve is NON-DECREASING in the probe budget (more cells
+    probed can only add candidates — same index, same cut rule) and
+    CLOSES at recall_1e4 = 10000 at n_probe = n_cells (full probe ≡
+    exact scan, so the approximate top-10 contains the exact top-5
+    for every query)."""
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["ann_probe_recall_curve"].fn(spark, SF).collect()
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8, 16]
+    recalls = [r["recall_1e4"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 10000
+    mrrs = [r["mrr_sum_scaled"] for r in rows]
+    assert mrrs == sorted(mrrs)
