@@ -177,6 +177,9 @@ def jaccard_pairs_auto(
     max_shingle_df: int | None = None,
     corpus_docs: int | None = None,
     crossover_docs: int = JACCARD_LSH_CROSSOVER_DOCS,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Size-routed near-dup pairs (VERDICT r9 #4): the measured
     jaccard/LSH crossover as an API guard, so callers cannot ride the
@@ -194,7 +197,19 @@ def jaccard_pairs_auto(
     Pass ``corpus_docs`` when the size is already known (catalog
     stats, a prior count) to skip the counting job; otherwise one
     COUNT(*) over the id column runs — a footer-only/metadata
-    aggregate on parquet sources, negligible against either join."""
+    aggregate on parquet sources, negligible against either join.
+
+    Above the crossover the skew-guard VOCABULARY changes (ADVICE
+    r10): ``max_shingle_df`` is an exact-join concept (drop shingles
+    whose document frequency explodes the inverted-index self-join)
+    and does NOT apply to the LSH plan — there the equivalent
+    degenerate-mass guard is the ``max_bucket_size`` hot-bucket
+    ceiling, forwarded here along with the ``num_hashes``/``bands``
+    recall tuning, so a caller who tuned the exact path keeps
+    equivalent (not silently dropped) controls on the routed path.
+    The warning names the semantic shifts: exact → banded recall
+    (≈ 99.9% at the default 0.8 threshold) and DF-prune → bucket
+    ceiling."""
     n_docs = corpus_docs if corpus_docs is not None else docs.count()
     if n_docs <= crossover_docs:
         return shingle_jaccard_pairs(
@@ -202,15 +217,30 @@ def jaccard_pairs_auto(
         )
     import warnings
 
+    df_note = (
+        " max_shingle_df does not apply on this path; the hot-bucket "
+        f"ceiling (max_bucket_size={max_bucket_size}) is the "
+        "equivalent degenerate-mass guard."
+        if max_shingle_df is not None
+        else ""
+    )
     warnings.warn(
         f"jaccard_pairs_auto: corpus of {n_docs} docs exceeds the "
         f"measured exact-join crossover ({crossover_docs}); routing to "
         "minhash_lsh_pairs + exact verification (SCALE.md r9: 2.2x "
-        "faster at 500k docs and widening).",
+        "faster at 500k docs and widening). Recall shifts from exact "
+        f"to banded (~99.9% at threshold 0.8).{df_note}",
         stacklevel=2,
     )
     return minhash_lsh_pairs(
-        docs, id_col, text_col, n, threshold=threshold
+        docs,
+        id_col,
+        text_col,
+        n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
     )
 
 

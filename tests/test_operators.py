@@ -145,6 +145,24 @@ def test_jaccard_auto_routing_boundary(spark):
         huge = jaccard_pairs_auto(docs, threshold=0.8, corpus_docs=10**9)
     assert {(r["id_a"], r["id_b"]) for r in huge.collect()} == exact
 
+    # ADVICE r10: a caller-requested exact-path skew guard is not
+    # silently dropped on the routed path — the warning names the
+    # equivalent hot-bucket ceiling and the recall shift, and the LSH
+    # tuning knobs forward (a bucket ceiling of 1 stars every bucket:
+    # pair-level recall may drop, precision stays exact — subset)
+    with pytest.warns(UserWarning, match="max_shingle_df does not apply"):
+        guarded = jaccard_pairs_auto(
+            docs,
+            threshold=0.8,
+            corpus_docs=10**9,
+            max_shingle_df=50,
+            max_bucket_size=1,
+        )
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert got and got <= exact
+    with pytest.warns(UserWarning, match="Recall shifts from exact"):
+        jaccard_pairs_auto(docs, threshold=0.8, corpus_docs=10**9).collect()
+
 
 def test_minhash_hot_bucket_star_fallback(spark):
     """Degenerate corpus (1k boilerplate-identical docs): every band
