@@ -9674,77 +9674,18 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r10 slots 1-7 (rotation rule 1 — never-driver-checked first):
-    # the seven r9 continuation queries registered after the r9 window
-    # filled; every one is oracle-green ×3 sfs in-repo and in the r9
-    # judge's independent full-registry driver-sim, but has no
-    # external CORRECTNESS row yet (VERDICT r9 item 1).
-    "decayed_engagement",
-    "chi2_source_lang",
-    "cusum_drift_alarms",
-    "embedding_label_drift",
-    "user_twap",
-    "ann_filtered_topk",
-    "source_pareto",
-    # r10 slots 8-14 (rotation rule 2 — this round's new queries): the
-    # filtered-IVF composition with starvation-aware probe widening
-    # (VERDICT r9 item 3), last-touch conversion attribution, session
-    # path mining, the event transition matrix, BPE merge-table
-    # application, integer-exact nDCG@10 retrieval eval, and the
-    # SCD2 point-in-time join.
-    "ann_filtered_ivf_topk",
-    "attribution_last_touch",
-    "session_funnel_paths",
-    "event_transition_matrix",
-    "bpe_apply_stats",
-    "ann_ndcg_eval",
-    "point_in_time_state",
-    # r10 slots 15-17: the IPL medallion golden surface holds a seat
-    # every round (rotation rule 4 — the reference parity contract)
-    "ipl_bronze_fold",
-    "ipl_gold_e2e",
-    "ipl_standings",
-    # r10 slots 18-50 (rotation rule 3 — refresh stalest first): the
-    # first 33 of the 44 queries whose newest driver row is r6
-    # (alphabetical; newest-row audit over CORRECTNESS_r01..r09
-    # recomputed this round: r6:44 / r7:46 / r8:47 / r9:50). The
-    # remaining eleven r6 rows head the r11 queue below.
-    "ann_brute_force_topk",
-    "ann_lsh_topk",
-    "ann_recall_eval",
-    "approx_distinct_counts",
-    "array_functions_battery",
-    "bigram_counts",
-    "bpe_merge_candidates",
-    "canonical_selection",
-    "chunk_then_pack",
-    "correlated_subquery",
-    "covisit_triangles",
-    "cube_pricing",
-    "data_quality_report",
-    "date_functions_battery",
-    "decontamination_overlap",
-    "deterministic_sample",
-    "document_chunking",
-    "embedding_centroid_assign",
-    "event_rate_anomalies",
-    "filter_in_list",
-    "filter_pattern",
-    "fuzzy_match_levenshtein",
-    "keyed_dedupe_first",
-    "kmeans_lloyd_oracle",
-    "lag_lookback",
-    "leakage_safe_split",
-    "media_frame_dedup",
-    "multi_key_sort_limit",
-    "multimodal_features",
-    "near_dup_chain_clusters",
-    "near_dup_clusters",
-    "near_dup_groups",
-    "pagerank_covisit",
-    # past slot 50 from here — the r11 queue: the last eleven r6-stale
-    # refresh rows, then the r7/r8/r9 sets in registration order via
-    # _reorder_registry.
+    # r11 slots 1-4 (rotation rule 1 — never-driver-checked first):
+    # this round's new queries — the ANN operating curve (VERDICT r10
+    # item 9), the iterative BPE trainer (item 4), and the bowler/team
+    # incremental-gold completions (item 6). Each oracle-green x3 sfs
+    # in-repo before seating.
+    "ann_probe_recall_curve",
+    "bpe_train_merges",
+    "ipl_bowler_incremental",
+    "ipl_team_incremental",
+    # r11 slots 5-15 (rotation rule 3, urgent tier): the LAST eleven
+    # queries whose newest driver row is r6 (VERDICT r10 item 1) —
+    # after this window no query's newest external row predates r7.
     "personalized_pagerank_covisit",
     "running_totals",
     "semantic_dedup_clusters",
@@ -9756,6 +9697,65 @@ _DRIVER_FIRST = [
     "training_shuffle_shards",
     "tumbling_window",
     "union_distinct",
+    # r11 slots 16-18: the IPL medallion golden surface holds a seat
+    # every round (rotation rule 4 — the reference parity contract)
+    "ipl_bronze_fold",
+    "ipl_gold_e2e",
+    "ipl_standings",
+    # r11 slots 19-50 (rotation rule 3 — refresh stalest first): the
+    # first 32 of the 45 REGISTERED queries whose newest driver row is
+    # r7 (alphabetical; newest-row audit over CORRECTNESS_r01..r10
+    # recomputed this round: r10:50 / r9:47 / r8:47 / r7:46 / r6:11 —
+    # one r7 row, sequence_packing_sharded, is a historical NAME whose
+    # query re-registered as sequence_packing, r9-fresh).
+    "ann_batch_ivf_topk",
+    "ann_batch_topk",
+    "ann_ivf_topk",
+    "bigram_perplexity",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "diversity_sample",
+    "domain_cap",
+    "except_customers",
+    "explode_token_counts",
+    "funnel_analysis",
+    "fuzzy_name_match",
+    "grouping_sets_pricing",
+    "incremental_dedup",
+    "intersect_customers",
+    "ipl_batsman_incremental",
+    "ipl_batsman_stats",
+    "ipl_batsman_stats_big",
+    "ipl_bowler_stats",
+    "ipl_standings_incremental",
+    "json_props_extract",
+    "kmeans_lloyd",
+    "lateral_topn_per_key",
+    "percentiles_by_segment",
+    "pivot_status_qty",
+    "q11_important_stock",
+    "quality_weighted_sample",
+    "rank_topk",
+    "regional_revenue_rollup",
+    "retention_cohorts",
+    "rollup_pricing",
+    # past slot 50 from here — the r12 queue: the remaining thirteen
+    # r7-stale refresh rows, then the r8/r9/r10 sets in registration
+    # order via _reorder_registry.
+    "skew_salted_agg",
+    "slice_rows",
+    "stratified_sample_by_source",
+    "text_fingerprint",
+    "text_language_id",
+    "text_pii_redaction",
+    "text_quality",
+    "text_repetition",
+    "tfidf_top_terms",
+    "training_data_prep",
+    "vocab_coverage_curve",
+    "vocab_top_terms",
+    "window_battery",
 ]
 
 
