@@ -199,6 +199,17 @@ ROUND10 = [
     "ann_filtered_ivf_topk",
 ]
 
+# round-11 additions (the ANN operating curve, the iterative BPE
+# trainer, and the bowler/team incremental-gold completions): same
+# stdout-compact policy as ROUND10 so regressions surface in
+# BENCH_r{N} directly
+ROUND11 = [
+    "ann_probe_recall_curve",
+    "bpe_train_merges",
+    "ipl_bowler_incremental",
+    "ipl_team_incremental",
+]
+
 
 def _calib_once(spark) -> float:
     """One reading of the FIXED calibration probe: constant synthetic
@@ -324,6 +335,7 @@ def main() -> None:
     round8 = time_set(ROUND8, "round8")
     round9 = time_set(ROUND9, "round9")
     round10 = time_set(ROUND10, "round10")
+    round11 = time_set(ROUND11, "round11")
 
     calib_series.append(round(_calib_once(spark), 3))
     try:
@@ -354,6 +366,7 @@ def main() -> None:
         "queries_round8": round8,
         "queries_round9": round9,
         "queries_round10": round10,
+        "queries_round11": round11,
         "calib_series": calib_series,
         "calib": calib,
         "loadavg_start": load_start,
@@ -386,6 +399,7 @@ def main() -> None:
                 "queries": timings,
                 "median5": med5,
                 "round10": round10,
+                "round11": round11,
                 "calib": calib,
                 "iters": iters,
                 "sf": sf,
