@@ -378,27 +378,29 @@ def minhash_lsh_pairs(
     squares a bucket inside one row pre-explode, which only the ceiling
     makes safe — uncapped, pairs must ride the shuffle instead.
 
-    Split-aggregate design (r6 — measured ~1.8× faster than the former
-    shared mins+count+set aggregate at sf0.1, best-of-4 across fresh
-    JVMs 0.8–1.1 s vs 1.7–1.8 s, bit-identical output): the banding
-    path aggregates ONLY the k min-hashes (fixed 8·k bytes/doc through
-    its exchange) and the verification path ONLY the count + shingle
-    set. The former single shared aggregate made every consumer's
-    final-agg re-merge the expensive collect_set state three times
-    (ReuseExchange dedups the exchange, not the final aggregation
-    above it); splitting trades one extra pass over the shingle stream
-    for two fewer set merges, and the candidate path never touches set
-    state at all. Verification intersects the carried shingle sets per
+    Aggregate shape, re-decided r11: ONE shared per-doc aggregate
+    computes the k min-hashes AND the verification state (count +
+    shingle-hash set) in a single scan+explode+exchange. The r6 round
+    split these into two aggregations after measuring the then-current
+    plan (band self-join consuming the signature frame twice) ~1.8×
+    faster split; the r10 candidate path replaced that self-join with
+    map-side pair emission from one (band,bucket) agg, which removed
+    the extra signature consumers that made the shared set-state
+    merges expensive — and the r11 re-measure on TODAY'S plan
+    (tools/minhash_split_probe.py, best-of-6 at 10× of sf0.1,
+    identical 2560-pair output) shows the trade inverted: shared
+    2.43 s vs split 2.61 s at 10×, neutral at 1×. One pass over the
+    shingle stream beats two once only the bucket agg reads the
+    signatures. Verification intersects the carried shingle-hash sets per
     candidate pair (array_intersect) — cost scales with candidates,
     and the sets ride only into the (small) candidate join, never
     through the band explode. For corpora with multi-MB documents, cap
     document size upstream or shard the verification join.
 
-    ``persist_shingles`` caches the exploded shingle frame so BOTH
-    aggregates share one scan+explode — turn it on when the source
-    scan dominates (remote object storage / very wide text at corpus
-    scale); measured OFF-by-default locally where the parquet re-scan
-    is cheaper than the cache round-trip.
+    ``persist_shingles`` caches the exploded shingle frame before the
+    aggregate — with the single shared aggregate it matters only when
+    the caller's session reuses ``sh`` across jobs; kept for API
+    stability.
     """
     rows_per_band = num_hashes // bands
     sh = word_shingles(docs, id_col, text_col, n)
@@ -411,12 +413,11 @@ def minhash_lsh_pairs(
     # (half the shuffle bytes; collision odds ~|shingles|²/2⁶⁴, the
     # same accepted class as md5 exact-dedup digests).
     sh = sh.select("_id", F.xxhash64("shingle").alias("_hs"))
-    mins = [
-        F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("_id").agg(*mins)
-    agg_verify = sh.groupBy("_id").agg(
+    agg = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
         F.count("*").alias("_n"),
         F.collect_set("_hs").alias("_set"),
     )
@@ -490,10 +491,10 @@ def minhash_lsh_pairs(
         )
 
     # exact verification on candidates only: set intersection per pair
-    va = agg_verify.select(
+    va = agg.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na"), F.col("_set").alias("_sa")
     )
-    vb = agg_verify.select(
+    vb = agg.select(
         F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), F.col("_set").alias("_sb")
     )
     return (
