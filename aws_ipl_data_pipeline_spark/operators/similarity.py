@@ -623,17 +623,35 @@ def write_ivf_index(
     celled = add_ivf_cell(emb, centroids, vec_col)
     celled.write.partitionBy("cell").mode("overwrite").parquet(path)
     if stats_cols:
-        # recompute from the WRITTEN table, not the in-memory frame:
-        # the stats must describe exactly the bytes probes will read
-        spark = emb.sparkSession
-        (
-            spark.read.parquet(path)
-            .groupBy("cell", *stats_cols)
-            .agg(F.count("*").alias("cnt"))
-            .write.mode("overwrite")
-            .parquet(path + IVF_STATS_SUFFIX)
-        )
+        refresh_ivf_stats(emb.sparkSession, path, stats_cols)
     return centroids
+
+
+def refresh_ivf_stats(
+    spark,
+    path: str,
+    stats_cols: list[str],
+    stats_path: str | None = None,
+) -> None:
+    """Recompute the per-cell predicate-count stats from the WRITTEN
+    index — the bytes probes will actually read — and overwrite the
+    stats table. This is the authoritative stats write: it runs at
+    index build (write_ivf_index) and belongs in the COMPACTION step
+    of a streamed index. The ingest stream appends PARTIAL stats rows
+    per batch (batch-local aggregate, no index scan), which the probe
+    sums exactly; an at-least-once retried batch can overcount those
+    partials — duplicated vectors dedupe at probe time, their stats
+    rows do not — and overcounted stats make the widening cut stop
+    early (a recall, never a precision, hazard). Running this after
+    per-cell compaction (which removes the physical duplicates)
+    restores exact counts."""
+    (
+        spark.read.parquet(path)
+        .groupBy("cell", *stats_cols)
+        .agg(F.count("*").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(stats_path or path + IVF_STATS_SUFFIX)
+    )
 
 
 def probe_ivf_index(

@@ -38,18 +38,43 @@ def run_ivf_index_ingest(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     available_now: bool = True,
+    stats_cols: list[str] | None = None,
 ):
     """Start the IVF index maintenance stream; returns the
     StreamingQuery. ``centroids`` are the frozen quantizer from the
-    initial `write_ivf_index` build (persist them beside the index)."""
+    initial `write_ivf_index` build (persist them beside the index).
+
+    ``stats_cols`` keeps the filtered-probe stats table
+    (``write_ivf_index(stats_cols=...)``,
+    ``similarity.filtered_probe_ivf_index``) current under streaming
+    appends WITHOUT scanning the index: each batch appends its own
+    (cell, *stats_cols, cnt) PARTIAL rows — a batch-local aggregate —
+    and the probe's stats read sums partials, so counts stay exact
+    under clean delivery. An at-least-once retried batch overcounts
+    stats (its vectors dedupe at probe time; its stats rows do not),
+    which biases the widening cut to stop early — recall, never
+    precision; run ``similarity.refresh_ivf_stats`` with the periodic
+    per-cell compaction to restore exact counts."""
     stream = spark.readStream.schema(schema).parquet(emb_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        add_ivf_cell(batch_df, centroids, vec_col).write.partitionBy(
-            "cell"
-        ).mode("append").parquet(index_path)
+        celled = add_ivf_cell(batch_df, centroids, vec_col)
+        celled.write.partitionBy("cell").mode("append").parquet(index_path)
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            from aws_ipl_data_pipeline_spark.operators.similarity import (
+                IVF_STATS_SUFFIX,
+            )
+
+            (
+                celled.groupBy("cell", *stats_cols)
+                .agg(F.count("*").alias("cnt"))
+                .write.mode("append")
+                .parquet(index_path + IVF_STATS_SUFFIX)
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

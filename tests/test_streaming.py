@@ -600,3 +600,76 @@ def test_covisit_edge_ingest_stream_equals_batch(spark, tmp_path_factory):
         for r in read_covisit_edges(spark, f"{base}/edges").collect()
     }
     assert final == {**streamed, (10, 20): 2}  # tail 10 -> 20 stitched
+
+
+def test_ivf_stats_stay_current_under_streaming(spark, tmp_path_factory):
+    """The filtered-probe stats table under streaming maintenance
+    (r11): the initial build writes authoritative stats; each ingest
+    batch appends PARTIAL stats rows (no index scan), so summed counts
+    stay exact under clean delivery — the materialized filtered probe
+    over the LIVE index equals the in-memory filtered_ivf_topk over
+    everything ingested. After an at-least-once retry the stats
+    overcount (documented recall-side bias) and refresh_ivf_stats run
+    post-compaction restores exact counts."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        add_ivf_cell,
+        filtered_ivf_topk,
+        filtered_probe_ivf_index,
+        refresh_ivf_stats,
+        write_ivf_index,
+    )
+    from aws_ipl_data_pipeline_spark.streaming.ann import run_ivf_index_ingest
+
+    base = str(tmp_path_factory.mktemp("ivfstats"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") < 300)
+    late = emb.where(F.col("vec_id") >= 300)
+
+    cents = write_ivf_index(
+        first, f"{base}/index", n_cells=8, stats_cols=["label"]
+    )
+    drop = f"{base}/drop"
+    late.write.parquet(f"{drop}/f1.parquet")
+    kwargs = dict(
+        emb_dir=f"{drop}/*",
+        index_path=f"{base}/index",
+        checkpoint_dir=f"{base}/ckpt",
+        schema=emb.schema,
+        centroids=cents,
+        stats_cols=["label"],
+    )
+    run_ivf_index_ingest(spark, **kwargs).awaitTermination(300)
+
+    stats = spark.read.parquet(f"{base}/index__stats")
+    assert stats.agg(F.sum("cnt")).head()[0] == emb.count()
+
+    qrow = emb.where(F.col("vec_id") == 0).head()
+    q = [float(x) for x in qrow["embedding"]]
+    pred = F.col("label") == F.lit(qrow["label"])
+    live = filtered_probe_ivf_index(
+        spark, f"{base}/index", cents, q, pred, k=10, n_probe=2,
+        min_candidates=30,
+    ).collect()
+    mem = filtered_ivf_topk(
+        add_ivf_cell(emb, cents), cents, q, pred, k=10, n_probe=2,
+        min_candidates=30,
+    ).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in mem]
+
+    # at-least-once retry: stats overcount until the compaction-time
+    # refresh recomputes them from the physical index
+    run_ivf_index_ingest(
+        spark, **{**kwargs, "checkpoint_dir": f"{base}/ckpt_retry"}
+    ).awaitTermination(300)
+    over = spark.read.parquet(f"{base}/index__stats").agg(F.sum("cnt")).head()[0]
+    assert over == emb.count() + late.count()  # exact overcount shape
+    # compaction stand-in: physical dedupe rewrite, then stats refresh
+    deduped = spark.read.parquet(f"{base}/index").dropDuplicates(["vec_id"])
+    deduped.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{base}/index_compacted"
+    )
+    refresh_ivf_stats(spark, f"{base}/index_compacted", ["label"])
+    fresh = spark.read.parquet(f"{base}/index_compacted__stats")
+    assert fresh.agg(F.sum("cnt")).head()[0] == emb.count()
