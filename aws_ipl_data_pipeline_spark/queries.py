@@ -8304,6 +8304,35 @@ def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_ROUNDS = 8
 
 
+def _bpe_round_cte(i: int, carry: str = "") -> str:
+    """ONE BPE training round as CTE text — pair stats from the
+    previous state, scalar-subquery argmax with the exact integer
+    tie-break, single-pass merge application. Shared by the trainer
+    oracle (carry='') and the trained-compression oracle (which
+    carries source/wlen through each state) so the round semantics
+    cannot drift between the two. Pair stats aggregate over ALL state
+    rows weighted by tf, so a (source, word)-grain state trains the
+    identical merge table as the word-grain one."""
+    a = f"(SELECT a FROM b{i})"
+    b = f"(SELECT b FROM b{i})"
+    return f"""
+    e{i} AS (SELECT tf, string_split(trim(s), ' ') AS cs FROM s{i - 1}),
+    x{i} AS (SELECT tf, cs, unnest(range(1, len(cs))) AS i FROM e{i}),
+    p{i} AS (
+      SELECT cs[i] AS a, cs[i + 1] AS b, SUM(tf) AS cnt
+      FROM x{i} GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT {carry}tf,
+             replace(s, ' ' || {a} || ' ' || {b} || ' ',
+                        ' ' || {a} || {b} || ' ') AS s
+      FROM s{i - 1}
+    )"""
+
+
 def _bpe_train_oracle(n: int = _BPE_TRAIN_ROUNDS) -> str:
     """Unrolled-CTE replay of ``operators.text.bpe_train_merges`` —
     one CTE block per training round, GENERATED from the same round
@@ -8338,26 +8367,7 @@ def _bpe_train_oracle(n: int = _BPE_TRAIN_ROUNDS) -> str:
     )"""
     ]
     for i in range(1, n + 1):
-        a = f"(SELECT a FROM b{i})"
-        b = f"(SELECT b FROM b{i})"
-        parts.append(
-            f"""
-    e{i} AS (SELECT tf, string_split(trim(s), ' ') AS cs FROM s{i - 1}),
-    x{i} AS (SELECT tf, cs, unnest(range(1, len(cs))) AS i FROM e{i}),
-    p{i} AS (
-      SELECT cs[i] AS a, cs[i + 1] AS b, SUM(tf) AS cnt
-      FROM x{i} GROUP BY 1, 2
-    ),
-    b{i} AS MATERIALIZED (
-      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
-    ),
-    s{i} AS MATERIALIZED (
-      SELECT tf,
-             replace(s, ' ' || {a} || ' ' || {b} || ' ',
-                        ' ' || {a} || {b} || ' ') AS s
-      FROM s{i - 1}
-    )"""
-        )
+        parts.append(_bpe_round_cte(i))
     union = "\n      UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS rank, a AS sym_a, b AS sym_b,"
         f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
@@ -8365,6 +8375,108 @@ def _bpe_train_oracle(n: int = _BPE_TRAIN_ROUNDS) -> str:
     )
     return (
         "WITH" + ",".join(parts) + f"\n    SELECT * FROM ({union}) ORDER BY rank"
+    )
+
+
+def _bpe_trained_compression_oracle(n: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Trainer composed with apply, one SQL program: the round CTEs
+    (shared _bpe_round_cte generator, carrying source and the char
+    baseline through each state) train the merge table on the GLOBAL
+    tf-weighted pair stats, and the final state s{n} — each word's
+    symbol string after all n merges — IS the corpus tokenized under
+    the trained table, aggregated per source. No merge literals cross
+    between engines: both train from the data."""
+    carry = "source, wlen, "
+    parts = [
+        f"""
+    tok AS (
+      SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS word
+      FROM documents
+    ),
+    w AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE word <> '' GROUP BY 1, 2
+    ),
+    s0 AS MATERIALIZED (
+      SELECT source, length(word) + 1 AS wlen, tf,
+             ' ' || array_to_string(
+               list_append(string_split(word, ''), '</w>'), ' ') || ' ' AS s
+      FROM w
+    )"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(_bpe_round_cte(i, carry))
+    return (
+        "WITH"
+        + ",".join(parts)
+        + f"""
+    SELECT source,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(SUM(tf * wlen) AS BIGINT) AS n_tokens_char,
+           CAST(SUM(tf * len(string_split(trim(s), ' '))) AS BIGINT)
+             AS n_tokens_bpe,
+           CAST((SUM(tf * wlen) * 10000)
+                // SUM(tf * len(string_split(trim(s), ' '))) AS BIGINT)
+             AS compression_1e4
+    FROM s{n} GROUP BY source
+    """
+    )
+
+
+@register("bpe_trained_compression", _bpe_trained_compression_oracle())
+def bpe_trained_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END tokenizer-training story in one query: TRAIN the
+    8-round merge table on the corpus (bpe_train_merges, memoized
+    under the same session key as the trainer query — train once,
+    apply many), then TOKENIZE the corpus under that trained table and
+    report per-source word counts, char-baseline and BPE token counts,
+    and the exact 1e-4-scaled compression ratio — bpe_apply_stats'
+    shape but with the table LEARNED from the data instead of the
+    fixed demo literals, so the whole trainer→apply loop is
+    driver-hash-proven. Apply cost is vocab-bounded as ever: the
+    chained replaces run on the (source, word) aggregated frame. The
+    oracle unrolls the same training rounds (shared _bpe_round_cte
+    generator) carrying source through each state; its final state IS
+    the tokenized corpus, so neither engine receives merge literals
+    from the other — both learn them from the data, and a hash match
+    proves training AND application agree end to end."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.text import (
+        bpe_apply_token_count,
+        bpe_train_merges,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "source",
+            F.explode(F.split(normalized_text("text"), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+    def _train() -> list[tuple[str, str, int]]:
+        w = sw.groupBy("word").agg(F.sum("tf").alias("tf"))
+        return bpe_train_merges(w, n_merges=_BPE_TRAIN_ROUNDS)
+
+    merges = session_memo(spark, ("bpe_train", sf_dir, _BPE_TRAIN_ROUNDS), _train)
+    table = [(a, b) for a, b, _ in merges]
+    tn = sw.withColumn(
+        "tok_n", bpe_apply_token_count("word", merges=table).cast("long")
+    )
+    return tn.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        F.sum(F.col("tf") * (F.length("word") + 1))
+        .cast("long")
+        .alias("n_tokens_char"),
+        F.sum(F.col("tf") * F.col("tok_n")).cast("long").alias("n_tokens_bpe"),
+        F.expr(
+            "(SUM(tf * (length(word) + 1)) * 10000) div SUM(tf * tok_n)"
+        )
+        .cast("long")
+        .alias("compression_1e4"),
     )
 
 
@@ -9674,7 +9786,7 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r11 slots 1-4 (rotation rule 1 — never-driver-checked first):
+    # r11 slots 1-5 (rotation rule 1 — never-driver-checked first):
     # this round's new queries — the ANN operating curve (VERDICT r10
     # item 9), the iterative BPE trainer (item 4), and the bowler/team
     # incremental-gold completions (item 6). Each oracle-green x3 sfs
@@ -9683,7 +9795,8 @@ _DRIVER_FIRST = [
     "bpe_train_merges",
     "ipl_bowler_incremental",
     "ipl_team_incremental",
-    # r11 slots 5-15 (rotation rule 3, urgent tier): the LAST eleven
+    "bpe_trained_compression",
+    # r11 slots 6-16 (rotation rule 3, urgent tier): the LAST eleven
     # queries whose newest driver row is r6 (VERDICT r10 item 1) —
     # after this window no query's newest external row predates r7.
     "personalized_pagerank_covisit",
@@ -9697,13 +9810,13 @@ _DRIVER_FIRST = [
     "training_shuffle_shards",
     "tumbling_window",
     "union_distinct",
-    # r11 slots 16-18: the IPL medallion golden surface holds a seat
+    # r11 slots 17-19: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r11 slots 19-50 (rotation rule 3 — refresh stalest first): the
-    # first 32 of the 45 REGISTERED queries whose newest driver row is
+    # r11 slots 20-50 (rotation rule 3 — refresh stalest first): the
+    # first 31 of the 45 REGISTERED queries whose newest driver row is
     # r7 (alphabetical; newest-row audit over CORRECTNESS_r01..r10
     # recomputed this round: r10:50 / r9:47 / r8:47 / r7:46 / r6:11 —
     # one r7 row, sequence_packing_sharded, is a historical NAME whose
@@ -9739,10 +9852,11 @@ _DRIVER_FIRST = [
     "rank_topk",
     "regional_revenue_rollup",
     "retention_cohorts",
+    # past slot 50 from here — the r12 queue: rollup_pricing (bumped
+    # by the late-registered bpe_trained_compression; rotation rule 1
+    # outranks refresh), the remaining thirteen r7-stale refresh rows,
+    # then the r8/r9/r10 sets in registration order.
     "rollup_pricing",
-    # past slot 50 from here — the r12 queue: the remaining thirteen
-    # r7-stale refresh rows, then the r8/r9/r10 sets in registration
-    # order via _reorder_registry.
     "skew_salted_agg",
     "slice_rows",
     "stratified_sample_by_source",
