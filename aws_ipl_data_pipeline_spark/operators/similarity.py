@@ -420,6 +420,7 @@ def batch_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     exclude_self: bool = True,
+    pair_predicate: Column | None = None,
 ) -> DataFrame:
     """Batched exact top-k: score MANY query vectors against the corpus
     in ONE scan. The offline-retrieval shape (embedding-dedup audits,
@@ -443,7 +444,15 @@ def batch_topk(
 
     v = _as_double_vec(vec_col)
     qv = F.col(query_vec_col)
-    scored = emb.join(F.broadcast(queries)).withColumn(
+    paired = emb.join(F.broadcast(queries))
+    if pair_predicate is not None:
+        # per-(corpus row, query) predicate — e.g. hard-negative
+        # mining's cross-label gate — applied BEFORE scoring so the
+        # cosine fold never touches excluded pairs (the filtered-ANN
+        # discipline), and before the ranking window so top-k is
+        # exactly-k of the ADMISSIBLE pairs, not a starved post-filter
+        paired = paired.where(pair_predicate)
+    scored = paired.withColumn(
         "cos_sim",
         F.round(_dot(v, qv) / (_norm(v) * _norm(qv)), 4),
     )

@@ -4762,6 +4762,228 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_topk(emb, queries, k=5)
 
 
+_DIM_SWEEP = [8, 16, 32, 64]
+
+
+def _dim_topk_sql(d: int, k: int = 10) -> str:
+    """Exact batched top-k using only the FIRST ``d`` embedding
+    coordinates — the truncated-metric retrieval one level of the
+    matryoshka curve runs. Same scoring/ranking spec as the registered
+    ann_batch_topk oracle with the single added gate ``i <= d`` on
+    both the query and corpus expansions (1-based coordinate index)."""
+    return f"""
+    SELECT query_id, vec_id, cos_sim, rk FROM (
+      WITH qd AS (
+        SELECT vec_id AS query_id, i, x AS qx
+        FROM exd WHERE vec_id IN (0, 1, 2, 3) AND i <= {d}
+      ),
+      qnd AS (
+        SELECT query_id, sqrt(SUM(qx * qx)) AS qnorm FROM qd GROUP BY query_id
+      ),
+      sd AS (
+        SELECT qd.query_id, e.vec_id,
+               SUM(e.x * qd.qx) AS dot, sqrt(SUM(e.x * e.x)) AS nrm
+        FROM exd e JOIN qd ON e.i = qd.i
+        WHERE e.vec_id <> qd.query_id AND e.i <= {d}
+        GROUP BY qd.query_id, e.vec_id
+      )
+      SELECT sd.query_id, sd.vec_id,
+             round(sd.dot / (sd.nrm * qnd.qnorm), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY sd.query_id
+               ORDER BY round(sd.dot / (sd.nrm * qnd.qnorm), 4) DESC,
+                        sd.vec_id ASC
+             ) AS rk
+      FROM sd JOIN qnd USING (query_id)
+    ) WHERE rk <= {k}
+    """
+
+
+def _dim_recall_curve_oracle() -> str:
+    gt_sql = REGISTRY["ann_batch_topk"].oracle
+    levels = ", ".join(f"({d})" for d in _DIM_SWEEP)
+    union = "\n      UNION ALL ".join(
+        f"SELECT {d} AS dim, v.query_id, v.vec_id, v.rk"
+        f" FROM ({_dim_topk_sql(d)}) v"
+        for d in _DIM_SWEEP
+    )
+    return f"""
+    WITH {_EMB_EXPAND},
+    gt AS (SELECT query_id, vec_id FROM ({gt_sql}) g),
+    lv(dim) AS (VALUES {levels}),
+    sweep AS ({union}),
+    h AS (
+      SELECT s.dim, s.query_id, s.rk
+      FROM sweep s JOIN gt USING (query_id, vec_id)
+    ),
+    per_q AS (
+      SELECT dim, query_id, COUNT(*) AS n_found, 2520 // MIN(rk) AS rr
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT dim, SUM(n_found) AS n_found, SUM(rr) AS mrr_sum
+      FROM per_q GROUP BY 1
+    ),
+    gn AS (SELECT COUNT(*) AS ngt FROM gt)
+    SELECT CAST(lv.dim AS BIGINT) AS dim,
+           CAST(COALESCE(agg.n_found, 0) AS BIGINT) AS n_found,
+           CAST(COALESCE(agg.n_found, 0) * 10000 // (SELECT ngt FROM gn)
+                AS BIGINT) AS recall_1e4,
+           CAST(COALESCE(agg.mrr_sum, 0) AS BIGINT) AS mrr_sum_scaled
+    FROM lv LEFT JOIN agg USING (dim)
+    ORDER BY dim
+    """
+
+
+@register("ann_dim_recall_curve", _dim_recall_curve_oracle())
+def ann_dim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATRYOSHKA operating curve: retrieval quality vs embedding
+    PREFIX DIMENSION — for d in {8,16,32,64}, exact top-10 under the
+    truncated metric (first d coordinates of both query and corpus)
+    scored against the full-dimension exact top-5 ground truth. The
+    artifact an embedding deployment reads to decide how many stored
+    dimensions it can drop (matryoshka/MRL truncation): storage and
+    scan cost scale with d, and this curve says what recall each d
+    buys. Same integer metric discipline as ann_probe_recall_curve
+    (hits·10⁴ div |gt|, lcm-scaled MRR, VALUES spine keeps zero-hit
+    dims explicit); at d = full dimension the truncated metric IS the
+    exact metric, so the curve provably closes at recall 10000. One
+    corpus scan per level (batch_topk broadcast amortization over
+    sliced vectors); the oracle generates each level from one
+    truncated-metric spec (_dim_topk_sql) sharing the registered
+    ann_batch_topk scoring shape."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        batch_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    full_queries = emb.where(F.col("vec_id").isin([0, 1, 2, 3]))
+    gt = session_memo(
+        spark,
+        ("ann_curve_gt", sf_dir),
+        lambda: batch_topk(
+            emb,
+            full_queries.select(
+                F.col("vec_id").alias("query_id"),
+                _as_double_vec("embedding").alias("query_vec"),
+            ),
+            k=5,
+        )
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True),
+    )
+    sweep = None
+    for d in _DIM_SWEEP:
+        tr = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        qs = full_queries.select(
+            F.col("vec_id").alias("query_id"),
+            _as_double_vec(F.slice("embedding", 1, d)).alias("query_vec"),
+        )
+        lvl = batch_topk(tr, qs, k=10).select(
+            F.lit(d).cast("long").alias("dim"), "query_id", "vec_id", "rk"
+        )
+        sweep = lvl if sweep is None else sweep.unionByName(lvl)
+    per_q = (
+        sweep.join(gt, ["query_id", "vec_id"])
+        .groupBy("dim", "query_id")
+        .agg(
+            F.count("*").alias("n_found"),
+            F.expr("2520 div min(rk)").alias("rr"),
+        )
+    )
+    agg = per_q.groupBy("dim").agg(
+        F.sum("n_found").alias("n_found"), F.sum("rr").alias("mrr_sum")
+    )
+    levels = spark.createDataFrame([(d,) for d in _DIM_SWEEP], "dim long")
+    zero = F.lit(0).cast("long")
+    return (
+        levels.join(agg, "dim", "left")
+        .crossJoin(F.broadcast(gt.agg(F.count("*").alias("ngt"))))
+        .select(
+            F.col("dim").cast("long"),
+            F.coalesce("n_found", zero).cast("long").alias("n_found"),
+            (F.coalesce("n_found", zero) * 10000).cast("long").alias("_num"),
+            F.col("ngt"),
+            F.coalesce("mrr_sum", zero).cast("long").alias("mrr_sum_scaled"),
+        )
+        .select(
+            "dim",
+            "n_found",
+            F.expr("_num div ngt").cast("long").alias("recall_1e4"),
+            "mrr_sum_scaled",
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH {_EMB_EXPAND},
+    q AS (
+      SELECT e.vec_id AS query_id, e.i, e.x AS qx, m.label AS qlabel
+      FROM exd e JOIN embeddings m ON m.vec_id = e.vec_id
+      WHERE e.vec_id IN (0, 1, 2, 3)
+    ),
+    qn AS (
+      SELECT query_id, sqrt(SUM(qx * qx)) AS qnorm FROM q GROUP BY query_id
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             SUM(e.x * q.qx) AS dot, sqrt(SUM(e.x * e.x)) AS nrm
+      FROM exd e
+      JOIN embeddings m ON m.vec_id = e.vec_id
+      JOIN q ON e.i = q.i
+      WHERE e.vec_id <> q.query_id AND m.label <> q.qlabel
+      GROUP BY q.query_id, e.vec_id
+    ),
+    r AS (
+      SELECT s.query_id, s.vec_id,
+             round(s.dot / (s.nrm * qn.qnorm), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY round(s.dot / (s.nrm * qn.qnorm), 4) DESC, s.vec_id ASC
+             ) AS rk
+      FROM s JOIN qn USING (query_id)
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the contrastive-training data op: for
+    each anchor, the top-k most-similar vectors whose label DIFFERS
+    (the near-the-boundary negatives that make embedding/classifier
+    training bite; random negatives are too easy). One corpus scan for
+    all anchors (batch_topk's broadcast amortization) with the
+    cross-label gate applied as a PAIR predicate BEFORE scoring and
+    BEFORE ranking — the cosine fold never touches same-label pairs,
+    and top-k is exactly-k of the admissible negatives (post-filtering
+    a ranked list starves exactly like filtered ANN, one level up).
+    The oracle replays the same gate inside its scoring join."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec,
+        batch_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double_vec("embedding").alias("query_vec"),
+        F.col("label").alias("_qlabel"),
+    )
+    return batch_topk(
+        emb,
+        queries,
+        k=5,
+        pair_predicate=F.col("label") != F.col("_qlabel"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Model-based quality scoring (fastText/DCLM-style classifier stand-in)
 # --------------------------------------------------------------------------
@@ -9786,7 +10008,7 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r11 slots 1-5 (rotation rule 1 — never-driver-checked first):
+    # r11 slots 1-7 (rotation rule 1 — never-driver-checked first):
     # this round's new queries — the ANN operating curve (VERDICT r10
     # item 9), the iterative BPE trainer (item 4), and the bowler/team
     # incremental-gold completions (item 6). Each oracle-green x3 sfs
@@ -9796,7 +10018,9 @@ _DRIVER_FIRST = [
     "ipl_bowler_incremental",
     "ipl_team_incremental",
     "bpe_trained_compression",
-    # r11 slots 6-16 (rotation rule 3, urgent tier): the LAST eleven
+    "hard_negative_mining",
+    "ann_dim_recall_curve",
+    # r11 slots 8-18 (rotation rule 3, urgent tier): the LAST eleven
     # queries whose newest driver row is r6 (VERDICT r10 item 1) —
     # after this window no query's newest external row predates r7.
     "personalized_pagerank_covisit",
@@ -9810,13 +10034,13 @@ _DRIVER_FIRST = [
     "training_shuffle_shards",
     "tumbling_window",
     "union_distinct",
-    # r11 slots 17-19: the IPL medallion golden surface holds a seat
+    # r11 slots 19-21: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r11 slots 20-50 (rotation rule 3 — refresh stalest first): the
-    # first 31 of the 45 REGISTERED queries whose newest driver row is
+    # r11 slots 22-50 (rotation rule 3 — refresh stalest first): the
+    # first 29 of the 45 REGISTERED queries whose newest driver row is
     # r7 (alphabetical; newest-row audit over CORRECTNESS_r01..r10
     # recomputed this round: r10:50 / r9:47 / r8:47 / r7:46 / r6:11 —
     # one r7 row, sequence_packing_sharded, is a historical NAME whose
@@ -9850,12 +10074,12 @@ _DRIVER_FIRST = [
     "q11_important_stock",
     "quality_weighted_sample",
     "rank_topk",
+    # past slot 50 from here — the r12 queue: the three r7 rows bumped
+    # by the late-registered r11 queries (rotation rule 1 outranks
+    # refresh), the remaining thirteen r7-stale refresh rows, then the
+    # r8/r9/r10 sets in registration order.
     "regional_revenue_rollup",
     "retention_cohorts",
-    # past slot 50 from here — the r12 queue: rollup_pricing (bumped
-    # by the late-registered bpe_trained_compression; rotation rule 1
-    # outranks refresh), the remaining thirteen r7-stale refresh rows,
-    # then the r8/r9/r10 sets in registration order.
     "rollup_pricing",
     "skew_salted_agg",
     "slice_rows",

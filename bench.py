@@ -208,6 +208,9 @@ ROUND11 = [
     "bpe_train_merges",
     "ipl_bowler_incremental",
     "ipl_team_incremental",
+    "bpe_trained_compression",
+    "hard_negative_mining",
+    "ann_dim_recall_curve",
 ]
 
 

@@ -386,3 +386,37 @@ def test_probe_recall_curve_monotone_and_closes(spark):
     assert recalls[-1] == 10000
     mrrs = [r["mrr_sum_scaled"] for r in rows]
     assert mrrs == sorted(mrrs)
+
+
+def test_dim_recall_curve_closes_at_full_dim(spark):
+    """ann_dim_recall_curve: at d = full dimension the truncated
+    metric IS the exact metric, so the curve must close at
+    recall_1e4 = 10000 / saturated MRR. (Interior points are NOT
+    required to be monotone — a truncated metric is a different
+    metric, not a subset candidate pool like probe widening.)"""
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY, _DIM_SWEEP
+
+    rows = REGISTRY["ann_dim_recall_curve"].fn(spark, SF).collect()
+    assert [r["dim"] for r in rows] == _DIM_SWEEP
+    last = rows[-1]
+    assert last["recall_1e4"] == 10000 and last["mrr_sum_scaled"] == 4 * 2520
+
+
+def test_hard_negative_mining_is_cross_label(spark):
+    """hard_negative_mining: every mined negative's label differs from
+    its anchor's, ranks are 1..5 per anchor (the cross-label gate is a
+    pre-ranking pair predicate, so top-k never starves), and each
+    mined cosine is <= the unfiltered top-1 for that anchor."""
+    from pyspark.sql import functions as F
+
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = REGISTRY["hard_negative_mining"].fn(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        assert labels[r["vec_id"]] != labels[r["query_id"]], r
+        by_q.setdefault(r["query_id"], []).append(r["rk"])
+    assert set(by_q) == {0, 1, 2, 3}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
