@@ -848,6 +848,8 @@ BNLJ_OK = (
     "ann_recall_eval",  # composes the two above
     "ann_ndcg_eval",  # composes the same two batch specs
     "ann_probe_recall_curve",  # same composition swept; 1-row |gt| frame
+    "hard_negative_mining",  # broadcast literal-IN query set (batch_topk)
+    "ann_dim_recall_curve",  # broadcast query set per dim + 1-row |gt| frame
     "bm25_retrieval",  # broadcast query-term frame
     "dedup_embedding_cosine",  # broadcast probe/threshold block
     "q11_important_stock",
