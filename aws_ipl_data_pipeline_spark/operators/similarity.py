@@ -130,8 +130,26 @@ def lsh_bucketed_topk(
     with the SAME bits/seed) to query a materialized bucket table —
     the production shape, where the corpus is bucketed once at write
     time and queries only probe."""
-    dim = len(query_vec)
-    planes = random_hyperplanes(dim, bits, seed)
+    planes = random_hyperplanes(len(query_vec), bits, seed)
+    probes = lsh_probe_buckets(planes, query_vec, probe_hamming)
+    if bucketed is None:
+        bucketed = add_lsh_bucket(emb, planes, vec_col)
+    candidates = bucketed.where(F.col("bucket").isin(list(probes)))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def lsh_probe_buckets(
+    planes: list[list[float]],
+    query_vec: list[float],
+    probe_hamming: int = 1,
+) -> set[int]:
+    """The query's LSH bucket plus every bucket within
+    ``probe_hamming`` bit flips — THE probe-set rule, shared by the
+    in-memory (lsh_bucketed_topk) and materialized (probe_lsh_index)
+    forms so the answer-affecting probe set cannot drift between
+    them. Signs come from exact integer dots (quantized query ×
+    quantized planes), the add_lsh_bucket determinism contract."""
+    bits = len(planes)
     qq = _quantize_list(query_vec)
     q_bucket = 0
     for i, p in enumerate(planes):
@@ -145,11 +163,56 @@ def lsh_bucketed_topk(
         for i in range(bits):
             for j in range(i + 1, bits):
                 probes.add(q_bucket ^ (1 << i) ^ (1 << j))
+    return probes
 
-    if bucketed is None:
-        bucketed = add_lsh_bucket(emb, planes, vec_col)
-    candidates = bucketed.where(F.col("bucket").isin(list(probes)))
-    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+def write_lsh_index(
+    emb: DataFrame,
+    path: str,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the LSH bucket table AS A PARTITIONED TABLE —
+    the write_ivf_index pattern for the hyperplane family: buckets
+    assigned once, ``partitionBy(bucket)`` (≤ 2^bits directories),
+    so a probe is storage-level PARTITION PRUNING over the ~(1+bits)
+    probed buckets instead of a runtime filter. Returns the planes
+    (derive them anywhere from (dim, bits, seed) — random_hyperplanes
+    is seeded — but persisting beside the index documents the index's
+    parameters)."""
+    dim = len(emb.select(vec_col).head()[0])  # 1-row bounded read
+    planes = random_hyperplanes(dim, bits, seed)
+    add_lsh_bucket(emb, planes, vec_col).write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(path)
+    return planes
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    planes: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a materialized LSH index: probe buckets computed
+    driver-side (index metadata only), read ONLY those bucket
+    partitions (directory-level pruning), brute-force the survivors.
+    Same at-least-once posture as probe_ivf_index: candidates dedupe
+    by id so a retried ingest append can never seat one vector twice
+    in the k list."""
+    probes = lsh_probe_buckets(planes, query_vec, probe_hamming)
+    candidates = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(list(probes)))
+        .dropDuplicates([id_col])
+    )
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_id)
 
 
 def _unit(vec: list[float]) -> list[float]:

@@ -420,3 +420,54 @@ def test_hard_negative_mining_is_cross_label(spark):
         by_q.setdefault(r["query_id"], []).append(r["rk"])
     assert set(by_q) == {0, 1, 2, 3}
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_lsh_index_partition_pruning(spark, tmp_path):
+    """write_lsh_index/probe_lsh_index (r11 — the materialized-LSH
+    twin of the IVF index): the probe scan's plan carries a bucket
+    partition filter over the ~(1+bits) probed buckets, the result
+    equals the in-memory lsh_bucketed_topk with identical params
+    (shared lsh_probe_buckets rule), and a duplicated append (the
+    at-least-once retry shape) is absorbed by the id dedupe."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        add_lsh_bucket,
+        lsh_bucketed_topk,
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    planes = write_lsh_index(emb, path, bits=8)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+
+    probed = probe_lsh_index(spark, path, planes, q, k=5, exclude_id=0)
+    # lsh_bucketed_topk has no exclude_id param; pre-filter instead
+    mem_rows = [
+        tuple(r)
+        for r in lsh_bucketed_topk(
+            emb.where(F.col("vec_id") != 0), q, k=5, bits=8
+        ).collect()
+    ]
+    assert [tuple(r) for r in probed.collect()] == mem_rows
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = probed._jdf.queryExecution().explainString(mode)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), plan
+
+    # duplicated append (at-least-once retry) absorbed by the id dedupe
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    spark.read.parquet(path).write.partitionBy("bucket").mode(
+        "append"
+    ).parquet(path + "2")
+    add_lsh_bucket(emb, random_hyperplanes(len(q), 8)).write.partitionBy(
+        "bucket"
+    ).mode("append").parquet(path + "2")
+    dup = probe_lsh_index(spark, path + "2", planes, q, k=5, exclude_id=0)
+    assert [tuple(r) for r in dup.collect()] == mem_rows
