@@ -1999,6 +1999,190 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_RADIUS_SWEEP = [0, 1, 2]
+
+
+def _lsh_radius_curve_oracle() -> str:
+    """The LSH operating curve oracle: one bucket derivation (the
+    ann_lsh_topk recipe — seeded planes as quantized-integer VALUES,
+    exact integer sign dots), then per radius r ∈ {0,1,2} the
+    candidate set is bit_count(bucket XOR qbucket) <= r; candidates
+    are ranked by exact rounded cosine and scored against the exact
+    top-5. n_candidates is the per-radius scan cost axis."""
+    levels = ", ".join(f"({r})" for r in _LSH_RADIUS_SWEEP)
+    return f"""
+    WITH {_EMB_EXPAND},
+    {_EMB_EXPAND_Q},
+    {_lsh_planes_values()},
+    sb AS (
+      SELECT e.vec_id, pl.b, SUM(e.x * pl.p) AS dot
+      FROM exq e JOIN planes pl ON e.i = pl.i
+      GROUP BY 1, 2
+    ),
+    bk AS (
+      SELECT vec_id,
+             SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, b) AS BIGINT)
+                 ELSE 0 END) AS bucket
+      FROM sb GROUP BY vec_id
+    ),
+    qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+    h AS (
+      SELECT bk.vec_id,
+             bit_count(CAST(xor(bk.bucket, qb.qbucket) AS BIGINT)) AS hd
+      FROM bk, qb WHERE bk.vec_id <> 0
+    ),
+    lv(radius) AS (VALUES {levels}),
+    cand AS (SELECT lv.radius, h.vec_id FROM lv JOIN h ON h.hd <= lv.radius),
+    q AS (SELECT i, x AS qx FROM exd WHERE vec_id = 0),
+    qn AS (SELECT sqrt(SUM(qx * qx)) AS qnorm FROM q),
+    s AS (
+      SELECT e.vec_id, SUM(e.x * q.qx) AS dot, sqrt(SUM(e.x * e.x)) AS nrm
+      FROM exd e JOIN q ON e.i = q.i
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    sc AS (
+      SELECT vec_id,
+             round(dot / (nrm * (SELECT qnorm FROM qn)), 4) AS cos_sim
+      FROM s
+    ),
+    gt AS (
+      SELECT vec_id FROM sc ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+    ),
+    r AS (
+      SELECT c.radius, c.vec_id, sc.cos_sim,
+             row_number() OVER (
+               PARTITION BY c.radius
+               ORDER BY sc.cos_sim DESC, c.vec_id ASC
+             ) AS rk
+      FROM cand c JOIN sc USING (vec_id)
+    ),
+    hits AS (
+      SELECT r.radius, COUNT(*) AS n_found
+      FROM r JOIN gt USING (vec_id) WHERE r.rk <= 10
+      GROUP BY 1
+    ),
+    nc AS (SELECT radius, COUNT(*) AS n_candidates FROM cand GROUP BY 1)
+    SELECT CAST(lv.radius AS BIGINT) AS radius,
+           CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(hits.n_found, 0) AS BIGINT) AS n_found,
+           CAST(COALESCE(hits.n_found, 0) * 10000 // 5 AS BIGINT)
+             AS recall_1e4
+    FROM lv
+    LEFT JOIN nc USING (radius)
+    LEFT JOIN hits USING (radius)
+    ORDER BY radius
+    """
+
+
+@register("ann_lsh_radius_curve", _lsh_radius_curve_oracle())
+def ann_lsh_radius_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH OPERATING CURVE — recall AND scan cost vs Hamming probe
+    radius, completing the tuning-artifact family (probe budget → IVF,
+    prefix dimension → matryoshka, probe radius → LSH): for r ∈
+    {0,1,2}, rank the vectors whose bucket is within r bit flips of
+    the query's bucket and score the top-10 against the exact top-5.
+    n_candidates per radius is the COST axis a deployment trades
+    against recall (a radius-r probe reads ~Σ C(bits,j)/2^bits of the
+    table). One pass over the memoized bucket table: each vector's
+    Hamming distance to the query bucket (bit_count of the XOR —
+    integer-exact on both engines) explodes onto the radii that admit
+    it, scoring is shared across radii, ranking is one skinny
+    windowed exchange. The query bucket comes from the SAME
+    lsh_probe_buckets sign rule as the in-memory/materialized probes,
+    and the oracle re-derives buckets from the identical quantized
+    plane literals."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        add_lsh_bucket,
+        lsh_probe_buckets,
+        random_hyperplanes,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    planes = random_hyperplanes(len(q), 8, 42)
+    bucketed = session_memo(
+        spark,
+        ("lsh_bucketed", sf_dir, 8),
+        lambda: add_lsh_bucket(emb, planes).localCheckpoint(eager=True),
+    )
+    qbucket = next(iter(lsh_probe_buckets(planes, q, probe_hamming=0)))
+    gt = session_memo(
+        spark,
+        ("lsh_curve_gt", sf_dir),
+        lambda: brute_force_topk_frame(emb, q),
+    )
+    hd = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket)))
+    admitted = F.filter(
+        F.array(*[F.lit(r) for r in _LSH_RADIUS_SWEEP]),
+        lambda r: r >= hd,
+    )
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        _as_double_vec as _adv2,
+        _dot as _dot2,
+        _norm as _norm2,
+    )
+
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    v = _adv2("embedding")
+    scored = (
+        bucketed.where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(_dot2(v, qarr) / (_norm2(v) * _norm2(qarr)), 4).alias(
+                "cos_sim"
+            ),
+            F.explode(admitted).alias("radius"),
+        )
+    )
+    rw = Window.partitionBy("radius").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(rw))
+    nc = scored.groupBy("radius").agg(F.count("*").alias("n_candidates"))
+    hits = (
+        ranked.where(F.col("rk") <= 10)
+        .join(gt, "vec_id")
+        .groupBy("radius")
+        .agg(F.count("*").alias("n_found"))
+    )
+    levels = spark.createDataFrame(
+        [(r,) for r in _LSH_RADIUS_SWEEP], "radius long"
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        levels.join(nc, "radius", "left")
+        .join(hits, "radius", "left")
+        .select(
+            F.col("radius").cast("long"),
+            F.coalesce("n_candidates", zero).cast("long").alias("n_candidates"),
+            F.coalesce("n_found", zero).cast("long").alias("n_found"),
+            (F.coalesce("n_found", zero) * 10000)
+            .cast("long")
+            .alias("_n"),
+        )
+        .select(
+            "radius",
+            "n_candidates",
+            "n_found",
+            F.expr("_n div 5").cast("long").alias("recall_1e4"),
+        )
+        .orderBy("radius")
+    )
+
+
+def brute_force_topk_frame(emb, q):
+    """Exact top-5 id frame for the single-query curves, checkpointed
+    once per session (the gt memo build)."""
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    return (
+        brute_force_topk(emb, q, k=5, exclude_id=0)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "text_token_stats",
     f"""
@@ -10058,7 +10242,7 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r11 slots 1-7 (rotation rule 1 — never-driver-checked first):
+    # r11 slots 1-8 (rotation rule 1 — never-driver-checked first):
     # this round's new queries — the ANN operating curve (VERDICT r10
     # item 9), the iterative BPE trainer (item 4), and the bowler/team
     # incremental-gold completions (item 6). Each oracle-green x3 sfs
@@ -10070,7 +10254,8 @@ _DRIVER_FIRST = [
     "bpe_trained_compression",
     "hard_negative_mining",
     "ann_dim_recall_curve",
-    # r11 slots 8-18 (rotation rule 3, urgent tier): the LAST eleven
+    "ann_lsh_radius_curve",
+    # r11 slots 9-19 (rotation rule 3, urgent tier): the LAST eleven
     # queries whose newest driver row is r6 (VERDICT r10 item 1) —
     # after this window no query's newest external row predates r7.
     "personalized_pagerank_covisit",
@@ -10084,13 +10269,13 @@ _DRIVER_FIRST = [
     "training_shuffle_shards",
     "tumbling_window",
     "union_distinct",
-    # r11 slots 19-21: the IPL medallion golden surface holds a seat
+    # r11 slots 20-22: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r11 slots 22-50 (rotation rule 3 — refresh stalest first): the
-    # first 29 of the 45 REGISTERED queries whose newest driver row is
+    # r11 slots 23-50 (rotation rule 3 — refresh stalest first): the
+    # first 28 of the 45 REGISTERED queries whose newest driver row is
     # r7 (alphabetical; newest-row audit over CORRECTNESS_r01..r10
     # recomputed this round: r10:50 / r9:47 / r8:47 / r7:46 / r6:11 —
     # one r7 row, sequence_packing_sharded, is a historical NAME whose
@@ -10123,11 +10308,11 @@ _DRIVER_FIRST = [
     "pivot_status_qty",
     "q11_important_stock",
     "quality_weighted_sample",
-    "rank_topk",
-    # past slot 50 from here — the r12 queue: the three r7 rows bumped
+    # past slot 50 from here — the r12 queue: the four r7 rows bumped
     # by the late-registered r11 queries (rotation rule 1 outranks
     # refresh), the remaining thirteen r7-stale refresh rows, then the
     # r8/r9/r10 sets in registration order.
+    "rank_topk",
     "regional_revenue_rollup",
     "retention_cohorts",
     "rollup_pricing",

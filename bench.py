@@ -211,6 +211,7 @@ ROUND11 = [
     "bpe_trained_compression",
     "hard_negative_mining",
     "ann_dim_recall_curve",
+    "ann_lsh_radius_curve",
 ]
 
 

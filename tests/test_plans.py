@@ -77,6 +77,7 @@ def test_no_python_udf_in_relational_core(spark):
         "multimodal_features",
         "ann_ivf_topk",
         "ann_lsh_topk",
+        "ann_lsh_radius_curve",  # same memoized add_lsh_bucket build
         "dedup_simhash",
         # PQ encoding: vectorized numpy argmin over m subspaces — the
         # JVM form would be m×k unrolled distance exprs per row (huge

@@ -471,3 +471,20 @@ def test_lsh_index_partition_pruning(spark, tmp_path):
     ).mode("append").parquet(path + "2")
     dup = probe_lsh_index(spark, path + "2", planes, q, k=5, exclude_id=0)
     assert [tuple(r) for r in dup.collect()] == mem_rows
+
+
+def test_lsh_radius_curve_monotone(spark):
+    """ann_lsh_radius_curve: candidate count and recall are both
+    NON-DECREASING in the probe radius (each radius admits a superset
+    of candidates under the same metric, and any candidate outranking
+    an exact-top-5 member is itself exact-top-5), radius 0 probes at
+    least the query's own bucket cohort, and recall at radius 2 >=
+    recall at radius 0."""
+    from aws_ipl_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["ann_lsh_radius_curve"].fn(spark, SF).collect()
+    assert [r["radius"] for r in rows] == [0, 1, 2]
+    ncs = [r["n_candidates"] for r in rows]
+    recalls = [r["recall_1e4"] for r in rows]
+    assert ncs == sorted(ncs) and ncs[-1] > ncs[0]
+    assert recalls == sorted(recalls)
