@@ -172,6 +172,7 @@ def write_lsh_index(
     bits: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[list[float]]:
     """Materialize the LSH bucket table AS A PARTITIONED TABLE —
     the write_ivf_index pattern for the hyperplane family: buckets
@@ -180,8 +181,17 @@ def write_lsh_index(
     probed buckets instead of a runtime filter. Returns the planes
     (derive them anywhere from (dim, bits, seed) — random_hyperplanes
     is seeded — but persisting beside the index documents the index's
-    parameters)."""
-    dim = len(emb.select(vec_col).head()[0])  # 1-row bounded read
+    parameters). Pass ``dim`` to skip the 1-row dimension probe (one
+    Spark job) — required anyway when the input may be empty."""
+    if dim is None:
+        head = emb.select(vec_col).head()  # 1-row bounded read
+        if head is None or head[0] is None:
+            raise ValueError(
+                "write_lsh_index: cannot infer the vector dimension from "
+                f"an empty corpus (or a NULL leading {vec_col!r}); pass "
+                "dim= explicitly"
+            )
+        dim = len(head[0])
     planes = random_hyperplanes(dim, bits, seed)
     add_lsh_bucket(emb, planes, vec_col).write.partitionBy("bucket").mode(
         "overwrite"

@@ -594,7 +594,14 @@ def bpe_train_merges(
     representation); applying round r's winning merge is one codegen'd
     ``replace(' a b ', ' ab ')`` over the vocab — leftmost
     non-overlapping single-pass semantics, identical in Spark and
-    DuckDB, so trained tables and the apply path cannot desync. Round
+    DuckDB, so trained tables and the apply path cannot desync.
+    DELIBERATE DEVIATION from canonical BPE on repeated-symbol runs:
+    single-pass replace consumes the shared boundary space, so with
+    merge (a,a) the word ``a a a a`` becomes ``aa a a`` — canonical
+    trainers rescan and produce ``aa aa``. Pair counts on such runs
+    (and therefore trained tables on run-heavy corpora) differ from
+    reference tokenizer trainers; the trade buys a pure-codegen merge
+    step that both engines execute bit-identically. Round
     r's pair-count job executes r-1 accumulated replaces: total string
     work is O(N²/2 · |vocab|), VOCAB-bounded — at 100 TB the corpus
     pays one scan (the word-frequency agg feeding ``words``, which
@@ -603,8 +610,10 @@ def bpe_train_merges(
     trainers scale.
 
     Returns ``[(sym_a, sym_b, pair_count), ...]`` rank-ordered — the
-    count is the pre-merge weighted pair count (standard BPE). Stops
-    early if the vocabulary runs out of adjacent pairs."""
+    count is the pre-merge weighted pair count (under the
+    non-overlapping run semantics above, not canonical BPE's rescan
+    counts). Stops early if the vocabulary runs out of adjacent
+    pairs."""
     state = words.select(
         F.col(tf_col).cast("long").alias("tf"),
         F.concat(

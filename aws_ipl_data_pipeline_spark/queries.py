@@ -8718,7 +8718,16 @@ def _bpe_round_cte(i: int, carry: str = "") -> str:
     carries source/wlen through each state) so the round semantics
     cannot drift between the two. Pair stats aggregate over ALL state
     rows weighted by tf, so a (source, word)-grain state trains the
-    identical merge table as the word-grain one."""
+    identical merge table as the word-grain one.
+
+    Pair-exhaustion guard: if round i's pair pool is empty (every word
+    fully merged), b{i} has no row and the scalar subqueries return
+    NULL — an unguarded replace(s, NULL, NULL) would NULL-poison every
+    state row. The CASE on COUNT(*) makes an exhausted round a NO-OP
+    on the state, matching the Spark trainer's early break (which
+    likewise stops mutating state), so both oracles keep emitting real
+    counts on degenerate corpora (the trainer oracle's per-round UNION
+    still drops the empty b{i} rows, also matching the early break)."""
     a = f"(SELECT a FROM b{i})"
     b = f"(SELECT b FROM b{i})"
     return f"""
@@ -8733,8 +8742,10 @@ def _bpe_round_cte(i: int, carry: str = "") -> str:
     ),
     s{i} AS MATERIALIZED (
       SELECT {carry}tf,
-             replace(s, ' ' || {a} || ' ' || {b} || ' ',
-                        ' ' || {a} || {b} || ' ') AS s
+             CASE WHEN (SELECT COUNT(*) FROM b{i}) = 0 THEN s
+                  ELSE replace(s, ' ' || {a} || ' ' || {b} || ' ',
+                                  ' ' || {a} || {b} || ' ')
+             END AS s
       FROM s{i - 1}
     )"""
 

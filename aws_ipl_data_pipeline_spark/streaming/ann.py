@@ -50,31 +50,43 @@ def run_ivf_index_ingest(
     appends WITHOUT scanning the index: each batch appends its own
     (cell, *stats_cols, cnt) PARTIAL rows — a batch-local aggregate —
     and the probe's stats read sums partials, so counts stay exact
-    under clean delivery. An at-least-once retried batch overcounts
-    stats (its vectors dedupe at probe time; its stats rows do not),
-    which biases the widening cut to stop early — recall, never
-    precision; run ``similarity.refresh_ivf_stats`` with the periodic
-    per-cell compaction to restore exact counts."""
+    under clean delivery. The two appends are NOT atomic; either drift
+    direction is recall-safe-but-imperfect and repaired the same way:
+    a retried batch OVERCOUNTS stats (its vectors dedupe at probe
+    time; its stats rows do not — widening stops early, costing
+    recall-margin never precision), and a crash BETWEEN the index
+    append and the stats append UNDERCOUNTS (the widening cut probes
+    too far — recall-safe but cost-unbounded until repaired). Run
+    ``similarity.refresh_ivf_stats`` with the periodic per-cell
+    compaction to restore exact counts after either hazard."""
     stream = spark.readStream.schema(schema).parquet(emb_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        celled = add_ivf_cell(batch_df, centroids, vec_col)
-        celled.write.partitionBy("cell").mode("append").parquet(index_path)
-        if stats_cols:
-            from pyspark.sql import functions as F
+        # cell-assign ONCE per batch: both writes read the pinned frame
+        # (no re-read/re-assign of the source for the stats pass, and no
+        # chance the two writes see different assignments).
+        celled = add_ivf_cell(batch_df, centroids, vec_col).localCheckpoint(
+            eager=True
+        )
+        try:
+            celled.write.partitionBy("cell").mode("append").parquet(index_path)
+            if stats_cols:
+                from pyspark.sql import functions as F
 
-            from aws_ipl_data_pipeline_spark.operators.similarity import (
-                IVF_STATS_SUFFIX,
-            )
+                from aws_ipl_data_pipeline_spark.operators.similarity import (
+                    IVF_STATS_SUFFIX,
+                )
 
-            (
-                celled.groupBy("cell", *stats_cols)
-                .agg(F.count("*").alias("cnt"))
-                .write.mode("append")
-                .parquet(index_path + IVF_STATS_SUFFIX)
-            )
+                (
+                    celled.groupBy("cell", *stats_cols)
+                    .agg(F.count("*").alias("cnt"))
+                    .write.mode("append")
+                    .parquet(index_path + IVF_STATS_SUFFIX)
+                )
+        finally:
+            celled.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -1,12 +1,21 @@
-"""VERDICT r10 nit: confirm the minhash split-aggregate design still
-wins at sf1 volume (10x of sf0.1 — the reference's ~league-year scale),
-not only at the sf0.1 where it was first measured (r6: ~1.8x).
+"""A/B probe for the minhash aggregate shape: SHARED (shipped) vs
+SPLIT (historical r6-r10 design).
 
-Rebuilds the FORMER shared-aggregate plan inline (one groupBy emitting
-the k min-hashes AND the count AND the collect_set, every consumer
-re-merging the set state) and times it against the shipped
-minhash_lsh_pairs (split aggregates) on the scale_sweep replica
-corpora. Both plans produce identical pairs (asserted on 1x).
+Since commit 56099a9 (r11) the shipped ``minhash_lsh_pairs`` uses ONE
+shared per-doc aggregate (the k min-hashes AND the verification state —
+count + shingle-hash set — in a single scan+explode+exchange). This tool
+rebuilds the FORMER SPLIT plan inline (two aggregations over the same
+shingle stream: a signature-only groupBy feeding the banding, and a
+separate count+collect_set groupBy joined in only at verification) and
+times it against the shipped shared plan on the scale_sweep replica
+corpora. Both plans produce identical pairs (asserted on the first
+scale).
+
+The r11 measurement that motivated the revert (best-of-6 at 10x of
+sf0.1): shared 2.43 s vs split 2.61 s — one pass over the shingle
+stream beats two once only the bucket agg reads the signatures. Re-run
+this tool at HEAD to reproduce that comparison; a 'shared advantage'
+below 1.0x at production-like scale is the signal to reconsider.
 
 Usage: python tools/minhash_split_probe.py [--scales 1,10] [--iters 3]
 """
@@ -30,7 +39,7 @@ from aws_ipl_data_pipeline_spark.session import get_spark
 from tools.scale_sweep import build
 
 
-def shared_agg_pairs(
+def split_agg_pairs(
     docs,
     n=3,
     num_hashes=64,
@@ -39,20 +48,23 @@ def shared_agg_pairs(
     seed=42,
     max_bucket_size=256,
 ):
-    """The r5-era SHARED aggregate: mins + count + collect_set in ONE
-    groupBy — every consumer above the (deduped) exchange re-merges
-    the collect_set state. Candidate generation and verification are
-    otherwise identical to the shipped plan so the comparison isolates
-    the aggregate split."""
+    """The r6-r10-era SPLIT aggregates: the shingle stream is aggregated
+    TWICE — once into the k min-hash signatures (feeding the banding),
+    once into the verification state (count + shingle-hash set), joined
+    back only per candidate pair. Candidate generation and verification
+    are otherwise identical to the shipped plan so the comparison
+    isolates the aggregate shape."""
     rows_per_band = num_hashes // bands
     sh = word_shingles(docs, "doc_id", "text", n).select(
         "_id", F.xxhash64("shingle").alias("_hs")
     )
-    agg = sh.groupBy("_id").agg(
+    sig = sh.groupBy("_id").agg(
         *[
             F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
             for i in range(num_hashes)
-        ],
+        ]
+    )
+    ver = sh.groupBy("_id").agg(
         F.count("*").alias("_n"),
         F.collect_set("_hs").alias("_set"),
     )
@@ -70,7 +82,7 @@ def shared_agg_pairs(
             for b in range(bands)
         ]
     )
-    banded = agg.select("_id", F.explode(band_structs).alias("bb")).select(
+    banded = sig.select("_id", F.explode(band_structs).alias("bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     buckets = banded.groupBy("band", "bucket").agg(
@@ -104,12 +116,12 @@ def shared_agg_pairs(
         .select("p.id_a", "p.id_b")
         .dropDuplicates()
     )
-    a = agg.select(
+    a = ver.select(
         F.col("_id").alias("id_a"),
         F.col("_n").alias("_na"),
         F.col("_set").alias("_sa"),
     )
-    b = agg.select(
+    b = ver.select(
         F.col("_id").alias("id_b"),
         F.col("_n").alias("_nb"),
         F.col("_set").alias("_sb"),
@@ -143,21 +155,21 @@ def main() -> None:
         sf_dir = build(spark, mult)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         if mult == scales[0]:
-            split_out = {
+            shared_out = {
                 tuple(r) for r in minhash_lsh_pairs(docs).collect()
             }
-            shared_out = {tuple(r) for r in shared_agg_pairs(docs).collect()}
-            assert split_out == shared_out, (
-                f"plans diverge: {len(split_out)} vs {len(shared_out)}"
+            split_out = {tuple(r) for r in split_agg_pairs(docs).collect()}
+            assert shared_out == split_out, (
+                f"plans diverge: {len(shared_out)} vs {len(split_out)}"
             )
             print(
-                f"  identical output at {mult}x: {len(split_out)} pairs",
+                f"  identical output at {mult}x: {len(shared_out)} pairs",
                 file=sys.stderr,
             )
         t = {}
         for label, fn in (
-            ("split", lambda d: minhash_lsh_pairs(d)),
-            ("shared", lambda d: shared_agg_pairs(d)),
+            ("shared", lambda d: minhash_lsh_pairs(d)),
+            ("split", lambda d: split_agg_pairs(d)),
         ):
             runs = []
             for _ in range(args.iters):
@@ -166,12 +178,12 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             t[label] = round(min(runs), 2)
             print(f"  {mult}x {label}: {t[label]}s  {runs}", file=sys.stderr)
-        rows.append((mult, t["split"], t["shared"]))
+        rows.append((mult, t["shared"], t["split"]))
 
-    print("\n| scale | split (shipped) | shared (r5-era) | split advantage |")
+    print("\n| scale | shared (shipped) | split (r6-r10-era) | shared advantage |")
     print("|---|---|---|---|")
-    for mult, sp, sh in rows:
-        print(f"| {mult}x | {sp} s | {sh} s | {sh / sp:.2f}x |")
+    for mult, sh, sp in rows:
+        print(f"| {mult}x | {sh} s | {sp} s | {sp / sh:.2f}x |")
 
 
 if __name__ == "__main__":
