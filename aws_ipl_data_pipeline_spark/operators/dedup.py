@@ -386,12 +386,15 @@ def minhash_lsh_pairs(
     faster split; the r10 candidate path replaced that self-join with
     map-side pair emission from one (band,bucket) agg, which removed
     the extra signature consumers that made the shared set-state
-    merges expensive — and the r11 re-measure on TODAY'S plan
-    (tools/minhash_split_probe.py, best-of-6 at 10× of sf0.1,
-    identical 2560-pair output) shows the trade inverted: shared
-    2.43 s vs split 2.61 s at 10×, neutral at 1×. One pass over the
-    shingle stream beats two once only the bucket agg reads the
-    signatures. Verification intersects the carried shingle-hash sets per
+    merges expensive — and the re-measures on TODAY'S plan
+    (tools/minhash_split_probe.py — the split arm is rebuilt inline
+    there, so the comparison reproduces at HEAD; identical pair
+    output asserted) show the r6 split advantage GONE: r11 measured
+    shared 2.43 s vs split 2.61 s at 10×, and the r12 best-of-6
+    re-run landed 2.89 vs 2.79 s — a tie within box noise, with
+    shared ~5% ahead at 1×. Shared wins on plan shape at equal time:
+    one pass over the shingle stream instead of two once only the
+    bucket agg reads the signatures. Verification intersects the carried shingle-hash sets per
     candidate pair (array_intersect) — cost scales with candidates,
     and the sets ride only into the (small) candidate join, never
     through the band explode. For corpora with multi-MB documents, cap

@@ -8938,6 +8938,458 @@ def bpe_train_merges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_train_oracle() -> str:
+    """Unrolled-CTE replay of ``operators.unigram.unigram_train`` —
+    the SentencePiece-style Viterbi-EM trainer (VERDICT r11 item 3).
+    Everything answer-affecting is GENERATED from the operator
+    module's own constants so the engines cannot desync: the
+    composition table (the full segmentation candidate set per word
+    length) arrives as a VALUES block from the same
+    ``compositions()`` the Spark E-step compiles into literals, and
+    the integer fixed-point log is the ``qlog2_sql`` twin of the
+    driver-side ``qlog2``. Per EM round: segmentation scores via a
+    LEFT JOIN of word×composition pieces against the current vocab
+    (only fully-in-vocab compositions survive — Spark reaches the
+    same winners because a missing piece scores MISSING_SCORE and the
+    all-chars composition is always valid), argmax per word with the
+    shared (score DESC, composition-index ASC) tie-break, usage
+    re-count, add-one char floor, the KEEP_SCHEDULE prune, and an
+    integer rescore. Round CTEs are MATERIALIZED (each state is
+    multi-referenced; DuckDB default inlining would re-expand)."""
+    from aws_ipl_data_pipeline_spark.operators.unigram import (
+        KEEP_SCHEDULE,
+        MAX_PIECE_LEN,
+        MAX_WORD_LEN,
+        SEED_MULTI,
+        compositions,
+        qlog2_sql,
+    )
+
+    comp_rows = ",".join(
+        f"({wlen},{cidx},{s},{ln})"
+        for wlen, comps in sorted(compositions().items())
+        for cidx, comp in enumerate(comps)
+        for s, ln in comp
+    )
+    parts = [
+        f"""
+    cmp AS MATERIALIZED (
+      SELECT * FROM (VALUES {comp_rows}) AS c(wlen, cidx, s, l)
+    ),
+    tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+    ),
+    w AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE word <> '' AND length(word) <= {MAX_WORD_LEN}
+      GROUP BY word
+    ),
+    chx AS (
+      SELECT word, tf, unnest(range(1, length(word) + 1)) AS i FROM w
+    ),
+    ch AS MATERIALIZED (
+      SELECT substr(word, CAST(i AS INT), 1) AS piece, SUM(tf) AS cnt
+      FROM chx GROUP BY 1
+    ),
+    mx1 AS (
+      SELECT word, tf, unnest(range(1, length(word))) AS i
+      FROM w WHERE length(word) >= 2
+    ),
+    mx2 AS (
+      SELECT word, tf, i,
+             unnest(range(2,
+               least({MAX_PIECE_LEN}, length(word) - i + 1) + 1)) AS l
+      FROM mx1
+    ),
+    mtop AS MATERIALIZED (
+      SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+             SUM(tf) AS cnt
+      FROM mx2 GROUP BY 1 ORDER BY cnt DESC, piece ASC LIMIT {SEED_MULTI}
+    ),
+    kp0 AS MATERIALIZED (
+      SELECT piece, cnt FROM ch UNION ALL SELECT piece, cnt FROM mtop
+    ),
+    tt0 AS MATERIALIZED (SELECT SUM(cnt) AS t FROM kp0),
+    v0 AS MATERIALIZED (
+      SELECT piece, cnt,
+             {qlog2_sql('cnt')} - {qlog2_sql('(SELECT t FROM tt0)')} AS score
+      FROM kp0
+    )"""
+    ]
+    for r in range(1, len(KEEP_SCHEDULE) + 1):
+        keep = KEEP_SCHEDULE[r - 1]
+        parts.append(
+            f""",
+    sg{r} AS (
+      SELECT w.word, w.tf, c.cidx,
+             SUM(v.score) AS sc, COUNT(*) AS np, COUNT(v.piece) AS nv
+      FROM w
+      JOIN cmp c ON c.wlen = length(w.word)
+      LEFT JOIN v{r - 1} v ON v.piece = substr(w.word, c.s, c.l)
+      GROUP BY 1, 2, 3
+    ),
+    bs{r} AS MATERIALIZED (
+      SELECT word, tf, cidx FROM sg{r} WHERE nv = np
+      QUALIFY row_number()
+        OVER (PARTITION BY word ORDER BY sc DESC, cidx ASC) = 1
+    ),
+    ug{r} AS MATERIALIZED (
+      SELECT substr(b.word, c.s, c.l) AS piece, SUM(b.tf) AS cnt
+      FROM bs{r} b
+      JOIN cmp c ON c.wlen = length(b.word) AND c.cidx = b.cidx
+      GROUP BY 1
+    ),
+    kp{r} AS MATERIALIZED (
+      SELECT piece, cnt FROM ug{r} WHERE length(piece) = 1
+      UNION ALL
+      SELECT ch.piece, CAST(1 AS BIGINT) AS cnt FROM ch
+      WHERE ch.piece NOT IN
+        (SELECT piece FROM ug{r} WHERE length(piece) = 1)
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM ug{r} WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT {keep}
+      )
+    ),
+    tt{r} AS MATERIALIZED (SELECT SUM(cnt) AS t FROM kp{r}),
+    v{r} AS MATERIALIZED (
+      SELECT piece, cnt,
+             {qlog2_sql('cnt')} - {qlog2_sql(f'(SELECT t FROM tt{r})')}
+               AS score
+      FROM kp{r}
+    )"""
+        )
+    last = len(KEEP_SCHEDULE)
+    return (
+        "WITH"
+        + "".join(parts)
+        + f"""
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT)
+             AS rank,
+           piece,
+           CAST(cnt AS BIGINT) AS n_uses,
+           CAST(score AS BIGINT) AS score_q
+    FROM v{last} ORDER BY rank
+    """
+    )
+
+
+@register("unigram_lm_train", _unigram_train_oracle())
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNIGRAM-LM tokenizer trainer (VERDICT r11 item 3) — the
+    likelihood-based alternative real pipelines weigh against BPE:
+    fixed Viterbi-EM rounds over a vocab-bounded candidate table in
+    the kmeans_fit_fixed_int discipline (integer fixed-point log
+    scores, bounded driver collects — alphabet + top-SEED_MULTI
+    seeds + one <=|vocab|-row usage frame per round, the corpus pays
+    ONE scan). Per-word segmentation search is pure JVM codegen over
+    literal composition tables and a literal score map — the E-step's
+    only exchange is the piece-usage aggregate
+    (operators/unigram.unigram_train). Output: the trained vocabulary
+    (rank, piece, n_uses, score_q). The oracle replays training as
+    unrolled materialized-CTE EM rounds generated from the SAME
+    constants, so a hash match proves seeding, segmentation argmax
+    tie-breaks, char-floor, prune schedule, AND integer rescoring are
+    bit-identical cross-engine. Training is session-memoized
+    (train-once/apply-many, the bpe_trained_compression shape)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.unigram import unigram_train
+
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            F.explode(F.split(normalized_text("text"), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+    def _train() -> list[tuple[str, int, int]]:
+        return unigram_train(w)
+
+    vocab = session_memo(spark, ("unigram_train", sf_dir), _train)
+    return spark.createDataFrame(
+        [(i + 1, p, u, s) for i, (p, u, s) in enumerate(vocab)],
+        "rank long, piece string, n_uses long, score_q long",
+    )
+
+
+def _curation_oracle() -> str:
+    """The end-to-end curation funnel as ONE SQL program (VERDICT r11
+    item 4) — each stage CTE replicates the corresponding REGISTERED
+    oracle's semantics with the survivor set threaded through
+    (training_data_prep's quality gate + exact dedup, _JACCARD_ORACLE's
+    3-gram >= 0.8 near-dup relation restricted to survivors,
+    decontamination_overlap's 5-gram >= 3 protocol,
+    source_mixing_temperature's alpha=0.5 hash-decided mix, and
+    document_chunking's nc/least token math interpolated from the SAME
+    _CHUNK_* constants the Spark side folds with). Materialized linear
+    chain — every stage is referenced by its successor and the funnel
+    union, never re-expanded."""
+    ct, ov, st = _CHUNK_TOKENS, _CHUNK_OVERLAP, _CHUNK_STRIDE
+    return f"""
+    WITH t0 AS MATERIALIZED (
+      SELECT doc_id, lang, source, text,
+             len(tk) AS n_tokens,
+             CASE WHEN len(tk) BETWEEN 20 AND 10000
+                   AND length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       * 1.0 / greatest(length(text), 1) < 0.2
+                   AND len(list_filter(tk, x -> x IN
+                       ('the','a','and','of','to','is','in')))
+                       * 1.0 / greatest(len(tk), 1) >= 0.01
+                  THEN 1 ELSE 0 END AS qp
+      FROM (
+        SELECT *, string_split({_NORM_SQL}, ' ') AS tk
+        FROM documents WHERE doc_id % 10 <> 0
+      )
+    ),
+    t1 AS MATERIALIZED (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5({_NORM_SQL}), qp ORDER BY doc_id
+      ) AS rk FROM t0
+    ),
+    s2 AS MATERIALIZED (SELECT * FROM t1 WHERE qp = 1 AND rk = 1),
+    w2 AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM s2),
+    sh3 AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+      FROM w2, unnest(range(1, len(ws) - 1)) AS u(i)
+      WHERE len(ws) >= 3
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+    nd AS MATERIALIZED (
+      SELECT DISTINCT p.id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sz ca ON p.id_a = ca.doc_id
+      JOIN sz cb ON p.id_b = cb.doc_id
+      WHERE p.c * 1.0 / (ca.n + cb.n - p.c) >= 0.8
+    ),
+    s3 AS MATERIALIZED (
+      SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+    ),
+    trn AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM s3),
+    trs AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
+      FROM trn, unnest(range(1, len(tk) - 3)) AS u(i)
+      WHERE len(tk) >= 5
+    ),
+    evn AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    evs AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
+      FROM evn, unnest(range(1, len(tk) - 3)) AS u(i)
+      WHERE len(tk) >= 5
+    ),
+    cont AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM (
+        SELECT a.doc_id FROM trs a JOIN evs b ON a.shingle = b.shingle
+        GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3
+      )
+    ),
+    s4 AS MATERIALIZED (
+      SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    mc AS (SELECT lang, COUNT(*) AS n_s FROM s4 GROUP BY lang),
+    mm AS (SELECT MIN(n_s) AS n_min FROM mc),
+    mr AS (
+      SELECT lang, POWER(CAST(n_s AS DOUBLE) / n_min, -0.5) AS keep_prob
+      FROM mc, mm
+    ),
+    s5 AS MATERIALIZED (
+      SELECT s4.* FROM s4 JOIN mr USING (lang)
+      WHERE (s4.doc_id * 2654435761) % 1000 < mr.keep_prob * 1000
+    ),
+    cs AS (
+      SELECT lang, source, n_tokens AS n,
+             CAST(ceil(greatest(n_tokens - {ov}, 1)
+                       / CAST({st} AS DOUBLE)) AS BIGINT) AS nc
+      FROM s5
+    ),
+    ch6 AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             SUM(least({ct}, n - cid * {st})) AS n_tokens
+      FROM (SELECT lang, source, n, unnest(range(0, nc)) AS cid FROM cs)
+      GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT lang, source, '0_raw' AS stage,
+             COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+      FROM t0 GROUP BY 1, 2
+      UNION ALL
+      SELECT lang, source, '1_quality', COUNT(*), SUM(n_tokens)
+      FROM t0 WHERE qp = 1 GROUP BY 1, 2
+      UNION ALL
+      SELECT lang, source, '2_exact_dedup', COUNT(*), SUM(n_tokens)
+      FROM s2 GROUP BY 1, 2
+      UNION ALL
+      SELECT lang, source, '3_near_dedup', COUNT(*), SUM(n_tokens)
+      FROM s3 GROUP BY 1, 2
+      UNION ALL
+      SELECT lang, source, '4_decontaminated', COUNT(*), SUM(n_tokens)
+      FROM s4 GROUP BY 1, 2
+      UNION ALL
+      SELECT lang, source, '5_temperature_mix', COUNT(*), SUM(n_tokens)
+      FROM s5 GROUP BY 1, 2
+      UNION ALL
+      SELECT lang, source, '6_chunks', n_docs, n_tokens FROM ch6
+    )
+    SELECT lang, source, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM f
+    """
+
+
+@register("curation_pipeline_e2e", _curation_oracle())
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production curation chain in one query (VERDICT r11
+    item 4): quality gate → exact dedup → MinHash near-dup removal →
+    benchmark decontamination → temperature mix → chunking, with a
+    per-(lang, source) FUNNEL audit row for every stage. Composes the
+    REGISTERED operators (quality_scores, the training_data_prep md5
+    window, minhash_lsh_pairs under the dedup_minhash_lsh exact-spec
+    contract, decontaminate, the temperature_mix rate/hash rule, and
+    document_chunking's token math via the shared _CHUNK_* constants —
+    test_curation_chunk_fold pins the inline fold to the operator), so
+    the composition cannot drift from the piecewise-proven stages.
+
+    Scale shape — the seams add NO corpus shuffle beyond the stages'
+    own budgets: stage decisions become FLAGS on one frame (the drop
+    id-sets from the near-dup and decontamination stages are
+    localCheckpointed — bounded by the dup/contamination mass, the
+    incremental_dedup state posture — and join back as flags; mix
+    rates are a k-row broadcast), so the ENTIRE seven-stage funnel
+    including the chunk stage aggregates in ONE exchange (the chunk
+    count/token sums fold per-row under the documented
+    chunk_documents contract — no explode needed for the audit). The
+    benchmark side is doc_id % 10 == 0, the decontamination_overlap
+    convention."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        decontaminate,
+        minhash_lsh_pairs,
+        normalized_text,
+    )
+    from aws_ipl_data_pipeline_spark.operators.text import quality_scores
+
+    docs_all = t(spark, sf_dir, "documents")
+    docs = docs_all.where(F.col("doc_id") % 10 != 0)
+    bench = docs_all.where(F.col("doc_id") % 10 == 0)
+
+    q = quality_scores(docs).select("doc_id", "n_tokens", "quality_pass")
+    base = docs.select("doc_id", "lang", "source", "text").join(q, "doc_id")
+    # rank within (digest, quality_pass): pass docs rank among
+    # themselves — ONE window exchange yields the exact-dedup flag
+    # without filtering the frame
+    w = Window.partitionBy(
+        F.md5(normalized_text("text")), "quality_pass"
+    ).orderBy("doc_id")
+    fr = base.withColumn("rk", F.row_number().over(w))
+
+    f_q = F.col("quality_pass") == 1
+    f_ex = f_q & (F.col("rk") == 1)
+    s2 = fr.where(f_ex)
+    nd = (
+        minhash_lsh_pairs(s2, threshold=0.8, max_bucket_size=None)
+        .select(F.col("id_b").cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+        .localCheckpoint(eager=True)  # bounded: near-dup ids only
+    )
+    s3 = s2.join(nd, "doc_id", "left_anti")
+    ctm = (
+        decontaminate(s3, bench, n=5, min_overlap=3)
+        .select(F.col("train_doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("_ct", F.lit(1))
+        .localCheckpoint(eager=True)  # bounded: contaminated ids only
+    )
+    pre = fr.join(nd, "doc_id", "left").join(ctm, "doc_id", "left")
+    f_nr = f_ex & F.col("_nd").isNull()
+    f_dc = f_nr & F.col("_ct").isNull()
+
+    # temperature_mix's rate table over stage-4 survivors (k rows)
+    counts = pre.where(f_dc).groupBy("lang").agg(F.count("*").alias("_n_s"))
+    rates = counts.crossJoin(
+        F.broadcast(counts.agg(F.min("_n_s").alias("_n_min")))
+    ).select(
+        F.col("lang").alias("_lang_key"),
+        F.pow(F.col("_n_s").cast("double") / F.col("_n_min"), F.lit(-0.5)).alias(
+            "keep_prob"
+        ),
+    )
+    flags = pre.join(
+        F.broadcast(rates), F.col("lang").eqNullSafe(F.col("_lang_key")), "left"
+    )
+    f_mx = f_dc & (
+        (F.col("doc_id") * 2654435761) % 1000 < F.col("keep_prob") * 1000
+    )
+
+    # chunk math per row — the document_chunking contract folded inline
+    # (nc = ceil(max(n - overlap, 1)/stride); chunk i holds
+    # least(chunk_tokens, n - i*stride) tokens); f_mx implies
+    # n_tokens >= 20 so nc >= 1 and sequence() never descends
+    n = F.col("n_tokens")
+    nc = (
+        F.ceil(
+            F.greatest(n - F.lit(_CHUNK_OVERLAP), F.lit(1))
+            / F.lit(_CHUNK_STRIDE)
+        )
+    ).cast("long")
+    chunk_toks = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), nc - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.least(
+            F.lit(_CHUNK_TOKENS).cast("long"), n - i * F.lit(_CHUNK_STRIDE)
+        ),
+    )
+
+    def _n(flag):
+        return F.sum(F.when(flag, 1)).cast("long")
+
+    def _t(flag):
+        return F.sum(F.when(flag, n)).cast("long")
+
+    agg = flags.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum(n).cast("long").alias("t0"),
+        _n(f_q).alias("n1"),
+        _t(f_q).alias("t1"),
+        _n(f_ex).alias("n2"),
+        _t(f_ex).alias("t2"),
+        _n(f_nr).alias("n3"),
+        _t(f_nr).alias("t3"),
+        _n(f_dc).alias("n4"),
+        _t(f_dc).alias("t4"),
+        _n(f_mx).alias("n5"),
+        _t(f_mx).alias("t5"),
+        F.sum(F.when(f_mx, nc)).cast("long").alias("n6"),
+        F.sum(F.when(f_mx, chunk_toks)).cast("long").alias("t6"),
+    )
+    stacked = agg.select(
+        "lang",
+        "source",
+        F.expr(
+            "stack(7,"
+            " '0_raw', n0, t0,"
+            " '1_quality', n1, t1,"
+            " '2_exact_dedup', n2, t2,"
+            " '3_near_dedup', n3, t3,"
+            " '4_decontaminated', n4, t4,"
+            " '5_temperature_mix', n5, t5,"
+            " '6_chunks', n6, t6) AS (stage, n_docs, n_tokens)"
+        ),
+    )
+    return stacked.where(
+        F.col("n_docs").isNotNull() & (F.col("n_docs") > 0)
+    ).select("lang", "source", "stage", "n_docs", "n_tokens")
+
+
 # oracle constants interpolated from the operator module so a change
 # to the scales or default damping can never desync the two engines
 from aws_ipl_data_pipeline_spark.operators.graph import (  # noqa: E402

@@ -13,11 +13,17 @@ into unparseability (BENCH_r04.json "parsed": null). The full breakdown
 loadavg snapshots — is written to BENCH_FULL.json in the working
 directory and echoed per-query on stderr.
 
-Calibration (r8, VERDICT r7 #2): a fixed-shape probe (constant
-synthetic volume, one Exchange, no file I/O) runs interleaved through
-the whole recording. Its series moves with BOX conditions only, so a
-drifting headline total can be attributed inside the artifact: flat
-calib + higher queries = plan drift; elevated calib = environment.
+Calibration (r8, VERDICT r7 #2; densified r12, VERDICT r11 #2): a
+fixed-shape probe (constant synthetic volume, one Exchange, no file
+I/O) runs after EVERY query. Its series moves with BOX conditions
+only, so a drifting headline total can be attributed inside the
+artifact: flat calib + higher queries = plan drift; elevated calib =
+environment. Every query in every set records best AND median plus
+its adjacent calib reading, and the stdout line carries a `noise`
+summary (calib max/min ratio, median per-query median/best spread,
+and a noisy_box verdict) — regression-vs-load is decidable from the
+JSON alone. The newest two round sets ride stdout; older sets live in
+BENCH_FULL.json only (the driver's stdout tail is bounded).
 """
 
 from __future__ import annotations
@@ -214,6 +220,13 @@ ROUND11 = [
     "ann_lsh_radius_curve",
 ]
 
+# round-12 additions (the unigram-LM tokenizer trainer and the
+# end-to-end curation composition): same stdout-compact policy
+ROUND12 = [
+    "unigram_lm_train",
+    "curation_pipeline_e2e",
+]
+
 
 def _calib_once(spark) -> float:
     """One reading of the FIXED calibration probe: constant synthetic
@@ -264,25 +277,43 @@ def main() -> None:
     # 20-30% between iterations 4 and 7 while the rest plateau by 3-4 —
     # best-of-4 recorded C2-compile tails, not engine throughput
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "6"))
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    for name in HEADLINE:
+
+    # VERDICT r11 #2: one calib reading after EVERY query (not every
+    # 4th) so each timing carries a box-load anchor taken seconds away
+    # from it, and best AND median for EVERY query in EVERY set — the
+    # r11 driver artifact inflated ~19% from box load and only the 5
+    # deepest medians exposed it; with per-query (best, median,
+    # calib_at) the artifact is self-diagnosing: flat calib + higher
+    # best = plan drift; elevated calib or median>>best = load.
+    all_medians: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    calib_by_query: dict[str, float] = {}
+
+    def _time_one(name: str) -> float:
         fn = REGISTRY[name].fn
         runs: list[float] = []
         for _ in range(iters):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
-        medians[name] = round(statistics.median(runs), 3)
+        best = round(min(runs), 3)
+        all_medians[name] = round(statistics.median(runs), 3)
+        spread[name] = round(all_medians[name] / best, 2) if best else 1.0
+        c = round(_calib_once(spark), 3)
+        calib_series.append(c)
+        calib_by_query[name] = c
+        return best
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = _time_one(name)
+        medians[name] = all_medians[name]
         print(
-            f"  {name}: best {timings[name]}s median {medians[name]}s",
+            f"  {name}: best {timings[name]}s median {medians[name]}s "
+            f"calib {calib_by_query[name]}s",
             file=sys.stderr,
         )
-        # interleaved calibration reading after every 4th query block:
-        # a box-wide slowdown shows up here; a plan regression doesn't
-        if len(timings) % 4 == 0:
-            calib_series.append(round(_calib_once(spark), 3))
 
     # trend line vs the last recorded round: report per-query deltas and
     # flag anything regressing >1.5x so a regression can't hide in the
@@ -313,21 +344,18 @@ def main() -> None:
                 )
 
     def time_set(names: list[str], label: str) -> dict[str, float]:
-        """Best-of-``iters`` per query (same protocol as the headline
-        loop, minus the median) — one definition so a timing-protocol
+        """Best-of-``iters`` per query — the SAME _time_one as the
+        headline loop (medians, spread, and a per-query calib anchor
+        recorded as side effects), one definition so a timing-protocol
         change can never skew one round set against another."""
         out: dict[str, float] = {}
         for name in names:
-            fn = REGISTRY[name].fn
-            runs = []
-            for _ in range(iters):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            out[name] = round(min(runs), 3)
-            print(f"  [{label}] {name}: best {out[name]}s", file=sys.stderr)
-            if len(out) % 8 == 0:
-                calib_series.append(round(_calib_once(spark), 3))
+            out[name] = _time_one(name)
+            print(
+                f"  [{label}] {name}: best {out[name]}s median "
+                f"{all_medians[name]}s calib {calib_by_query[name]}s",
+                file=sys.stderr,
+            )
         return out
 
     extended = time_set(EXTENDED, "extended")
@@ -340,6 +368,7 @@ def main() -> None:
     round9 = time_set(ROUND9, "round9")
     round10 = time_set(ROUND10, "round10")
     round11 = time_set(ROUND11, "round11")
+    round12 = time_set(ROUND12, "round12")
 
     calib_series.append(round(_calib_once(spark), 3))
     try:
@@ -352,7 +381,25 @@ def main() -> None:
         "max": max(calib_series),
         "n": len(calib_series),
     }
+    # load-variance summary (VERDICT r11 #2): the artifact declares its
+    # own trustworthiness. calib_ratio = max/min of the fixed probe's
+    # interleaved series (box-only signal); spread_med = median over
+    # queries of median/best (per-plan steady-state vs lucky-run gap).
+    # Both near 1.0 => readings are load-clean; either elevated => the
+    # totals are noise-dominated and deltas vs other rounds are not
+    # plan evidence. Thresholds from the r10/r11 contrast: r10's clean
+    # run had per-query spreads ~1.04; r11's loaded run hit 2.1x.
+    noise = {
+        "calib_ratio": round(calib["max"] / calib["min"], 2),
+        "spread_med": round(statistics.median(spread.values()), 2),
+        "spread_max": max(spread.values()),
+        "noisy_box": bool(
+            calib["max"] / calib["min"] > 1.3
+            or statistics.median(spread.values()) > 1.3
+        ),
+    }
     print(f"  calib probe: {calib} series={calib_series}", file=sys.stderr)
+    print(f"  noise summary: {noise}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -371,6 +418,11 @@ def main() -> None:
         "queries_round9": round9,
         "queries_round10": round10,
         "queries_round11": round11,
+        "queries_round12": round12,
+        "queries_median_all": all_medians,
+        "spread": spread,
+        "calib_by_query": calib_by_query,
+        "noise": noise,
         "calib_series": calib_series,
         "calib": calib,
         "loadavg_start": load_start,
@@ -402,9 +454,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "median5": med5,
-                "round10": round10,
                 "round11": round11,
+                "round12": round12,
                 "calib": calib,
+                "noise": noise,
                 "iters": iters,
                 "sf": sf,
             },
