@@ -225,6 +225,35 @@ def probe_lsh_index(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def compact_lsh_index(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """COMPACTION for the materialized LSH index (VERDICT r11 item 5)
+    — the lifecycle step the IVF side already had: streaming appends
+    accumulate small per-bucket files, and an at-least-once retried
+    batch re-appends identical rows (probe_lsh_index dedupes them at
+    read time, so answers never change — but every probe pays the
+    duplicate I/O until they are removed at rest). Reuses
+    sources/maintenance.compact — partition-aware (the bucket=
+    directory layout survives byte-identically, so probe-time
+    partition pruning is untouched), atomic swap — with
+    dedupe_keys=(bucket, id): bucket assignment is deterministic from
+    (vector, planes), so a retried append can only duplicate a row
+    within its own bucket, and the at-rest dedupe is exactly the
+    probe-time rule. Returns the new file count."""
+    from aws_ipl_data_pipeline_spark.sources.maintenance import compact
+
+    return compact(
+        spark,
+        path,
+        target_file_bytes=target_file_bytes,
+        dedupe_keys=["bucket", id_col],
+    )
+
+
 def _unit(vec: list[float]) -> list[float]:
     n = math.sqrt(sum(x * x for x in vec)) or 1.0
     return [x / n for x in vec]
@@ -734,6 +763,35 @@ def refresh_ivf_stats(
         .write.mode("overwrite")
         .parquet(stats_path or path + IVF_STATS_SUFFIX)
     )
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    stats_cols: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """The packaged IVF compaction step (the lifecycle previously
+    described in prose and exercised as a test stand-in): per-cell
+    file re-pack + at-rest removal of at-least-once duplicate rows
+    (dedupe by (cell, id) — cell assignment is frozen metadata, a
+    retried append duplicates only within its cell), then
+    ``refresh_ivf_stats`` so the filtered probe's widening cut sees
+    exact counts again (the ingest stream's partial stats rows over-
+    OR under-count after retries/crashes; this is the repair both
+    hazards share). Returns the new file count."""
+    from aws_ipl_data_pipeline_spark.sources.maintenance import compact
+
+    n = compact(
+        spark,
+        path,
+        target_file_bytes=target_file_bytes,
+        dedupe_keys=["cell", id_col],
+    )
+    if stats_cols:
+        refresh_ivf_stats(spark, path, stats_cols)
+    return n
 
 
 def probe_ivf_index(

@@ -10,8 +10,9 @@ changes under re-assignment (standard faiss/Milvus practice: recluster
 = offline index rebuild, not an ingest-path concern). Because appends
 are partition-local parquet files, a live probe simply sees the new
 files on its next directory listing; there is no compaction barrier in
-the read path (run `sources/maintenance.compact` per cell when small
-files accumulate).
+the read path (run `operators/similarity.compact_ivf_index` when small
+files or retry duplicates accumulate — it re-packs the cell layout,
+dedupes at rest, and refreshes the stats table in one step).
 
 Exactly-once story: the file source tracks processed input files in the
 checkpoint, and the index append is the batch's ONLY write — a retry
