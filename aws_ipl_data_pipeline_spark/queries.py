@@ -10705,76 +10705,23 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r11 slots 1-8 (rotation rule 1 — never-driver-checked first):
-    # this round's new queries — the ANN operating curve (VERDICT r10
-    # item 9), the iterative BPE trainer (item 4), and the bowler/team
-    # incremental-gold completions (item 6). Each oracle-green x3 sfs
-    # in-repo before seating.
-    "ann_probe_recall_curve",
-    "bpe_train_merges",
-    "ipl_bowler_incremental",
-    "ipl_team_incremental",
-    "bpe_trained_compression",
-    "hard_negative_mining",
-    "ann_dim_recall_curve",
-    "ann_lsh_radius_curve",
-    # r11 slots 9-19 (rotation rule 3, urgent tier): the LAST eleven
-    # queries whose newest driver row is r6 (VERDICT r10 item 1) —
-    # after this window no query's newest external row predates r7.
-    "personalized_pagerank_covisit",
-    "running_totals",
-    "semantic_dedup_clusters",
-    "semantic_dedup_clusters_ivf",
-    "sliding_window",
-    "source_mixing",
-    "text_token_stats",
-    "time_rollup_hierarchy",
-    "training_shuffle_shards",
-    "tumbling_window",
-    "union_distinct",
-    # r11 slots 20-22: the IPL medallion golden surface holds a seat
+    # r12 slots 1-2 (rotation rule 1 — never-driver-checked first):
+    # this round's new queries — the unigram-LM tokenizer trainer
+    # (VERDICT r11 item 3) and the end-to-end curation funnel
+    # (item 4). Each oracle-green x3 sfs in-repo before seating.
+    "unigram_lm_train",
+    "curation_pipeline_e2e",
+    # r12 slots 3-5: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r11 slots 23-50 (rotation rule 3 — refresh stalest first): the
-    # first 28 of the 45 REGISTERED queries whose newest driver row is
-    # r7 (alphabetical; newest-row audit over CORRECTNESS_r01..r10
-    # recomputed this round: r10:50 / r9:47 / r8:47 / r7:46 / r6:11 —
-    # one r7 row, sequence_packing_sharded, is a historical NAME whose
-    # query re-registered as sequence_packing, r9-fresh).
-    "ann_batch_ivf_topk",
-    "ann_batch_topk",
-    "ann_ivf_topk",
-    "bigram_perplexity",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash",
-    "diversity_sample",
-    "domain_cap",
-    "except_customers",
-    "explode_token_counts",
-    "funnel_analysis",
-    "fuzzy_name_match",
-    "grouping_sets_pricing",
-    "incremental_dedup",
-    "intersect_customers",
-    "ipl_batsman_incremental",
-    "ipl_batsman_stats",
-    "ipl_batsman_stats_big",
-    "ipl_bowler_stats",
-    "ipl_standings_incremental",
-    "json_props_extract",
-    "kmeans_lloyd",
-    "lateral_topn_per_key",
-    "percentiles_by_segment",
-    "pivot_status_qty",
-    "q11_important_stock",
-    "quality_weighted_sample",
-    # past slot 50 from here — the r12 queue: the four r7 rows bumped
-    # by the late-registered r11 queries (rotation rule 1 outranks
-    # refresh), the remaining thirteen r7-stale refresh rows, then the
-    # r8/r9/r10 sets in registration order.
+    # r12 slots 6-22 (rotation rule 3, urgent tier): ALL 17 remaining
+    # queries whose newest driver row is r7 (VERDICT r11 item 1) —
+    # after this window no query's newest external row predates r8.
+    # (The staleness audit over CORRECTNESS_r01..r11: r11:50 / r10:47 /
+    # r9:47 / r8:47 / r7:18, of which one — sequence_packing_sharded —
+    # is a historical NAME re-registered as sequence_packing.)
     "rank_topk",
     "regional_revenue_rollup",
     "retention_cohorts",
@@ -10792,6 +10739,70 @@ _DRIVER_FIRST = [
     "vocab_coverage_curve",
     "vocab_top_terms",
     "window_battery",
+    # r12 slots 23-50 (rotation rule 3 — refresh stalest first): the
+    # alphabetical head of the 47 r8-stale rows, with ONE substitution
+    # (VERDICT r11 item 6 — the rows-only-companion rule): the window
+    # carries three rows-only-by-nature queries (ann_pq_topk,
+    # ann_ivfpq_topk, datasketches_battery); the PQ reranked oracle
+    # twins sit here alphabetically already, and
+    # theta_sketch_exact_battery takes the 28th seat (displacing
+    # q7_volume_shipping to the r13 queue head) so the sketch
+    # battery's exact-regime companion lands in the SAME external
+    # window.
+    "ann_ivfpq_topk",
+    "ann_ivfpq_topk_reranked",
+    "ann_pq_topk",
+    "ann_pq_topk_reranked",
+    "anti_join_customers",
+    "asof_join_events",
+    "bm25_retrieval",
+    "broadcast_dim_revenue",
+    "composite_key_agg",
+    "conditional_agg",
+    "corpus_drift_psi",
+    "corpus_snapshot_diff",
+    "datasketches_battery",
+    "ipl_standings_big",
+    "ipl_team_stats",
+    "length_bucketed_batches",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_pushdown",
+    "q22_dormant_customers",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "theta_sketch_exact_battery",
+    # ------------------------------------------------------------------
+    # THE DRIVER WINDOW ENDS HERE: the driver snapshots registry[0:50],
+    # i.e. everything ABOVE this line (50 names). Names BELOW are the
+    # staged r13 queue head — kept in rotation order so next round's
+    # reseat is a block move, NOT part of the external window.
+    # ------------------------------------------------------------------
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_classifier",
+    "random_projection_embed",
+    "recursive_date_spine",
+    "robust_outlier_stats",
+    "scd2_user_state",
+    "segment_dedup",
+    "semantic_chunking",
+    "seq_length_histogram",
+    "sequence_packing",
+    "sequence_packing_global",
+    "sessionize_events",
+    "source_mixing_temperature",
+    "stats_aggregates_battery",
+    "token_budget_mix",
+    "token_entropy",
+    "unpivot_measures",
+    "variant_props_extract",
+    "vocab_zipf_fit",
 ]
 
 
