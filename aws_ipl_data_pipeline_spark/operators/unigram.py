@@ -166,27 +166,7 @@ def best_segmentation(word_col: str, scores: dict[str, int]) -> Column:
     so only fully-in-vocab segmentations can win). Ties break to the
     lowest composition index — the oracle's ORDER BY sc DESC, cidx
     ASC. Pure column expression."""
-    w = F.col(word_col)
-    score_map = _score_map_literal(scores)
-    cands = F.element_at(_comps_literal(), F.length(w))
-    scored = F.transform(
-        cands,
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(c["ss"], c["ls"], lambda s, ln: w.substr(s, ln)),
-                F.lit(0).cast("long"),
-                lambda acc, p: acc
-                + F.coalesce(
-                    F.try_element_at(score_map, p),
-                    F.lit(MISSING_SCORE).cast("long"),
-                ),
-            ).alias("sc"),
-            (-c["idx"]).alias("negidx"),
-            c["ss"].alias("ss"),
-            c["ls"].alias("ls"),
-        ),
-    )
-    return F.array_max(scored)
+    return best_segmentation_of(F.col(word_col), scores)
 
 
 def unigram_token_count(word_col: str, scores: dict[str, int]) -> Column:
@@ -195,15 +175,24 @@ def unigram_token_count(word_col: str, scores: dict[str, int]) -> Column:
     than MAX_WORD_LEN tokenize as the best segmentation of the
     MAX_WORD_LEN-char prefix plus one char-piece per remaining
     character (the documented long-tail rule; such types are excluded
-    from training). Pure column expression — vocab-bounded literals,
-    zero Python in the loop."""
+    from training). A prefix with NO fully-in-vocab segmentation (a
+    character outside the trained alphabet — impossible for training
+    words, possible at apply time on unseen text) falls back to one
+    token per prefix character, the SQL oracle's COALESCE rule. Pure
+    column expression — vocab-bounded literals, zero Python in the
+    loop."""
     w = F.col(word_col)
-    prefix_best = best_segmentation_of(
-        F.substring(w, 1, MAX_WORD_LEN), scores
+    prefix = F.substring(w, 1, MAX_WORD_LEN)
+    prefix_best = best_segmentation_of(prefix, scores)
+    # any fully-valid segmentation scores > -2^39 (>= MAX_WORD_LEN
+    # pieces at >= -qlog2(total) each, a few 1e7 at most); any invalid
+    # one carries at least one MISSING_SCORE = -2^40 term
+    valid = prefix_best["sc"] > F.lit(-(1 << 39)).cast("long")
+    prefix_toks = F.when(valid, F.size(prefix_best["ss"])).otherwise(
+        F.length(prefix)
     )
     return (
-        F.size(prefix_best["ss"])
-        + F.greatest(F.length(w) - F.lit(MAX_WORD_LEN), F.lit(0))
+        prefix_toks + F.greatest(F.length(w) - F.lit(MAX_WORD_LEN), F.lit(0))
     ).cast("long")
 
 

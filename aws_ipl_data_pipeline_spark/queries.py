@@ -8938,24 +8938,26 @@ def bpe_train_merges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_train_oracle() -> str:
-    """Unrolled-CTE replay of ``operators.unigram.unigram_train`` —
-    the SentencePiece-style Viterbi-EM trainer (VERDICT r11 item 3).
-    Everything answer-affecting is GENERATED from the operator
-    module's own constants so the engines cannot desync: the
-    composition table (the full segmentation candidate set per word
-    length) arrives as a VALUES block from the same
-    ``compositions()`` the Spark E-step compiles into literals, and
-    the integer fixed-point log is the ``qlog2_sql`` twin of the
-    driver-side ``qlog2``. Per EM round: segmentation scores via a
-    LEFT JOIN of word×composition pieces against the current vocab
-    (only fully-in-vocab compositions survive — Spark reaches the
-    same winners because a missing piece scores MISSING_SCORE and the
-    all-chars composition is always valid), argmax per word with the
-    shared (score DESC, composition-index ASC) tie-break, usage
-    re-count, add-one char floor, the KEEP_SCHEDULE prune, and an
-    integer rescore. Round CTEs are MATERIALIZED (each state is
-    multi-referenced; DuckDB default inlining would re-expand)."""
+def _unigram_cte_chain() -> tuple[list[str], int]:
+    """The unigram trainer's unrolled EM rounds as a CTE parts list
+    (through the final vocab ``v{last}``) — ONE generator shared by
+    the trainer oracle and the trained-compression (apply) oracle so
+    the round semantics cannot drift between the two, the
+    _bpe_round_cte pattern. Everything answer-affecting is GENERATED
+    from the operator module's own constants: the composition table
+    (the full segmentation candidate set per word length) arrives as
+    a VALUES block from the same ``compositions()`` the Spark E-step
+    compiles into literals, and the integer fixed-point log is the
+    ``qlog2_sql`` twin of the driver-side ``qlog2``. Per EM round:
+    segmentation scores via a LEFT JOIN of word×composition pieces
+    against the current vocab (only fully-in-vocab compositions
+    survive — Spark reaches the same winners because a missing piece
+    scores MISSING_SCORE and the all-chars composition is always
+    valid), argmax per word with the shared (score DESC,
+    composition-index ASC) tie-break, usage re-count, add-one char
+    floor, the KEEP_SCHEDULE prune, and an integer rescore. Round
+    CTEs are MATERIALIZED (each state is multi-referenced; DuckDB
+    default inlining would re-expand)."""
     from aws_ipl_data_pipeline_spark.operators.unigram import (
         KEEP_SCHEDULE,
         MAX_PIECE_LEN,
@@ -9059,7 +9061,13 @@ def _unigram_train_oracle() -> str:
       FROM kp{r}
     )"""
         )
-    last = len(KEEP_SCHEDULE)
+    return parts, len(KEEP_SCHEDULE)
+
+
+def _unigram_train_oracle() -> str:
+    """The trainer oracle: the shared EM chain, final vocab ranked by
+    (usage DESC, piece ASC) — see _unigram_cte_chain."""
+    parts, last = _unigram_cte_chain()
     return (
         "WITH"
         + "".join(parts)
@@ -9070,6 +9078,68 @@ def _unigram_train_oracle() -> str:
            CAST(cnt AS BIGINT) AS n_uses,
            CAST(score AS BIGINT) AS score_q
     FROM v{last} ORDER BY rank
+    """
+    )
+
+
+def _unigram_apply_oracle() -> str:
+    """Trainer composed with APPLY, one SQL program (the
+    bpe_trained_compression shape for the unigram family): the shared
+    EM chain learns v{last}, then EVERY corpus word — including types
+    longer than MAX_WORD_LEN, which training excluded — tokenizes as
+    the best fully-in-vocab segmentation of its MAX_WORD_LEN prefix
+    (same composition table, same tie-break) plus one char-token per
+    remaining character; a prefix with no valid segmentation falls
+    back to its char count (COALESCE — the operator's documented
+    fallback). No vocabulary crosses between engines: both learn it
+    from the data."""
+    from aws_ipl_data_pipeline_spark.operators.unigram import MAX_WORD_LEN
+
+    parts, last = _unigram_cte_chain()
+    return (
+        "WITH"
+        + "".join(parts)
+        + f""",
+    wa AS MATERIALIZED (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY 1, 2
+    ),
+    pw AS MATERIALIZED (
+      SELECT source, word, tf, length(word) AS wl,
+             substr(word, 1, {MAX_WORD_LEN}) AS pref
+      FROM wa
+    ),
+    ap AS (
+      SELECT p.source, p.word, c.cidx,
+             SUM(v.score) AS sc, COUNT(*) AS np, COUNT(v.piece) AS nv
+      FROM pw p
+      JOIN cmp c ON c.wlen = length(p.pref)
+      LEFT JOIN v{last} v ON v.piece = substr(p.pref, c.s, c.l)
+      GROUP BY 1, 2, 3
+    ),
+    ab AS MATERIALIZED (
+      SELECT source, word, np FROM ap WHERE nv = np
+      QUALIFY row_number() OVER (
+        PARTITION BY source, word ORDER BY sc DESC, cidx ASC
+      ) = 1
+    ),
+    at AS (
+      SELECT p.source, p.tf, p.wl,
+             COALESCE(b.np, length(p.pref))
+               + greatest(p.wl - {MAX_WORD_LEN}, 0) AS tok_n
+      FROM pw p
+      LEFT JOIN ab b ON b.source = p.source AND b.word = p.word
+    )
+    SELECT source,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(SUM(tf * wl) AS BIGINT) AS n_tokens_char,
+           CAST(SUM(tf * tok_n) AS BIGINT) AS n_tokens_unigram,
+           CAST((SUM(tf * wl) * 10000) // SUM(tf * tok_n) AS BIGINT)
+             AS compression_1e4
+    FROM at GROUP BY source
     """
     )
 
@@ -9112,6 +9182,60 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, p, u, s) for i, (p, u, s) in enumerate(vocab)],
         "rank long, piece string, n_uses long, score_q long",
+    )
+
+
+@register("unigram_trained_compression", _unigram_apply_oracle())
+def unigram_trained_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram trainer composed with APPLY — the tokenizer family's
+    end-to-end story in one query, completing the BPE symmetry
+    (bpe_trained_compression): TRAIN the unigram vocabulary
+    (unigram_train, session-memoized under the SAME key as
+    unigram_lm_train — train once, apply many), then tokenize the
+    whole corpus under it — every word, including the long types
+    training excluded, via best-prefix segmentation + char tail with
+    the documented no-valid-segmentation fallback — and report
+    per-source word counts, the char baseline, unigram token counts,
+    and the exact 1e-4-scaled compression ratio. Apply cost is
+    vocab-bounded: the per-word Viterbi is pure codegen over literal
+    tables on the (source, word) aggregated frame. The oracle unrolls
+    the same EM rounds (shared _unigram_cte_chain generator) and
+    applies v_final relationally, so a hash match proves training AND
+    application agree end to end with no vocabulary literals crossing
+    engines."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import normalized_text
+    from aws_ipl_data_pipeline_spark.operators.unigram import (
+        unigram_token_count,
+        unigram_train,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "source",
+            F.explode(F.split(normalized_text("text"), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+    def _train() -> list[tuple[str, int, int]]:
+        w = sw.groupBy("word").agg(F.sum("tf").alias("tf"))
+        return unigram_train(w)
+
+    vocab = session_memo(spark, ("unigram_train", sf_dir), _train)
+    scores = {p: s for p, _, s in vocab}
+    tn = sw.withColumn("tok_n", unigram_token_count("word", scores))
+    return tn.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        F.sum(F.col("tf") * F.length("word")).cast("long").alias("n_tokens_char"),
+        F.sum(F.col("tf") * F.col("tok_n")).cast("long").alias(
+            "n_tokens_unigram"
+        ),
+        F.expr("(SUM(tf * length(word)) * 10000) div SUM(tf * tok_n)")
+        .cast("long")
+        .alias("compression_1e4"),
     )
 
 
@@ -10705,18 +10829,20 @@ from aws_ipl_data_pipeline_spark import queries_ipl  # noqa: E402,F401
 # plus this round's newly oracle-backed entries; long-green queries from
 # r1+r2 sit after slot 50. See COVERAGE.md "Registry order".
 _DRIVER_FIRST = [
-    # r12 slots 1-2 (rotation rule 1 — never-driver-checked first):
+    # r12 slots 1-3 (rotation rule 1 — never-driver-checked first):
     # this round's new queries — the unigram-LM tokenizer trainer
-    # (VERDICT r11 item 3) and the end-to-end curation funnel
-    # (item 4). Each oracle-green x3 sfs in-repo before seating.
+    # (VERDICT r11 item 3), the end-to-end curation funnel (item 4),
+    # and the unigram trainer→apply composition. Each oracle-green
+    # x3 sfs in-repo before seating.
     "unigram_lm_train",
     "curation_pipeline_e2e",
-    # r12 slots 3-5: the IPL medallion golden surface holds a seat
+    "unigram_trained_compression",
+    # r12 slots 4-6: the IPL medallion golden surface holds a seat
     # every round (rotation rule 4 — the reference parity contract)
     "ipl_bronze_fold",
     "ipl_gold_e2e",
     "ipl_standings",
-    # r12 slots 6-22 (rotation rule 3, urgent tier): ALL 17 remaining
+    # r12 slots 7-23 (rotation rule 3, urgent tier): ALL 17 remaining
     # queries whose newest driver row is r7 (VERDICT r11 item 1) —
     # after this window no query's newest external row predates r8.
     # (The staleness audit over CORRECTNESS_r01..r11: r11:50 / r10:47 /
@@ -10739,14 +10865,15 @@ _DRIVER_FIRST = [
     "vocab_coverage_curve",
     "vocab_top_terms",
     "window_battery",
-    # r12 slots 23-50 (rotation rule 3 — refresh stalest first): the
+    # r12 slots 24-50 (rotation rule 3 — refresh stalest first): the
     # alphabetical head of the 47 r8-stale rows, with ONE substitution
     # (VERDICT r11 item 6 — the rows-only-companion rule): the window
     # carries three rows-only-by-nature queries (ann_pq_topk,
     # ann_ivfpq_topk, datasketches_battery); the PQ reranked oracle
     # twins sit here alphabetically already, and
-    # theta_sketch_exact_battery takes the 28th seat (displacing
-    # q7_volume_shipping to the r13 queue head) so the sketch
+    # theta_sketch_exact_battery takes the last seat (with
+    # q6_forecast_revenue and q7_volume_shipping displaced to the r13
+    # queue head by it and the third r12-new query) so the sketch
     # battery's exact-regime companion lands in the SAME external
     # window.
     "ann_ivfpq_topk",
@@ -10775,7 +10902,6 @@ _DRIVER_FIRST = [
     "q3_shipping_priority",
     "q4_priority_exists",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "theta_sketch_exact_battery",
     # ------------------------------------------------------------------
     # THE DRIVER WINDOW ENDS HERE: the driver snapshots registry[0:50],
@@ -10783,6 +10909,7 @@ _DRIVER_FIRST = [
     # staged r13 queue head — kept in rotation order so next round's
     # reseat is a block move, NOT part of the external window.
     # ------------------------------------------------------------------
+    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
     "quality_classifier",

@@ -225,6 +225,7 @@ ROUND11 = [
 ROUND12 = [
     "unigram_lm_train",
     "curation_pipeline_e2e",
+    "unigram_trained_compression",
 ]
 
 

@@ -152,3 +152,21 @@ def test_apply_plan_stays_jvm_side(spark):
         unigram_token_count("word", scores).alias("n")
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # no Python UDF in the hot path
+
+
+def test_apply_fallback_on_unseen_alphabet(spark):
+    # 'z' is outside the vocab: no fully-in-vocab segmentation exists
+    # for 'az', so the apply path falls back to one token per prefix
+    # char (the oracle's COALESCE rule)
+    scores = {"a": -1}
+    df = spark.createDataFrame([("az",), ("a",), ("azzzzzzzzzz",)], "word string")
+    out = {
+        r["word"]: r["n"]
+        for r in df.select(
+            "word", unigram_token_count("word", scores).alias("n")
+        ).collect()
+    }
+    assert out["az"] == 2  # fallback: 2 prefix chars
+    assert out["a"] == 1  # valid single piece
+    # 11 chars: 8-char invalid prefix falls back to 8 + 3 tail chars
+    assert out["azzzzzzzzzz"] == 11
