@@ -1265,6 +1265,113 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the dedup operating curve's threshold grid (×1e4) — shared with the
+# oracle text below so the two engines sweep the identical points. The
+# grid spans the background-similarity floor (0.05) through the strict
+# near-dup band (0.95): this corpus is bimodal (pairs sit under j=0.1
+# or over j=0.9), so the informative axis is where the low thresholds
+# start admitting background pairs — exactly the flood a mis-tuned
+# production threshold causes.
+_DEDUP_CURVE_THS = (500, 2000, 5000, 8000, 9500)
+
+
+@register(
+    "dedup_threshold_curve",
+    f"""
+    WITH {_SHINGLE_SQL},
+    p AS (
+      SELECT p.id_a, p.id_b, p.common, ca.n AS na, cb.n AS nb
+      FROM pairs p
+      JOIN sizes ca ON p.id_a = ca.doc_id
+      JOIN sizes cb ON p.id_b = cb.doc_id
+    ),
+    q AS (
+      SELECT t.th, p.id_a, p.id_b
+      FROM p JOIN (SELECT unnest([{", ".join(map(str, _DEDUP_CURVE_THS))}])
+                   AS th) t
+        ON p.common * 10000 >= t.th * (p.na + p.nb - p.common)
+    ),
+    np AS (SELECT th, COUNT(*) AS n_pairs FROM q GROUP BY th),
+    nd AS (
+      SELECT th, COUNT(DISTINCT d) AS n_docs FROM (
+        SELECT th, id_a AS d FROM q UNION ALL SELECT th, id_b AS d FROM q
+      ) GROUP BY th
+    ),
+    spine AS (SELECT unnest([{", ".join(map(str, _DEDUP_CURVE_THS))}]) AS th)
+    SELECT CAST(s.th AS BIGINT) AS threshold_1e4,
+           CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs_flagged
+    FROM spine s
+    LEFT JOIN np ON s.th = np.th
+    LEFT JOIN nd ON s.th = nd.th
+    ORDER BY threshold_1e4
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's OPERATING CURVE (the tuning artifact a
+    100 TB deployment reads to set its near-dup threshold, the
+    ann_probe_recall_curve discipline applied to dedup): exact-jaccard
+    pair count and distinct flagged-doc count at thresholds
+    0.05/0.20/0.50/0.80/0.95. ONE inverted-index pair pass computes the common
+    counts (pair_common_counts — the same exchange dedup_ngram_jaccard
+    pays once); each pair then emits the thresholds it qualifies for
+    from a literal array (integer-exact rational comparison
+    common·1e4 >= t·(na+nb-common), no float jaccard anywhere), and
+    the per-threshold pair/doc aggregates read that one
+    localCheckpointed frame — the sweep costs one threshold's work
+    plus k tiny aggs, not k passes. A VALUES spine keeps zero-pair
+    thresholds as explicit rows."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        pair_common_counts,
+        word_shingles,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 3).select(
+        "_id", F.xxhash64("shingle").alias("_hs")
+    )
+    common = pair_common_counts(sh, "_id", "_hs")
+    denom = F.col("_na") + F.col("_nb") - F.col("_common")
+    qualifying = F.filter(
+        F.array(*[F.lit(t).cast("long") for t in _DEDUP_CURVE_THS]),
+        lambda th: F.col("_common") * 10000 >= th * denom,
+    )
+    q = (
+        common.select(F.explode(qualifying).alias("th"), "id_a", "id_b")
+        .localCheckpoint(eager=True)  # bounded: pairs over the grid floor
+    )
+    n_pairs = q.groupBy("th").agg(F.count("*").cast("long").alias("n_pairs"))
+    n_docs = (
+        q.select("th", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .distinct()
+        .groupBy("th")
+        .agg(F.count("*").cast("long").alias("n_docs_flagged"))
+    )
+    spine = spark.createDataFrame(
+        [(int(t),) for t in _DEDUP_CURVE_THS], "threshold_1e4 long"
+    )
+    return (
+        spine.join(
+            n_pairs.withColumnRenamed("th", "threshold_1e4"),
+            "threshold_1e4",
+            "left",
+        )
+        .join(
+            n_docs.withColumnRenamed("th", "threshold_1e4"),
+            "threshold_1e4",
+            "left",
+        )
+        .select(
+            "threshold_1e4",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0))
+            .cast("long")
+            .alias("n_docs_flagged"),
+        )
+        .orderBy("threshold_1e4")
+    )
+
+
 @register(
     "leakage_safe_split",
     f"""
@@ -10909,6 +11016,10 @@ _DRIVER_FIRST = [
     # staged r13 queue head — kept in rotation order so next round's
     # reseat is a block move, NOT part of the external window.
     # ------------------------------------------------------------------
+    # r13 rule-1 head: registered after the r12 window filled (the
+    # decayed_engagement precedent — covered by the in-repo oracle
+    # replica until seated)
+    "dedup_threshold_curve",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",

@@ -226,6 +226,7 @@ ROUND12 = [
     "unigram_lm_train",
     "curation_pipeline_e2e",
     "unigram_trained_compression",
+    "dedup_threshold_curve",
 ]
 
 

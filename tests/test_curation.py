@@ -105,3 +105,18 @@ def test_curation_plan_single_funnel_exchange(spark):
     nxt_exch = plan.find("Exchange", gen)
     assert nxt_agg != -1
     assert nxt_exch == -1 or nxt_agg < nxt_exch
+
+
+def test_dedup_threshold_curve_monotone(spark):
+    """The operating curve is non-increasing in the threshold (each
+    threshold admits a subset of the previous one's pairs), covers the
+    full grid via the spine, and varies on this corpus (the grid spans
+    the background floor so the artifact is non-degenerate)."""
+    rows = REGISTRY["dedup_threshold_curve"].fn(spark, SF).collect()
+    ths = [r["threshold_1e4"] for r in rows]
+    assert ths == sorted(ths) and len(ths) == 5
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_flagged"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    assert pairs[0] > pairs[-1] >= 0  # non-degenerate spread
