@@ -868,6 +868,8 @@ BNLJ_OK = (
     "chi2_source_lang",  # 1-row keyless-agg grand-total frame
     "cusum_drift_alarms",  # 1-row keyless-agg target frame
     "embedding_label_drift",  # 1-row keyless-agg global self-dot frame
+    "curation_pipeline_e2e",  # 1-row keyless-agg n_min frame (the
+    # temperature_mix rate pattern, inlined for the funnel's mix stage)
 )
 
 # Structural evidence that a broadcast side cannot grow with the data:
