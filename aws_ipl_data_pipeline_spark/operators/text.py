@@ -222,6 +222,7 @@ def quality_classifier_score(
     text_col: str = "text",
     weights: tuple[float, float, float, float, float] = (0.35, 2.0, -3.0, -0.15, 1.2),
     bias: float = -1.0,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Linear quality-classifier scoring — the fastText/DCLM-style
     "model-based quality filter" stand-in: a logistic model over cheap
@@ -237,7 +238,10 @@ def quality_classifier_score(
     oracle hash-matches across float formatting.
 
     Output: (doc_id, log_n_tokens, stopword_ratio, punct_ratio,
-    mean_token_len, type_token_ratio, score, keep).
+    mean_token_len, type_token_ratio, score, keep), plus any
+    ``extra_cols`` passed through verbatim (the default output is a
+    registered driver-hashed schema — passthrough is opt-in so the
+    contract cannot shift under existing consumers).
     """
     t = tokens(text_col)
     n_tok = F.size(t)
@@ -260,6 +264,7 @@ def quality_classifier_score(
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return docs.select(
         F.col(id_col).cast("long"),
+        *[F.col(c) for c in (extra_cols or [])],
         *[F.round(e, 4).alias(n) for n, e in feats.items()],
         F.round(score, 4).alias("score"),
         (F.round(score, 4) >= 0.5).cast("long").alias("keep"),

@@ -5280,14 +5280,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "quality_classifier",
-    f"""
-    WITH d AS (
-      SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+# the classifier's feature/score CTEs, shared by the per-doc query and
+# the threshold operating curve below — ONE definition of the scorer
+# SQL so the two oracles cannot drift
+_QC_SCORE_SQL = f"""
+    d AS (
+      SELECT doc_id, n_chars, text, string_split({_NORM_SQL}, ' ') AS tk
+      FROM documents
     ),
     f AS (
-      SELECT doc_id,
+      SELECT doc_id, n_chars,
              ln(1.0 + len(tk)) AS x1,
              len(list_filter(tk,
                  x -> x IN ('the','a','and','of','to','is','in'))) * 1.0
@@ -5300,11 +5302,18 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     ),
     s AS (
-      SELECT doc_id, x1, x2, x3, x4, x5,
+      SELECT doc_id, n_chars, x1, x2, x3, x4, x5,
              1.0 / (1.0 + exp(-(-1.0 + 0.35 * x1 + 2.0 * x2 - 3.0 * x3
                                 - 0.15 * x4 + 1.2 * x5))) AS sc
       FROM f
     )
+"""
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH {_QC_SCORE_SQL}
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            round(x1, 4) AS log_n_tokens,
            round(x2, 4) AS stopword_ratio,
@@ -5326,6 +5335,85 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_ipl_data_pipeline_spark.operators.text import quality_classifier_score
 
     return quality_classifier_score(t(spark, sf_dir, "documents"))
+
+
+# the quality curve's cutoff grid (score x 1e2) — shared with the
+# oracle so both engines sweep identical points
+_QC_CURVE_THS = (50, 58, 60, 62, 64)
+
+
+@register(
+    "quality_score_curve",
+    f"""
+    WITH {_QC_SCORE_SQL},
+    q AS (
+      SELECT t.th, s.doc_id, s.n_chars
+      FROM s JOIN (SELECT unnest([{", ".join(map(str, _QC_CURVE_THS))}])
+                   AS th) t
+        ON round(s.sc, 4) >= t.th / 100.0
+    ),
+    ag AS (
+      SELECT th, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_kept
+      FROM q GROUP BY th
+    ),
+    spine AS (SELECT unnest([{", ".join(map(str, _QC_CURVE_THS))}]) AS th)
+    SELECT CAST(sp.th AS BIGINT) AS threshold_1e2,
+           CAST(COALESCE(ag.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(ag.n_chars_kept, 0) AS BIGINT) AS n_chars_kept
+    FROM spine sp LEFT JOIN ag ON sp.th = ag.th
+    ORDER BY threshold_1e2
+    """,
+)
+def quality_score_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate's OPERATING CURVE — docs and char volume
+    surviving each classifier-score cutoff (0.50/0.58/0.60/0.62/0.64
+    — the grid brackets this corpus's score mass, p10-p90 ~0.57-0.63,
+    so every step moves the kept volume),
+    completing the per-gate tuning-artifact family (ANN probe/dim/
+    radius, dedup threshold, now quality cutoff): this is the table a
+    deployment reads to trade corpus volume against quality strictness
+    before committing a 100 TB filter pass. ONE map-only scoring scan
+    (quality_classifier_score with n_chars passed through); each doc
+    emits its qualifying cutoffs from a literal array — comparisons
+    run on the 4dp-ROUNDED score (the registered classifier's
+    driver-hash-proven value) against th/100.0 with identical IEEE
+    arithmetic in both engines — and the per-cutoff aggregate is one
+    skinny exchange. VALUES spine keeps zero-survivor cutoffs
+    explicit."""
+    from aws_ipl_data_pipeline_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    scored = quality_classifier_score(
+        t(spark, sf_dir, "documents"), extra_cols=["n_chars"]
+    )
+    qualifying = F.filter(
+        F.array(*[F.lit(int(th)) for th in _QC_CURVE_THS]),
+        lambda th: F.col("score") >= th / F.lit(100.0),
+    )
+    q = scored.select(F.explode(qualifying).alias("th"), "n_chars")
+    ag = q.groupBy("th").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_kept"),
+    )
+    spine = spark.createDataFrame(
+        [(int(th),) for th in _QC_CURVE_THS], "threshold_1e2 long"
+    )
+    return (
+        spine.join(
+            ag.withColumn("threshold_1e2", F.col("th").cast("long")).drop("th"),
+            "threshold_1e2",
+            "left",
+        )
+        .select(
+            "threshold_1e2",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_chars_kept", F.lit(0))
+            .cast("long")
+            .alias("n_chars_kept"),
+        )
+        .orderBy("threshold_1e2")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -11020,6 +11108,7 @@ _DRIVER_FIRST = [
     # decayed_engagement precedent — covered by the in-repo oracle
     # replica until seated)
     "dedup_threshold_curve",
+    "quality_score_curve",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",

@@ -227,6 +227,7 @@ ROUND12 = [
     "curation_pipeline_e2e",
     "unigram_trained_compression",
     "dedup_threshold_curve",
+    "quality_score_curve",
 ]
 
 

@@ -120,3 +120,16 @@ def test_dedup_threshold_curve_monotone(spark):
     assert pairs == sorted(pairs, reverse=True)
     assert docs == sorted(docs, reverse=True)
     assert pairs[0] > pairs[-1] >= 0  # non-degenerate spread
+
+
+def test_quality_score_curve_monotone(spark):
+    """Quality-gate operating curve: non-increasing in the cutoff,
+    full grid via the spine, non-degenerate spread on this corpus."""
+    rows = REGISTRY["quality_score_curve"].fn(spark, SF).collect()
+    ths = [r["threshold_1e2"] for r in rows]
+    assert ths == sorted(ths) and len(ths) == 5
+    docs = [r["n_docs"] for r in rows]
+    chars = [r["n_chars_kept"] for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert chars == sorted(chars, reverse=True)
+    assert docs[0] > docs[-1] >= 0
