@@ -9564,6 +9564,190 @@ def _curation_oracle() -> str:
     """
 
 
+def _curation_incremental_oracle() -> str:
+    """The daily-ingest admission funnel as one SQL program: the batch
+    (doc_id % 10 = 0 — today's crawl) flows quality gate → exact
+    dedup (within-batch canonical + NOT IN the corpus digest state,
+    the registered incremental_dedup semantics on the shared
+    _PREFIX_HASH_SQL fragment) → near-dup admission vs the corpus
+    (the registered dedup_incremental_minhash exact cross-split
+    jaccard at >= 0.8), with per-source funnel rows for every
+    stage."""
+    return f"""
+    WITH {_PREFIX_HASH_SQL},
+    tq AS (
+      SELECT doc_id, source, len(tk) AS n_tokens,
+             CASE WHEN len(tk) BETWEEN 20 AND 10000
+                   AND length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       * 1.0 / greatest(length(text), 1) < 0.2
+                   AND len(list_filter(tk, x -> x IN
+                       ('the','a','and','of','to','is','in')))
+                       * 1.0 / greatest(len(tk), 1) >= 0.01
+                  THEN 1 ELSE 0 END AS qp
+      FROM (
+        SELECT doc_id, source, text, string_split({_NORM_SQL}, ' ') AS tk
+        FROM documents WHERE doc_id % 10 = 0
+      )
+    ),
+    b AS MATERIALIZED (
+      SELECT t.doc_id, t.source, t.n_tokens, t.qp, h.text_hash
+      FROM tq t JOIN h ON h.doc_id = t.doc_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY text_hash, qp ORDER BY doc_id
+      ) AS rk FROM b
+    ),
+    ex AS MATERIALIZED (
+      SELECT doc_id, source, n_tokens FROM r
+      WHERE qp = 1 AND rk = 1
+        AND text_hash NOT IN
+          (SELECT text_hash FROM h WHERE doc_id % 10 <> 0)
+    ),
+    w2 AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ),
+    sh2 AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM w2 WHERE len(ws) >= 3)
+    ),
+    sz2 AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+    nd AS MATERIALIZED (
+      SELECT DISTINCT p.new_id AS doc_id FROM (
+        SELECT a.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS c
+        FROM sh2 a JOIN sh2 c ON a.s = c.s
+        WHERE a.doc_id IN (SELECT doc_id FROM ex) AND c.doc_id % 10 <> 0
+        GROUP BY 1, 2
+      ) p
+      JOIN sz2 ca ON p.new_id = ca.doc_id
+      JOIN sz2 cb ON p.corpus_id = cb.doc_id
+      WHERE p.c * 1.0 / (ca.n + cb.n - p.c) >= 0.8
+    ),
+    f AS (
+      SELECT source, '0_batch' AS stage,
+             COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+      FROM b GROUP BY 1
+      UNION ALL
+      SELECT source, '1_quality', COUNT(*), SUM(n_tokens)
+      FROM b WHERE qp = 1 GROUP BY 1
+      UNION ALL
+      SELECT source, '2_exact_novel', COUNT(*), SUM(n_tokens)
+      FROM ex GROUP BY 1
+      UNION ALL
+      SELECT source, '3_near_novel', COUNT(*), SUM(n_tokens)
+      FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM nd) GROUP BY 1
+    )
+    SELECT source, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM f
+    """
+
+
+@register("curation_incremental", _curation_incremental_oracle())
+def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL curation funnel — what curation_pipeline_e2e's
+    batch shape becomes in production once a corpus exists: today's
+    crawl (doc_id % 10 == 0) is admitted AGAINST the standing corpus,
+    never rescanning it — quality gate → exact dedup (within-batch
+    canonical + anti-join on the corpus's stored prefix-digest state,
+    the incremental_dedup operator's flow) → near-dup admission via
+    the stored minhash signature state (near_dup_pairs_vs_state at
+    32 bands × 4 rows: batch bands and verification sets BROADCAST,
+    the corpus state scanned once, never self-joined — miss
+    probability at the 0.8 oracle threshold ≈ 4.8e-8, the
+    dedup_incremental_minhash banding analysis). Per-source funnel
+    rows for all four stages; decisions become flags on the batch
+    frame, so the audit is ONE skinny aggregate over TODAY'S data —
+    the 100 TB corpus contributes only its digest/signature state
+    (pre-stored in production; session-memoized here under the SAME
+    key as dedup_incremental_minhash, so the two queries share one
+    state build)."""
+    from aws_ipl_data_pipeline_spark.operators.dedup import (
+        minhash_state,
+        near_dup_pairs_vs_state,
+        prefix_fingerprint,
+    )
+    from aws_ipl_data_pipeline_spark.operators.text import quality_scores
+
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+
+    q = quality_scores(batch).select("doc_id", "n_tokens", "quality_pass")
+    b = (
+        batch.select("doc_id", "source", "text")
+        .join(q, "doc_id")
+        .withColumn("text_hash", prefix_fingerprint("text"))
+    )
+    w = Window.partitionBy("text_hash", "quality_pass").orderBy("doc_id")
+    fr = b.withColumn("rk", F.row_number().over(w))
+    f_q = F.col("quality_pass") == 1
+    f_b1 = f_q & (F.col("rk") == 1)
+
+    seen = (
+        corpus.select(prefix_fingerprint("text").alias("text_hash"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    pre = fr.join(seen, "text_hash", "left")
+    f_ex = f_b1 & F.col("_seen").isNull()
+
+    state = session_memo(
+        spark,
+        ("inc_near_state_b32", sf_dir),
+        lambda: minhash_state(
+            corpus, num_hashes=128, bands=32
+        ).localCheckpoint(eager=True),
+    )
+    nd = (
+        near_dup_pairs_vs_state(
+            minhash_state(pre.where(f_ex), num_hashes=128, bands=32),
+            state,
+            threshold=0.8,
+        )
+        .select(F.col("new_id").cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+        .localCheckpoint(eager=True)  # bounded: near-dup batch ids
+    )
+    flags = pre.join(nd, "doc_id", "left")
+    f_nr = f_ex & F.col("_nd").isNull()
+
+    n = F.col("n_tokens")
+
+    def _n(flag):
+        return F.sum(F.when(flag, 1)).cast("long")
+
+    def _t(flag):
+        return F.sum(F.when(flag, n)).cast("long")
+
+    agg = flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum(n).cast("long").alias("t0"),
+        _n(f_q).alias("n1"),
+        _t(f_q).alias("t1"),
+        _n(f_ex).alias("n2"),
+        _t(f_ex).alias("t2"),
+        _n(f_nr).alias("n3"),
+        _t(f_nr).alias("t3"),
+    )
+    stacked = agg.select(
+        "source",
+        F.expr(
+            "stack(4,"
+            " '0_batch', n0, t0,"
+            " '1_quality', n1, t1,"
+            " '2_exact_novel', n2, t2,"
+            " '3_near_novel', n3, t3) AS (stage, n_docs, n_tokens)"
+        ),
+    )
+    return stacked.where(
+        F.col("n_docs").isNotNull() & (F.col("n_docs") > 0)
+    ).select("source", "stage", "n_docs", "n_tokens")
+
+
 @register("curation_pipeline_e2e", _curation_oracle())
 def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL production curation chain in one query (VERDICT r11
@@ -11109,6 +11293,7 @@ _DRIVER_FIRST = [
     # replica until seated)
     "dedup_threshold_curve",
     "quality_score_curve",
+    "curation_incremental",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",

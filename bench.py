@@ -228,6 +228,7 @@ ROUND12 = [
     "unigram_trained_compression",
     "dedup_threshold_curve",
     "quality_score_curve",
+    "curation_incremental",
 ]
 
 

@@ -133,3 +133,20 @@ def test_quality_score_curve_monotone(spark):
     assert docs == sorted(docs, reverse=True)
     assert chars == sorted(chars, reverse=True)
     assert docs[0] > docs[-1] >= 0
+
+
+def test_curation_incremental_is_a_filtration(spark):
+    """Incremental admission funnel: per-source stage counts are
+    non-increasing, only batch docs appear, and the near-dup stage vs
+    the corpus state actually removes something at this sf (the
+    synthetic near-dups straddle the %10 split)."""
+    out = REGISTRY["curation_incremental"].fn(spark, SF).collect()
+    by_stage: dict[str, int] = {}
+    for r in out:
+        by_stage[r["stage"]] = by_stage.get(r["stage"], 0) + r["n_docs"]
+    stages = ["0_batch", "1_quality", "2_exact_novel", "3_near_novel"]
+    assert set(by_stage) == set(stages)
+    for a, b in zip(stages, stages[1:]):
+        assert by_stage[b] <= by_stage[a], by_stage
+    assert by_stage["3_near_novel"] > 0
+    assert by_stage["3_near_novel"] < by_stage["0_batch"]
