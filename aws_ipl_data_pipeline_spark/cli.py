@@ -350,6 +350,35 @@ def cmd_maintain(args) -> None:
     if args.action == "compact":
         n = compact(spark, args.path, target_file_bytes=args.target_bytes)
         print(f"compacted {args.path} -> {n} files")
+    elif args.action == "compact-lsh":
+        from aws_ipl_data_pipeline_spark.operators.similarity import (
+            compact_lsh_index,
+        )
+
+        n = compact_lsh_index(
+            spark,
+            args.path,
+            id_col=args.id_col,
+            target_file_bytes=args.target_bytes,
+        )
+        print(f"compacted LSH index {args.path} -> {n} files (deduped at rest)")
+    elif args.action == "compact-ivf":
+        from aws_ipl_data_pipeline_spark.operators.similarity import (
+            compact_ivf_index,
+        )
+
+        n = compact_ivf_index(
+            spark,
+            args.path,
+            id_col=args.id_col,
+            stats_cols=args.by,  # --by names the stats columns, if any
+            target_file_bytes=args.target_bytes,
+        )
+        extra = " + stats refreshed" if args.by else ""
+        print(
+            f"compacted IVF index {args.path} -> {n} files "
+            f"(deduped at rest{extra})"
+        )
     elif args.action == "sort":
         if not args.by:
             sys.exit("sort requires --by")
@@ -605,11 +634,24 @@ def build_parser() -> argparse.ArgumentParser:
     q.set_defaults(fn=cmd_sql)
 
     m = sub.add_parser(
-        "maintain", help="compact small files or rewrite sorted/z-ordered"
+        "maintain",
+        help=(
+            "compact small files (plain tables or materialized LSH/IVF"
+            " indexes, which also dedupe at-least-once retry rows at"
+            " rest) or rewrite sorted/z-ordered"
+        ),
     )
-    m.add_argument("action", choices=["compact", "sort", "zorder"])
+    m.add_argument(
+        "action",
+        choices=["compact", "compact-lsh", "compact-ivf", "sort", "zorder"],
+    )
     m.add_argument("--path", required=True)
-    m.add_argument("--by", nargs="+", help="sort/zorder columns")
+    m.add_argument(
+        "--by",
+        nargs="+",
+        help="sort/zorder columns; for compact-ivf: the stats columns",
+    )
+    m.add_argument("--id-col", default="vec_id")
     m.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     m.set_defaults(fn=cmd_maintain)
 

@@ -547,3 +547,31 @@ def test_cli_gold_affected_requires_incremental(tmp_path_factory):
     with pytest.raises(SystemExit):
         main(["gold", "--silver", f"{base}/nope", "--out-dir", f"{base}/g",
               "--affected-matches", "m1"])
+
+
+def test_cli_maintain_compact_lsh_index(spark, tmp_path_factory, capsys):
+    """`maintain compact-lsh` reaches the index lifecycle from the CLI:
+    duplicate at-least-once rows removed at rest, probe results
+    unchanged (the operator-level test covers the full contract; this
+    pins the CLI wiring + stdout)."""
+    from aws_ipl_data_pipeline_spark.cli import main
+    from aws_ipl_data_pipeline_spark.operators.similarity import (
+        probe_lsh_index,
+        write_lsh_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("clilsh"))
+    path = f"{base}/lsh"
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = write_lsh_index(emb, path, bits=8)
+    spark.read.parquet(path).write.partitionBy("bucket").mode("append").parquet(
+        path
+    )
+    q = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+    before = [tuple(r) for r in probe_lsh_index(spark, path, planes, q, k=5).collect()]
+
+    main(["maintain", "compact-lsh", "--path", path])
+    assert "deduped at rest" in capsys.readouterr().out
+    assert spark.read.parquet(path).count() == emb.count()
+    after = [tuple(r) for r in probe_lsh_index(spark, path, planes, q, k=5).collect()]
+    assert after == before
