@@ -314,16 +314,28 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (v, n_triangles) for every node that appears in an edge; integer
     counts, fully deterministic."""
     a, b = F.col("src").cast("long"), F.col("dst").cast("long")
+    # und is consumed three times (two degree scans + the orientation
+    # join) and deg three more (nodes + two orientation joins), and the
+    # oriented edge set `o` three beyond that (two wedge sides + the
+    # closing join) — without pinning, the whole upstream edge
+    # derivation is REPLAYED under every consumer (the covisit form
+    # planned 94 scans of the events table in one 674-node tree,
+    # r12 plans/covisit_triangles_before.txt). localCheckpoint each
+    # reused frame so the lineage runs once (guide §2.4/§3.3: reused
+    # subtrees are exchanges to remove; materialising the intermediate
+    # truncates the plan).
     und = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .dropDuplicates()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("x"))
         .unionByName(und.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count("*").alias("_d"))
+        .localCheckpoint(eager=False)
     )
     # deg already materializes exactly the distinct node set — deriving
     # nodes from it saves a second scan+exchange of the edge table
@@ -341,6 +353,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                 "_dt"
             ),
         )
+        .localCheckpoint(eager=False)
     )
     o1 = o.select(F.col("s"), F.col("t").alias("t1"), F.col("_dt").alias("_d1"))
     o2 = o.select(F.col("s"), F.col("t").alias("t2"), F.col("_dt").alias("_d2"))

@@ -4832,14 +4832,29 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_aggregates_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-aggregate surface (SURVEY §2.4 widened): correlation,
     sample/population covariance and variance, linear-regression
-    slope/intercept/R², exact interpolated median — all single-pass
-    combinable JVM aggregates (one hash-agg exchange; the moment sums
-    merge map-side like any SUM, which is what makes them 100 TB-safe
-    vs a sort-based exact quantile). Outputs bounded-magnitude and
-    rounded so double moment accumulation order can't move the hash."""
+    slope/intercept/R², exact interpolated median. The moment aggregates
+    are single-pass combinable JVM aggregates (one hash-agg exchange;
+    the moment sums merge map-side like any SUM, which is what makes
+    them 100 TB-safe vs a sort-based exact quantile). Outputs
+    bounded-magnitude and rounded so double moment accumulation order
+    can't move the hash.
+
+    The exact median is computed COUNT-BASED (r12 optimization round,
+    guide §2.3): ``F.median`` is a TypedImperativeAggregate that (a)
+    buffers every value per group — not a 100 TB shape — and (b) forces
+    the WHOLE aggregate off whole-stage codegen into
+    ObjectHashAggregate, taxing the eleven declarative moments riding
+    beside it (measured: combined agg 1.04 s vs 0.39 s declarative +
+    0.23 s median alone at sf0.1). Instead: one combinable
+    (flag, value) count agg, a cumulative count over the ≤50 distinct
+    quantity values per flag, and the interpolated middle derived from
+    the counts — exact for any input, and bit-identical here because
+    the two middle values are integral doubles (their mean is exactly
+    representable, so every interpolation formula agrees). Oracle
+    re-proven ×3 sfs after the rewrite."""
     li = t(spark, sf_dir, "lineitem")
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
+    decl = li.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_rows"),
         (F.round(F.corr(qty, price), 4) + 0.0).alias("corr_qty_price"),
         (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias("covar_s_disc_tax"),
@@ -4851,7 +4866,50 @@ def stats_aggregates_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.regr_slope(price, qty), 4) + 0.0).alias("slope_price_qty"),
         (F.round(F.regr_intercept(price, qty), 4) + 0.0).alias("intercept_price_qty"),
         (F.round(F.regr_r2(price, qty), 6) + 0.0).alias("r2_price_qty"),
-        F.round(F.median(qty), 1).alias("median_qty"),
+    )
+    # exact interpolated median from value counts: cum(v) = #rows ≤ v
+    # per flag; the two middle positions (1-indexed) are (n+1) div 2 and
+    # (n+2) div 2, each found as the MIN value whose cumulative count
+    # reaches the position. The value-count agg is map-side combinable
+    # and the window runs over the distinct values of one group only.
+    vc = (
+        li.where(qty.isNotNull())  # median is null-ignoring
+        .groupBy("l_returnflag", qty.alias("_v"))
+        .agg(F.count("*").alias("_c"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("_v")
+    cum = vc.select(
+        "l_returnflag",
+        "_v",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("l_returnflag")).alias("_n"),
+    )
+    lo_pos = F.expr("(_n + 1) div 2")
+    hi_pos = F.expr("(_n + 2) div 2")
+    med = cum.groupBy("l_returnflag").agg(
+        F.round(
+            (
+                F.min(F.when(F.col("_cum") >= lo_pos, F.col("_v")))
+                + F.min(F.when(F.col("_cum") >= hi_pos, F.col("_v")))
+            )
+            / 2.0,
+            1,
+        ).alias("median_qty")
+    )
+    return decl.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "corr_qty_price",
+        "covar_s_disc_tax",
+        "covar_p_disc_tax",
+        "stddev_s_qty",
+        "stddev_p_qty",
+        "var_s_qty",
+        "var_p_qty",
+        "slope_price_qty",
+        "intercept_price_qty",
+        "r2_price_qty",
+        "median_qty",
     )
 
 

@@ -61,6 +61,8 @@ def main() -> int:
             with open(path, "w") as fh:
                 fh.write(buf.getvalue())
             print(f"  plan -> {path}", file=sys.stderr)
+        if args.iters <= 0:  # plan-dump-only mode
+            continue
         runs: list[float] = []
         spark.sparkContext.setJobDescription(name)
         for _ in range(args.iters):
