@@ -253,6 +253,13 @@ def pair_common_counts(items: DataFrame, id_col: str, key_col: str) -> DataFrame
     value is wide (8-byte shuffle keys). Returns
     (id_a, id_b, _common, _na, _nb) with id_a < id_b; the caller
     applies its own similarity metric and threshold gate."""
+    # items feeds three consumers (sizes + both self-join sides);
+    # unpinned, the caller's shingle derivation is replayed under each
+    # (the r12 dedup_ngram_jaccard before-plan carries four scan
+    # subtrees). Pin once — guide §3.3 — so the tokenize/explode pass
+    # runs a single time; the pinned frame is the skinny (id, 8-byte
+    # key) membership set, the smallest representation of the input.
+    items = items.localCheckpoint(eager=False)
     sizes = items.groupBy(id_col).agg(F.count("*").alias("_n"))
     a = items.select(F.col(id_col).alias("id_a"), key_col)
     b = items.select(F.col(id_col).alias("id_b"), key_col)
@@ -424,6 +431,19 @@ def minhash_lsh_pairs(
         F.count("*").alias("_n"),
         F.collect_set("_hs").alias("_set"),
     )
+    # agg feeds THREE consumers (banding + both verification sides);
+    # unpinned, Catalyst replays the scan + shingle explode + this
+    # ObjectHashAggregate (collect_set drags the whole 66-function agg
+    # off whole-stage codegen) once per consumer — the r12 before-plan
+    # shows four scan subtrees, two of them the full set-carrying agg.
+    # Pin it so the expensive pass runs once (guide §3.3: materialise
+    # reused intermediates); the pinned row is exactly the
+    # minhash_state posture (~8 B/shingle + the signature), the thing
+    # a 100 TB deployment stores anyway. A map-side array_distinct
+    # form that would avoid the exchange entirely was measured 6-8×
+    # SLOWER (interpreted higher-order transform vs codegen explode —
+    # /tmp probe r12, variants B/C/D vs A), so the groupBy stays.
+    agg = agg.localCheckpoint(eager=False)
 
     band_structs = F.array(
         *[
@@ -801,55 +821,74 @@ def connected_components_star(
     RuntimeError if unconverged after ``max_iter`` rounds rather than
     returning partial components.
 
+    Plan shape (r12, guide §2.4 — remove exchanges from the hot loop):
+    each star pass computes the neighborhood minimum with ONE window
+    over partition(u) instead of a groupBy(u) + self-join back (which
+    cost two exchanges and re-shipped every hub neighborhood to one
+    task anyway, so the skew posture is unchanged); small-star emits
+    its (u, m) self-edge from the v <= u rows via a 2-struct explode —
+    whenever m < u such a row exists, and when m = u the self-edge is
+    dropped as a loop, so the emitted edge SET is identical and the
+    round-boundary dedup removes the multiplicity. The convergence
+    signature rides ``observe()`` on the round's eager checkpoint, so
+    computing it costs no extra pass over the edges. Measured on the
+    100-chain graph (worst-case diameter): 6.07 s → 3.95 s best-of-4
+    with bit-identical labels.
+
     Returns (node, label): label = min node id of the component;
     singletons label themselves. Cross-checked against the min-label
     implementation in tests (identical labels on random graphs and on
     a path graph whose diameter ≫ the round count)."""
+    from pyspark.sql import Observation
+
     # canonical undirected edge set (u < v), self-loops dropped
     a, b = F.col("id_a").cast("long"), F.col("id_b").cast("long")
-    edges = (
-        pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .dropDuplicates()
-        .localCheckpoint(eager=False)
-    )
+    w = Window.partitionBy("u")
 
-    def _signature(e: DataFrame) -> tuple:
+    def _pin_sig(e: DataFrame) -> tuple[DataFrame, tuple]:
         # two INDEPENDENTLY-seeded hashes plus the count: a single
         # xor-of-hashes could collide (or xor-cancel) between two
         # different equal-sized edge sets and end the loop early with
         # silently wrong labels (ADVICE r6); requiring both 64-bit
         # signatures to agree squares that probability away. The
         # leading literal reseeds xxhash64 — a different function, not
-        # a salt of the same one.
-        row = e.agg(
-            F.count("*").alias("n"),
+        # a salt of the same one. observe() folds the signature into
+        # the checkpoint-materialization job — no separate pass.
+        obs = Observation()
+        pinned = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("sig"),
             F.bit_xor(F.xxhash64(F.lit(0x9E3779B9), "u", "v")).alias("sig2"),
-        ).collect()[0]
-        return (row["n"], row["sig"], row["sig2"])
+        ).localCheckpoint(eager=True)
+        g = obs.get
+        return pinned, (g["n"], g["sig"], g["sig2"])
 
     def _star(e: DataFrame, large: bool, dedup: bool) -> DataFrame:
         sym = e.select("u", "v").unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("_mn"))
-            .select("u", F.least("u", "_mn").alias("m"))
-        )
-        joined = sym.join(m, "u")
+        ann = sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
         if large:
-            out = joined.where(F.col("v") > F.col("u")).select(
+            out = ann.where(F.col("v") > F.col("u")).select(
                 F.col("v").alias("x"), F.col("m").alias("y")
             )
         else:
             out = (
-                joined.where(F.col("v") <= F.col("u"))
-                .select(F.col("v").alias("x"), F.col("m").alias("y"))
-                .unionByName(
-                    m.select(F.col("u").alias("x"), F.col("m").alias("y"))
+                ann.where(F.col("v") <= F.col("u"))
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("v").alias("x"), F.col("m").alias("y")
+                            ),
+                            F.struct(
+                                F.col("u").alias("x"), F.col("m").alias("y")
+                            ),
+                        )
+                    ).alias("xy")
                 )
+                .select("xy.x", "xy.y")
             )
         out = out.select(
             F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
@@ -863,12 +902,15 @@ def connected_components_star(
         # deduped form, so the round boundary must keep it)
         return out.dropDuplicates() if dedup else out
 
-    sig = _signature(edges)
+    edges, sig = _pin_sig(
+        pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
     for _ in range(max_iter):
-        edges = _star(
-            _star(edges, large=True, dedup=False), large=False, dedup=True
-        ).localCheckpoint(eager=False)
-        new_sig = _signature(edges)
+        edges, new_sig = _pin_sig(
+            _star(_star(edges, large=True, dedup=False), large=False, dedup=True)
+        )
         if new_sig == sig:
             break
         sig = new_sig

@@ -126,37 +126,41 @@ def _comps_literal() -> Column:
     array (indexed by word length 1..MAX_WORD_LEN) of
     array<struct<idx:int, ss:array<int>, ls:array<int>>>. Literal, so
     per-word segmentation scoring is whole-stage-codegen — no join,
-    no shuffle, no UDF."""
+    no shuffle, no UDF.
+
+    Built as ONE parsed SQL expression: the per-element Column form
+    (223 structs of F.lit calls) cost ~5 s of py4j round-trips per
+    DataFrame BUILD — measured r12 as the whole of
+    unigram_trained_compression's apparent runtime (execution was
+    0.4 s). Identical literal values, one JVM call."""
     by_len = compositions()
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(idx).alias("idx"),
-                        F.array(
-                            *[F.lit(s) for s, _ in comp]
-                        ).alias("ss"),
-                        F.array(
-                            *[F.lit(ln) for _, ln in comp]
-                        ).alias("ls"),
-                    )
-                    for idx, comp in enumerate(by_len[n])
-                ]
+    arrays = []
+    for n in range(1, MAX_WORD_LEN + 1):
+        structs = ",".join(
+            "named_struct('idx',{idx},'ss',array({ss}),'ls',array({ls}))".format(
+                idx=idx,
+                ss=",".join(str(s) for s, _ in comp),
+                ls=",".join(str(ln) for _, ln in comp),
             )
-            for n in range(1, MAX_WORD_LEN + 1)
-        ]
-    )
+            for idx, comp in enumerate(by_len[n])
+        )
+        arrays.append(f"array({structs})")
+    return F.expr(f"array({','.join(arrays)})")
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (quote/backslash escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _score_map_literal(scores: dict[str, int]) -> Column:
     """piece -> integer score as a literal map (|vocab| <= ~70
-    entries), sorted for a deterministic expression."""
-    args: list[Column] = []
-    for piece in sorted(scores):
-        args.append(F.lit(piece))
-        args.append(F.lit(int(scores[piece])).cast("long"))
-    return F.create_map(*args)
+    entries), sorted for a deterministic expression; one parsed SQL
+    expression for the same py4j reason as _comps_literal."""
+    args = ",".join(
+        f"{_sql_str(piece)},{int(scores[piece])}L" for piece in sorted(scores)
+    )
+    return F.expr(f"map({args})")
 
 
 def best_segmentation(word_col: str, scores: dict[str, int]) -> Column:

@@ -9471,6 +9471,9 @@ def unigram_trained_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("word") != "")
         .groupBy("source", "word")
         .agg(F.count("*").cast("long").alias("tf"))
+        # reused by training (first run), the distinct-word scoring
+        # side, and the apply join — pin the tokenize+aggregate once
+        .localCheckpoint(eager=False)
     )
 
     def _train() -> list[tuple[str, int, int]]:
@@ -9479,7 +9482,18 @@ def unigram_trained_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vocab = session_memo(spark, ("unigram_train", sf_dir), _train)
     scores = {p: s for p, _, s in vocab}
-    tn = sw.withColumn("tok_n", unigram_token_count("word", scores))
+    # Score each DISTINCT word once and join the token count back:
+    # tok_n is a function of the word alone, but sw is (source, word)
+    # grained, so scoring sw directly re-runs the heavy Viterbi
+    # composition expression once per source a word appears in
+    # (guide §1.2: don't compute things you throw away). The join key
+    # is the word the frame is already exchanged on for the groupBy.
+    tokn = (
+        sw.select("word")
+        .distinct()
+        .withColumn("tok_n", unigram_token_count("word", scores))
+    )
+    tn = sw.join(tokn, "word")
     return tn.groupBy("source").agg(
         F.sum("tf").cast("long").alias("n_words"),
         F.sum(F.col("tf") * F.length("word")).cast("long").alias("n_tokens_char"),
@@ -9749,6 +9763,10 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_seen", F.lit(1))
     )
+    # pre feeds the near-dup admission probe and (via flags) the
+    # funnel aggregate; pinning it was measured SLOWER at sf0.1
+    # (2.70 s -> 3.17 s: it carries text, and exchange reuse already
+    # absorbs the replay), so it stays lazy
     pre = fr.join(seen, "text_hash", "left")
     f_ex = f_b1 & F.col("_seen").isNull()
 
@@ -9849,6 +9867,11 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(
         F.md5(normalized_text("text")), "quality_pass"
     ).orderBy("doc_id")
+    # fr feeds four consumers; pinning it was MEASURED SLOWER and
+    # unstable at sf0.1 (r12: 6.35 s -> 8.28 s best, 35 s worst —
+    # the frame carries the text column, so materializing it costs
+    # more than the replays AQE exchange reuse already absorbs), so
+    # it stays lazy
     fr = base.withColumn("rk", F.row_number().over(w))
 
     f_q = F.col("quality_pass") == 1
