@@ -104,79 +104,77 @@ def pagerank_fixed_int(
     Dangling nodes (no out-edges) leak their mass — the standard
     simplification; both engines apply the identical formula, so the
     leak is deterministic, not a parity risk. Integer sums are exact
-    and order-independent: no float summation order anywhere."""
+    and order-independent: no float summation order anywhere.
+
+    Plan shape (r12): the rounds build ONE lazy tree — no driver jobs
+    and no localCheckpoints inside the loop. Each round references the
+    previous rank frame exactly once, so lineage grows LINEARLY with
+    ``iters`` (the exponential-blowup hazard needs a frame referenced
+    twice per round, as in connected_components_star's sym union);
+    measured r12, every localCheckpoint(eager=False) costs 0.3-1.5 s
+    of eager driver-side planning (queryExecution.toRdd), which
+    dominated this operator (~3 s of pins + counts around 0.2 s of
+    execution). A safety pin still fires every 8 rounds so very long
+    walks keep a bounded plan. |nodes| / |seeds| moved IN-PLAN (one
+    broadcast count aggregate feeding the same integer division), so
+    the driver-side count() jobs are gone too: bit-identical ranks
+    (probe r12: uniform 2.18 -> 1.97 s, seeded 2.71 -> 2.04 s). With
+    ns = 0 no row satisfies the seed branch, so the in-plan division
+    never evaluates and every rank is exactly 0 — the same all-zero
+    frame the old early return produced."""
     out_w = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
-    pe = (
-        edges.join(out_w, "src")
-        .select(
-            "src",
-            "dst",
-            F.expr(f"(w * {EDGE_PROB_SCALE}) div _ow").alias("p"),
-        )
-        .localCheckpoint(eager=False)
+    pe = edges.join(out_w, "src").select(
+        "src",
+        "dst",
+        F.expr(f"(w * {EDGE_PROB_SCALE}) div _ow").alias("p"),
     )
-    # nodes is consumed once per round plus the count below — pin it so
-    # its lineage (often a full scan + distinct) runs once, not iters+1
-    # times
-    nodes = nodes.localCheckpoint(eager=False)
     teleport_mass = RANK_SCALE - (RANK_SCALE * damp_num) // damp_den
     if seeds is None:
-        n = nodes.count()
-        if n == 0:
-            return nodes.select(
-                F.col("v"), F.lit(0).cast("long").alias("rank_scaled")
-            )
-        based = nodes.select(
-            "v", F.lit(teleport_mass // n).cast("long").alias("_base")
+        nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_nn")))
+        based = nodes.crossJoin(nn).select(
+            "v", F.expr(f"{teleport_mass} div _nn").cast("long").alias("_base")
         )
-        r = nodes.select("v", F.lit(RANK_SCALE // n).cast("long").alias("r"))
+        r = nodes.crossJoin(nn).select(
+            "v", F.expr(f"{RANK_SCALE} div _nn").cast("long").alias("r")
+        )
     else:
-        seeds = seeds.select("v").distinct().localCheckpoint(eager=False)
-        ns = seeds.count()
-        if ns == 0:
-            # no teleport mass anywhere: the damped walk's limit is 0
-            # everywhere — stay total (the SQL oracle form is)
-            return nodes.select(
-                F.col("v"), F.lit(0).cast("long").alias("rank_scaled")
-            )
+        seeds = seeds.select("v").distinct()
+        nns = F.broadcast(seeds.agg(F.count(F.lit(1)).alias("_ns")))
         is_seed = F.col("_s").isNotNull()
         marked = nodes.join(
             seeds.select(F.col("v"), F.lit(1).alias("_s")), "v", "left"
-        )
+        ).crossJoin(nns)
         based = marked.select(
             "v",
-            F.when(is_seed, F.lit(teleport_mass // ns))
+            F.when(is_seed, F.expr(f"{teleport_mass} div _ns"))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("_base"),
         )
         r = marked.select(
             "v",
-            F.when(is_seed, F.lit(RANK_SCALE // ns))
+            F.when(is_seed, F.expr(f"{RANK_SCALE} div _ns"))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("r"),
         )
-    based = based.localCheckpoint(eager=False)
-    for _ in range(iters):
+    for i in range(iters):
         contrib = pe.join(r.withColumnRenamed("v", "src"), "src").select(
             "dst", F.expr(f"(r * p) div {EDGE_PROB_SCALE}").alias("c")
         )
         infl = contrib.groupBy("dst").agg(F.sum("c").alias("_infl"))
-        r = (
-            based.join(infl, based["v"] == infl["dst"], "left")
-            .select(
-                "v",
-                (
-                    F.col("_base")
-                    + F.expr(
-                        f"({damp_num} * coalesce(_infl, CAST(0 AS BIGINT)))"
-                        f" div {damp_den}"
-                    )
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
+        r = based.join(infl, based["v"] == infl["dst"], "left").select(
+            "v",
+            (
+                F.col("_base")
+                + F.expr(
+                    f"({damp_num} * coalesce(_infl, CAST(0 AS BIGINT)))"
+                    f" div {damp_den}"
+                )
+            ).alias("r"),
         )
+        if (i + 1) % 8 == 0 and (i + 1) < iters:
+            r = r.localCheckpoint(eager=False)
     return r.select("v", F.col("r").cast("long").alias("rank_scaled"))
 
 

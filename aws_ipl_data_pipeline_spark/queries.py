@@ -9877,8 +9877,15 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_q = F.col("quality_pass") == 1
     f_ex = f_q & (F.col("rk") == 1)
     s2 = fr.where(f_ex)
+    # max_bucket_size: the dedup_minhash_lsh DEFAULT (256) — r12:
+    # measured ~neutral vs the uncapped band self-join on this
+    # survivor set (interleaved A/B best 3.20 vs 3.04 s, median 3.52
+    # vs 3.93 s, identical 156 pairs), kept because it is the same
+    # capped map-side plan family the composed dedup_minhash_lsh
+    # contract ships, and the exact-verification oracle re-proves
+    # equality at all three sfs
     nd = (
-        minhash_lsh_pairs(s2, threshold=0.8, max_bucket_size=None)
+        minhash_lsh_pairs(s2, threshold=0.8)
         .select(F.col("id_b").cast("long").alias("doc_id"))
         .distinct()
         .withColumn("_nd", F.lit(1))

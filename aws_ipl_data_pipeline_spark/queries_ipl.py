@@ -414,7 +414,12 @@ def ipl_standings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     silver = _session_fixture(spark, "standings_big_3001", _build)
-    st = tournament_standings_from_partials(standings_match_partials(silver))
+    # the partials frame feeds several consumers in the finisher
+    # (bat/bowl splits, the team spine, winner derivation) -- pin the
+    # skinny per-(match, key) frame once so the silver groupBys run a
+    # single time (guide §3.3; r12)
+    partials = standings_match_partials(silver).localCheckpoint(eager=False)
+    st = tournament_standings_from_partials(partials)
     return st.select(
         F.col("rank").cast("long"),
         "team",
@@ -645,6 +650,10 @@ def ipl_batsman_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     silver = _session_fixture(spark, "batsman_big_4999", _build)
+    # pinning the partials here was measured NEUTRAL-to-SLOWER at
+    # sf0.1 (r12: the fixed ~0.3 s eager-planning cost of a
+    # localCheckpoint outweighs the replays on this grain's volume;
+    # the standings grain keeps its pin, measured 2.03 -> 1.58 s)
     out = batsman_stats_from_partials(batsman_match_partials(silver))
     return out.select(
         "batsman",
@@ -971,6 +980,10 @@ def ipl_bowler_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     silver = _session_fixture(spark, "batsman_big_4999", _build)
+    # pinning the partials here was measured NEUTRAL-to-SLOWER at
+    # sf0.1 (r12: the fixed ~0.3 s eager-planning cost of a
+    # localCheckpoint outweighs the replays on this grain's volume;
+    # the standings grain keeps its pin, measured 2.03 -> 1.58 s)
     out = bowler_stats_from_partials(bowler_match_partials(silver))
     return out.select(
         "bowler",
@@ -1052,6 +1065,10 @@ def ipl_team_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     silver = _session_fixture(spark, "team_big_2003", _build)
+    # pinning the partials here was measured NEUTRAL-to-SLOWER at
+    # sf0.1 (r12: the fixed ~0.3 s eager-planning cost of a
+    # localCheckpoint outweighs the replays on this grain's volume;
+    # the standings grain keeps its pin, measured 2.03 -> 1.58 s)
     out = team_stats_from_partials(team_match_partials(silver))
     return out.select(
         "team",
