@@ -1779,23 +1779,25 @@ def substring_dedup(
     base = docs.select(F.col(id_col).alias("_id"), tk.alias("_tk")).withColumn(
         "_n", F.size("_tk")
     )
+    # explode the plain start positions FIRST, then digest in the
+    # projection: the former shape computed md5(concat(slice)) inside a
+    # higher-order transform lambda — interpreted per element (r12
+    # lesson: HOF lambdas run off whole-stage codegen, measured 6-8×
+    # slower than the exploded/codegen'd equivalent on the shingle
+    # path). The exploded projection is codegen'd; the exchange above
+    # still carries only (_id, s, dig).
     windows = (
         base.where(F.col("_n") >= k)
         .select(
-            "_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("_n") - k),
-                    lambda s: F.struct(
-                        s.alias("s"),
-                        F.md5(
-                            F.concat_ws(" ", F.slice("_tk", s + 1, k))
-                        ).alias("dig"),
-                    ),
-                )
-            ).alias("w"),
+            "_id", "_tk", F.explode(F.sequence(F.lit(0), F.col("_n") - k)).alias("s")
         )
-        .select("_id", F.col("w.s").alias("s"), F.col("w.dig").alias("dig"))
+        .select(
+            "_id",
+            "s",
+            F.md5(
+                F.concat_ws(" ", F.expr(f"slice(_tk, s + 1, {int(k)})"))
+            ).alias("dig"),
+        )
     )
     rk = windows.withColumn(
         "_rn",

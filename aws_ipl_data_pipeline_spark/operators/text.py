@@ -124,7 +124,14 @@ def repetition_metrics(
     Token/bigram top counts go through explode → groupBy (map-side
     partial aggregation keyed by doc_id, two narrow shuffles) rather
     than higher-order array folds — the per-row fold is interpreted,
-    the exploded hash-agg is whole-stage codegen'd."""
+    the exploded hash-agg is whole-stage codegen'd.
+
+    r12: two fused one-pass forms were MEASURED and rejected — a
+    struct-keyed (kind, hash) explode built by transform lambdas
+    (interleaved A/B best 1.14 vs 0.93 s: the per-element HOF tax
+    exceeds the saved exchange + join) and an index-explode + stack(2)
+    all-codegen form (1.04 vs 0.99 s: a wash). The two-chain shape
+    below stays."""
     tk = tokens(text_col)
     base = docs.select(F.col(id_col).cast("long").alias("doc_id"), tk.alias("tk"))
     stats = base.select(
@@ -302,25 +309,27 @@ def bigram_perplexity(
     # model join moves one row per DISTINCT (doc, bigram), not one per
     # token position.
     tk = tokens(text_col)
+    # explode the plain positions FIRST and hash in the projection:
+    # hashing inside a transform lambda runs interpreted per element
+    # (r12: the same rewrite took substring_dedup's window digests
+    # from 1.24 s to 0.68 s); the exploded projection is codegen'd
     pairs = (
         docs.where(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col).cast("long").alias(id_col), tk.alias("_tk"))
         .where(F.size("_tk") >= 2)
         .select(
             id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_tk") - 1),
-                    lambda i: F.struct(
-                        F.xxhash64(
-                            F.element_at("_tk", i), F.element_at("_tk", i + 1)
-                        ).alias("_h12"),
-                        F.xxhash64(F.element_at("_tk", i)).alias("_h1"),
-                    ),
-                )
-            ).alias("s"),
+            "_tk",
+            F.explode(F.sequence(F.lit(1), F.size("_tk") - 1)).alias("_i"),
         )
-        .select(id_col, "s._h12", "s._h1")
+        .select(
+            id_col,
+            F.xxhash64(
+                F.element_at("_tk", F.col("_i")),
+                F.element_at("_tk", F.col("_i") + 1),
+            ).alias("_h12"),
+            F.xxhash64(F.element_at("_tk", F.col("_i"))).alias("_h1"),
+        )
     )
     doc_counts = pairs.groupBy(id_col, "_h12").agg(F.count("*").alias("_nd"))
     counts = pairs.groupBy("_h12").agg(
