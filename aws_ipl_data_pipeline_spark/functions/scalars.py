@@ -75,3 +75,22 @@ def flag(cond: Column) -> Column:
     """Boolean condition → 0/1 int, as the reference stores flags
     (pipeline_2026/ex_match_bs.py:300-304)."""
     return cond.cast("int")
+
+
+def lit_double_array(values) -> Column:
+    """Literal array<double> built as ONE parsed SQL expression. The
+    element-wise Column form (F.array of k F.lit(...) calls) costs 2k+
+    py4j round-trips PER ARRAY — measured r12 as the dominant cost of
+    several query builds (kmeans centroid literals: ~5 s of DataFrame
+    construction around 0.3 s of execution). String casts round-trip
+    exactly (repr is shortest-exact, Double.parseDouble is correctly
+    rounded), so the literal values are bit-identical to F.lit."""
+    body = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in values)
+    return F.expr(f"array({body})")
+
+
+def lit_long_array(values) -> Column:
+    """Literal array<bigint> as ONE parsed SQL expression (see
+    lit_double_array for why)."""
+    body = ",".join(f"{int(x)}L" for x in values)
+    return F.expr(f"array({body})")

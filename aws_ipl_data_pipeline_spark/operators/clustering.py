@@ -27,23 +27,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _lit_double_array(values: list[float]) -> Column:
-    """Literal array<double> built as ONE parsed SQL expression. The
-    element-wise form (F.array of k F.lit(...).cast(...) Columns) costs
-    2k+ py4j round-trips PER ARRAY; with 8 centroids x 64 dims per
-    assignment pass that dominated kmeans wall-clock (measured r12:
-    DataFrame BUILD 5.0 s vs 0.3 s execution). String casts round-trip
-    exactly (repr is shortest-exact, Double.parseDouble is correctly
-    rounded), so the literal values are bit-identical to F.lit."""
-    body = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in values)
-    return F.expr(f"array({body})")
-
-
-def _lit_long_array(values: list[int]) -> Column:
-    """Literal array<bigint> as ONE parsed SQL expression (see
-    _lit_double_array for why)."""
-    body = ",".join(f"{int(x)}L" for x in values)
-    return F.expr(f"array({body})")
+from aws_ipl_data_pipeline_spark.functions.scalars import (
+    lit_double_array as _lit_double_array,
+    lit_long_array as _lit_long_array,
+)
 
 
 def _dist2(vec_col: str, centroid: list[float]) -> Column:

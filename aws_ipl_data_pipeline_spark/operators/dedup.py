@@ -329,6 +329,31 @@ def shingle_containment_pairs(
     )
 
 
+def _min_hash_exprs(num_hashes: int, seed: int, col: str = "_hs") -> list:
+    """The k min-hash aggregate columns as parsed SQL expressions —
+    ONE py4j call each instead of ~5 (F.min/F.xxhash64/F.lit/alias):
+    the Column-API form cost ~1.1 s of driver-side DataFrame BUILD at
+    k=128 (measured r12, the kmeans/unigram literal-storm finding
+    applied to the hash family). xxhash64's integer literal seed stays
+    an INT literal exactly as F.lit(seed + i) produced, so the hash
+    values are bit-identical."""
+    return [
+        F.expr(f"min(xxhash64({seed + i}, {col})) AS _h{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def _band_bucket_sql(bands: int, rows_per_band: int) -> str:
+    """band-bucket hashes 'xxhash64(_h{..})' fragments shared by the
+    banded explode and the stored-state bucket array."""
+    return ",".join(
+        "xxhash64("
+        + ",".join(f"_h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
+        for b in range(bands)
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
@@ -338,11 +363,9 @@ def minhash_signatures(
     variadic, so the family index is a second hashed column rather than
     a per-row string concat (k concat allocations/row saved).
     Deterministic, JVM-side, no Python. Returns (_id, sig array<long>[k])."""
-    mins = [
-        F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("_id").agg(*mins)
+    agg = sh.groupBy("_id").agg(
+        *_min_hash_exprs(num_hashes, seed, col="shingle")
+    )
     return agg.select(
         "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -424,10 +447,7 @@ def minhash_lsh_pairs(
     # same accepted class as md5 exact-dedup digests).
     sh = sh.select("_id", F.xxhash64("shingle").alias("_hs"))
     agg = sh.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ],
+        *_min_hash_exprs(num_hashes, seed),
         F.count("*").alias("_n"),
         F.collect_set("_hs").alias("_set"),
     )
@@ -445,16 +465,16 @@ def minhash_lsh_pairs(
     # /tmp probe r12, variants B/C/D vs A), so the groupBy stays.
     agg = agg.localCheckpoint(eager=False)
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
+    band_structs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('band', {b}, 'bucket', "
+            + "xxhash64("
+            + ",".join(f"_h{b * rows_per_band + r}" for r in range(rows_per_band))
+            + "))"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = agg.select("_id", F.explode(band_structs).alias("bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -1396,21 +1416,12 @@ def minhash_state(
     sh = word_shingles(docs, id_col, text_col, n).select(
         "_id", F.xxhash64("shingle").alias("_hs")
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(seed + i), F.col("_hs"))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
     agg = sh.groupBy("_id").agg(
-        *mins, F.count("*").alias("_n"), F.collect_set("_hs").alias("_set")
+        *_min_hash_exprs(num_hashes, seed),
+        F.count("*").alias("_n"),
+        F.collect_set("_hs").alias("_set"),
     )
-    buckets = F.array(
-        *[
-            F.xxhash64(
-                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
-    )
+    buckets = F.expr(f"array({_band_bucket_sql(bands, rows_per_band)})")
     return agg.select(
         F.col("_id").cast("long").alias(id_col),
         F.col("_n").alias("n_shingles"),

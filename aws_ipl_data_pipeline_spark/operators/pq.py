@@ -152,9 +152,11 @@ def pq_topk(
         ]
         for s in range(m)
     ]
-    lut_col = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in lut]
-    )
+    # one parsed nested literal (m x k doubles) — the element-wise
+    # F.lit form cost ~2k py4j round-trips per query build (r12)
+    from aws_ipl_data_pipeline_spark.functions.scalars import lit_double_array
+
+    lut_col = F.array(*[lit_double_array(row) for row in lut])
     dist = F.aggregate(
         F.zip_with(
             F.col("codes"), lut_col, lambda c, row: F.element_at(row, c + 1)

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aws_ipl_data_pipeline_spark.functions.scalars import lit_double_array
+
 
 def _as_double_vec(vec_col: str) -> Column:
     return F.transform(vec_col, lambda x: x.cast("double"))
@@ -45,7 +47,8 @@ def _norm(a: Column) -> Column:
 
 def cosine_to_query(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
     """Adds ``cos_sim`` (double) of each row's vector to the query."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # one parsed literal array, not 64 py4j F.lit calls (r12)
+    q = lit_double_array(query_vec)
     v = _as_double_vec(vec_col)
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     return df.withColumn("cos_sim", _dot(v, q) / (_norm(v) * F.lit(qn)))
@@ -606,7 +609,7 @@ def random_projection(
             F.struct(
                 F.lit(j).cast("long").alias("j"),
                 F.round(
-                    _dot(v, F.array(*[F.lit(float(x)) for x in plane])), 4
+                    _dot(v, lit_double_array(plane)), 4
                 ).alias("val"),
             )
             for j, plane in enumerate(planes)

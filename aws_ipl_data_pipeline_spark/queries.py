@@ -93,6 +93,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # importing this module
 from aws_ipl_data_pipeline_spark.functions.scalars import (  # noqa: E402
     bounded_window_key,
+    lit_double_array,
+    lit_long_array,
 )
 
 
@@ -2230,7 +2232,7 @@ def ann_lsh_radius_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm as _norm2,
     )
 
-    qarr = F.array(*[F.lit(float(x)) for x in q])
+    qarr = lit_double_array(q)  # one parsed literal, not 64 F.lit calls
     v = _adv2("embedding")
     scored = (
         bucketed.where(F.col("vec_id") != 0)
@@ -6863,7 +6865,7 @@ def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = random_hyperplanes(64, 4, seed=11)
     bucket = F.lit(0)
     for b, plane in enumerate(planes):
-        arr = F.array(*[F.lit(int(p)).cast("long") for p in _quantize_list(plane)])
+        arr = lit_long_array(_quantize_list(plane))
         dot = F.aggregate(
             F.zip_with(v, arr, lambda x, y: x * y),
             F.lit(0).cast("long"),
