@@ -870,6 +870,11 @@ BNLJ_OK = (
     "embedding_label_drift",  # 1-row keyless-agg global self-dot frame
     "curation_pipeline_e2e",  # 1-row keyless-agg n_min frame (the
     # temperature_mix rate pattern, inlined for the funnel's mix stage)
+    "pagerank_covisit",  # 1-row keyless-agg |nodes| frame (r12: the
+    # teleport divisor moved in-plan so the loop runs plan-once with
+    # no driver count jobs)
+    "personalized_pagerank_covisit",  # 1-row keyless-agg |seeds| frame
+    # (same r12 in-plan divisor)
 )
 
 # Structural evidence that a broadcast side cannot grow with the data:
