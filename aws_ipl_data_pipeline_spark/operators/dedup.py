@@ -1538,11 +1538,17 @@ def decontaminate(
     shingles present in more than that many eval docs — the skew lever
     when eval sets contain boilerplate. Returns (train_doc_id,
     eval_doc_id, n_overlap)."""
+    # join on xxhash64(shingle), not the n-gram string: 8-byte fixed
+    # keys through the index join instead of ~30-60-byte 5-gram strings
+    # (r13; the same accepted collision class as shingle_jaccard_pairs'
+    # hashed inverted index — ~|shingles|²/2⁶⁴)
     tr = word_shingles(train_docs, id_col, text_col, n).select(
-        F.col("_id").alias("train_doc_id"), "shingle"
+        F.col("_id").alias("train_doc_id"),
+        F.xxhash64("shingle").alias("shingle"),
     )
     ev = word_shingles(eval_docs, id_col, text_col, n).select(
-        F.col("_id").alias("eval_doc_id"), "shingle"
+        F.col("_id").alias("eval_doc_id"),
+        F.xxhash64("shingle").alias("shingle"),
     )
     if max_shingle_df is not None:
         keep = ev.groupBy("shingle").count().where(F.col("count") <= max_shingle_df)

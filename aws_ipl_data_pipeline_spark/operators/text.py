@@ -57,12 +57,20 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def quality_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quality scoring: length / punctuation ratio / stopword ratio.
 
     quality = 1 if (20 ≤ tokens ≤ 10000) ∧ punct_ratio < 0.2 ∧
-    stopword_ratio ≥ 0.01 — a C4-style heuristic gate."""
+    stopword_ratio ≥ 0.01 — a C4-style heuristic gate.
+
+    ``keep_cols`` carries extra source columns through the projection
+    (r13, guide §2.4): composite pipelines previously re-scanned the
+    table and joined the scores back on ``id_col`` — a second scan plus
+    a join exchange for columns that were sitting in the same row."""
     t = tokens(text_col)
     n_tok = F.size(t)
     punct = F.length(F.regexp_replace(text_col, r"[^.!?,;:]", ""))
@@ -71,6 +79,7 @@ def quality_scores(
     )
     out = docs.select(
         F.col(id_col).cast("long"),
+        *[F.col(c) for c in keep_cols],
         n_tok.cast("long").alias("n_tokens"),
         F.round(punct / F.greatest(F.length(text_col), F.lit(1)), 4).alias(
             "punct_ratio"

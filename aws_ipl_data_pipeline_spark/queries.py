@@ -9745,12 +9745,11 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
 
-    q = quality_scores(batch).select("doc_id", "n_tokens", "quality_pass")
-    b = (
-        batch.select("doc_id", "source", "text")
-        .join(q, "doc_id")
-        .withColumn("text_hash", prefix_fingerprint("text"))
-    )
+    # quality columns in the same projection as source/text (r13,
+    # guide §2.4 — drops the former second batch scan + join-back)
+    b = quality_scores(batch, keep_cols=("source", "text")).select(
+        "doc_id", "source", "text", "n_tokens", "quality_pass"
+    ).withColumn("text_hash", prefix_fingerprint("text"))
     w = Window.partitionBy("text_hash", "quality_pass").orderBy("doc_id")
     fr = b.withColumn("rk", F.row_number().over(w))
     f_q = F.col("quality_pass") == 1
@@ -9761,11 +9760,15 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_seen", F.lit(1))
     )
-    # pre feeds the near-dup admission probe and (via flags) the
-    # funnel aggregate; pinning it was measured SLOWER at sf0.1
-    # (2.70 s -> 3.17 s: it carries text, and exchange reuse already
-    # absorbs the replay), so it stays lazy
-    pre = fr.join(seen, "text_hash", "left")
+    # r13 (guide §8): pre feeds the near-dup admission probe and the
+    # funnel aggregate; pinning it WITH text was measured SLOWER in
+    # r12 (2.70 s -> 3.17 s — corpus bytes). The SKINNY pin (ids +
+    # flags, no text) runs the quality+window+seen lineage exactly
+    # once; the probe re-attaches text from the raw batch scan by
+    # survivor id below.
+    pre = fr.drop("text").join(seen, "text_hash", "left").localCheckpoint(
+        eager=True
+    )
     f_ex = f_b1 & F.col("_seen").isNull()
 
     state = session_memo(
@@ -9775,9 +9778,12 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, num_hashes=128, bands=32
         ).localCheckpoint(eager=True),
     )
+    ex_text = batch.select("doc_id", "text").join(
+        pre.where(f_ex).select("doc_id"), "doc_id"
+    )
     nd = (
         near_dup_pairs_vs_state(
-            minhash_state(pre.where(f_ex), num_hashes=128, bands=32),
+            minhash_state(ex_text, num_hashes=128, bands=32),
             state,
             threshold=0.8,
         )
@@ -9786,7 +9792,9 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_nd", F.lit(1))
         .localCheckpoint(eager=True)  # bounded: near-dup batch ids
     )
-    flags = pre.join(nd, "doc_id", "left")
+    # nd is a bounded id-set on a stats-less checkpoint scan — same
+    # explicit-broadcast rationale as curation_pipeline_e2e (r13)
+    flags = pre.join(F.broadcast(nd), "doc_id", "left")
     f_nr = f_ex & F.col("_nd").isNull()
 
     n = F.col("n_tokens")
@@ -9857,24 +9865,37 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_all.where(F.col("doc_id") % 10 != 0)
     bench = docs_all.where(F.col("doc_id") % 10 == 0)
 
-    q = quality_scores(docs).select("doc_id", "n_tokens", "quality_pass")
-    base = docs.select("doc_id", "lang", "source", "text").join(q, "doc_id")
+    # quality columns computed IN the same projection as lang/source/
+    # text (r13, guide §2.4): the former quality_scores(docs) +
+    # join-back on doc_id cost a second documents scan and a join
+    # exchange per lineage replay for columns of the same row
+    base = quality_scores(docs, keep_cols=("lang", "source", "text")).select(
+        "doc_id", "lang", "source", "text", "n_tokens", "quality_pass"
+    )
     # rank within (digest, quality_pass): pass docs rank among
     # themselves — ONE window exchange yields the exact-dedup flag
     # without filtering the frame
     w = Window.partitionBy(
         F.md5(normalized_text("text")), "quality_pass"
     ).orderBy("doc_id")
-    # fr feeds four consumers; pinning it was MEASURED SLOWER and
-    # unstable at sf0.1 (r12: 6.35 s -> 8.28 s best, 35 s worst —
-    # the frame carries the text column, so materializing it costs
-    # more than the replays AQE exchange reuse already absorbs), so
-    # it stays lazy
     fr = base.withColumn("rk", F.row_number().over(w))
+    # r13 (guide §8: decide with small rows, move big rows once): the
+    # audit frame feeds four consumers, and pinning it WITH text was
+    # measured SLOWER in r12 (6.35 s -> 8.28 s best — materializing
+    # the corpus bytes cost more than the replays). Pinning the SKINNY
+    # frame (ids + flags, no text) keeps the one-pass win without the
+    # byte cost: the scan+tokenize+window lineage runs exactly ONCE,
+    # and the two text-consuming stages re-attach text from the raw
+    # scan by doc_id (survivor ids, broadcast-sized here; at corpus
+    # scale a plain key join — still cheaper than re-deriving the
+    # quality+window pass per consumer).
+    sk = fr.drop("text").localCheckpoint(eager=True)
 
     f_q = F.col("quality_pass") == 1
     f_ex = f_q & (F.col("rk") == 1)
-    s2 = fr.where(f_ex)
+    s2 = docs.select("doc_id", "text").join(
+        sk.where(f_ex).select("doc_id"), "doc_id"
+    )
     # max_bucket_size: the dedup_minhash_lsh DEFAULT (256) — r12:
     # measured ~neutral vs the uncapped band self-join on this
     # survivor set (interleaved A/B best 3.20 vs 3.04 s, median 3.52
@@ -9889,7 +9910,12 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_nd", F.lit(1))
         .localCheckpoint(eager=True)  # bounded: near-dup ids only
     )
-    s3 = s2.join(nd, "doc_id", "left_anti")
+    # nd/ctm are BOUNDED id-sets (dup/contamination mass) riding
+    # checkpoints, whose ExistingRDD scans carry no size stats — the
+    # static planner falls back to sort-merge joins on doc_id without
+    # the explicit broadcast (r13 plan dump: SMJ exchanges around every
+    # flag join; guide §3.1: hint when you know a side is small)
+    s3 = s2.join(F.broadcast(nd), "doc_id", "left_anti")
     ctm = (
         decontaminate(s3, bench, n=5, min_overlap=3)
         .select(F.col("train_doc_id").cast("long").alias("doc_id"))
@@ -9897,7 +9923,9 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_ct", F.lit(1))
         .localCheckpoint(eager=True)  # bounded: contaminated ids only
     )
-    pre = fr.join(nd, "doc_id", "left").join(ctm, "doc_id", "left")
+    pre = sk.join(F.broadcast(nd), "doc_id", "left").join(
+        F.broadcast(ctm), "doc_id", "left"
+    )
     f_nr = f_ex & F.col("_nd").isNull()
     f_dc = f_nr & F.col("_ct").isNull()
 
