@@ -67,43 +67,76 @@ def resolve_scorer() -> str:
     return choice
 
 
-def _indel_ratio(a: str, b: str) -> float:
+def _indel_ratio(a: str, b: str, min_sim: float = 0.0) -> float:
     """Indel similarity on a 0-100 scale (rapidfuzz fuzz.ratio analogue):
-    100 * (1 - indel_distance / (len(a)+len(b))), via LCS length."""
+    100 * (1 - indel_distance / (len(a)+len(b))), via LCS length.
+
+    ``min_sim`` is a correctness-preserving cutoff (r13, VERDICT r12
+    #4 — the Ukkonen band the downstream argmax already implies): the
+    true similarity is returned EXACTLY whenever it is >= min_sim; a
+    pair provably below the cutoff may return an underestimate (>= 0).
+    Soundness: sim >= min_sim ⇔ indel distance d <= k with
+    k = floor((la+lb)·(1−min_sim/100)); any alignment path through a
+    cell with |i−j| > k costs > k, so restricting the DP to the
+    |i−j| <= k band computes the exact LCS for every in-cutoff pair,
+    and out-of-band cells treated as 0 only ever UNDERestimate the
+    LCS (they hold a lower bound), keeping rejected pairs rejected."""
     if not a and not b:
         return 100.0
     if not a or not b:
         return 0.0
     la, lb = len(a), len(b)
+    if min_sim > 0.0:
+        # cheap upper bound: lcs <= min(la, lb)
+        if 200.0 * min(la, lb) / (la + lb) < min_sim:
+            return 0.0
+        # +1e-9: float truncation must never UNDERSIZE the band (e.g.
+        # 5·(1−0.8) evaluates to 0.999…8 and int() would give k=0 for a
+        # true boundary distance of 1); an oversized band is just exact
+        k = int((la + lb) * (100.0 - min_sim) / 100.0 + 1e-9)
+        if abs(la - lb) > k:
+            return 0.0
+    else:
+        k = la if la > lb else lb  # full band
     prev = [0] * (lb + 1)
     for i in range(1, la + 1):
         cur = [0] * (lb + 1)
         ca = a[i - 1]
-        for j in range(1, lb + 1):
+        for j in range(max(1, i - k), min(lb, i + k) + 1):
             if ca == b[j - 1]:
                 cur[j] = prev[j - 1] + 1
             else:
                 cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
         prev = cur
-    lcs = prev[lb]
-    return 200.0 * lcs / (la + lb)
+    # (la, lb) is always inside the band here: |la-lb| > k returned early
+    return 200.0 * prev[lb] / (la + lb)
 
 
-def score(a: str, b: str) -> float:
-    """WRatio-like composite: best of full / token-sorted / substring."""
+def score(a: str, b: str, min_sim: float = 0.0) -> float:
+    """WRatio-like composite: best of full / token-sorted / substring.
+
+    ``min_sim`` propagates the caller's running cutoff into the DP
+    band (values >= min_sim are exact; see _indel_ratio)."""
     a, b = a.lower().strip(), b.lower().strip()
     if a == b:
         return 100.0
     if resolve_scorer() == "rapidfuzz":
         return float(_rf_fuzz.WRatio(a, b))
-    s = _indel_ratio(a, b)
-    ts = _indel_ratio(" ".join(sorted(a.split())), " ".join(sorted(b.split())))
+    s = _indel_ratio(a, b, min_sim)
+    ts = _indel_ratio(
+        " ".join(sorted(a.split())), " ".join(sorted(b.split())), min_sim
+    )
     sub = 90.0 if (len(a) >= 3 and (a in b or b in a)) else 0.0
     return max(s, ts, sub)
 
 
 def extract_one(query: str, choices: list[str], cutoff: float = 0.0) -> str | None:
-    """Best-scoring choice above cutoff, else None."""
+    """Best-scoring choice above cutoff, else None.
+
+    The running best feeds back into score() as the DP cutoff: scores
+    that would not change the argmax are allowed to underestimate, so
+    the banded scorer prunes exactly the work the comparison below
+    discards — the selected choice and its score are unchanged."""
     if not query or not choices:
         return None
     if resolve_scorer() == "rapidfuzz":
@@ -111,7 +144,7 @@ def extract_one(query: str, choices: list[str], cutoff: float = 0.0) -> str | No
         return m[0] if m else None
     best, best_s = None, cutoff
     for c in choices:
-        s = score(query, c)
+        s = score(query, c, min_sim=best_s)
         if s > best_s or (s == best_s and best is None and s >= cutoff):
             best, best_s = c, s
     return best

@@ -105,43 +105,77 @@ def kmeans_fit(
     Raises RuntimeError if assignments are still changing after
     ``max_iter`` iterations — unconverged clusters are never returned
     silently."""
-    # consumed by the seeding job plus two passes per Lloyd round
-    # (assign + means); pin the projected working set once (guide §3.3)
+    from pyspark.sql import Observation
+
+    # consumed by the seeding job plus one pass per Lloyd round; pin
+    # the projected working set once (guide §3.3)
     emb = emb.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     ).localCheckpoint(eager=False)
     centroids = seed_centroids(emb, k, id_col, vec_col)
-    prev: DataFrame | None = None
-    for _ in range(max_iter):
-        assigned = assign_to_centroids(emb, centroids, id_col, vec_col)
-        if prev is not None:
-            moved = (
-                assigned.alias("a")
-                .join(prev.alias("p"), id_col)
-                .where(F.col("a.centroid_id") != F.col("p.centroid_id"))
-                .limit(1)
-                .count()
+
+    def _cid(cents: dict[int, list[float]]) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2(vec_col, vec).alias("d2"),
+                        F.lit(int(cid)).cast("long").alias("cid"),
+                    )
+                    for cid, vec in sorted(cents.items())
+                ]
             )
-            if moved == 0:
-                return assigned, centroids
-        # pin this round's labels so the next comparison is against the
-        # materialized truth, not a recomputation under new centroids
-        prev = assigned.select(id_col, "centroid_id").localCheckpoint()
+        )["cid"]
+
+    # ONE job per Lloyd round (r13; the former shape paid THREE — a
+    # moved-count join job against pinned previous labels, a pin job
+    # for this round's labels, and the means collect — ~3× the per-round
+    # scheduling and two extra evaluations of the assignment fold).
+    # Here the means aggregation computes the NEW assignment inline
+    # from the pinned working set, and from round 2 an observe()
+    # counts rows whose assignment changed vs the PREVIOUS centroids
+    # (a second map-side distance fold — cheaper than a shuffle join,
+    # and it rides the same pass). Convergence semantics are identical:
+    # the same (assign(c_{t-1}) vs assign(c_t)) comparisons happen in
+    # the same order, the converged return value is the assignment
+    # under the same centroids, and max_iter parity is preserved
+    # (max_iter-1 comparisons before raising).
+    prev_cents: dict[int, list[float]] | None = None
+    for _ in range(max_iter):
+        obs: Observation | None = None
+        if prev_cents is not None:
+            obs = Observation()
+            base = emb.select(
+                F.col(vec_col).alias("_v"),
+                _cid(centroids).alias("_cid"),
+                _cid(prev_cents).alias("_pcid"),
+            ).observe(
+                obs,
+                F.sum((F.col("_cid") != F.col("_pcid")).cast("long")).alias(
+                    "moved"
+                ),
+            )
+        else:
+            base = emb.select(
+                F.col(vec_col).alias("_v"), _cid(centroids).alias("_cid")
+            )
         means = (
-            emb.join(prev, id_col)
-            .select("centroid_id", F.posexplode(vec_col).alias("i", "x"))
-            .groupBy("centroid_id", "i")
+            base.select("_cid", F.posexplode("_v").alias("i", "x"))
+            .groupBy("_cid", "i")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("centroid_id")
+            .groupBy("_cid")
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
             .collect()
         )
+        if obs is not None and not obs.get["moved"]:
+            return assign_to_centroids(emb, centroids, id_col, vec_col), centroids
         # a cluster with no members emits no mean rows; keep its previous
         # centroid instead of silently shrinking k (it can re-acquire
         # members as other centroids move)
+        prev_cents = centroids
         centroids = dict(centroids)
         centroids.update(
-            (int(r["centroid_id"]), [float(s["m"]) for s in r["ms"]]) for r in means
+            (int(r["_cid"]), [float(s["m"]) for s in r["ms"]]) for r in means
         )
     raise RuntimeError(
         f"k-means did not converge within {max_iter} iterations"

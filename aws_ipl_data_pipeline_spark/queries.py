@@ -2478,13 +2478,26 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("_seg") == F.col("c_mktsegment"),
         )
-        .withColumn("lev", F.levenshtein("raw_name", "c_name"))
         .withColumn(
             "maxlen", F.greatest(F.length("raw_name"), F.length("c_name"))
         )
+        # banded early-exit distance (r13, guide §1.2 per-task work):
+        # the gate below keeps only 4·lev <= maxlen, i.e. lev <=
+        # floor(maxlen/4), so compute levenshtein WITH that threshold —
+        # Spark's 3-arg form runs the Ukkonen band, O(len·k) instead of
+        # O(len²) per pair, returning -1 above the cutoff. Gated rows
+        # carry the exact distance (lev <= threshold ⇒ banded == full);
+        # rows the gate would drop return -1 and are filtered the same.
+        .withColumn(
+            "lev",
+            F.expr(
+                "levenshtein(raw_name, c_name,"
+                " cast(maxlen div 4 as int))"
+            ),
+        )
     )
     best = (
-        cand.where(4 * F.col("lev") <= F.col("maxlen"))
+        cand.where(F.col("lev") >= 0)
         .groupBy("c_custkey")
         .agg(F.min(F.struct("lev", "c_name")).alias("_b"))
         .select(

@@ -308,6 +308,42 @@ def test_fuzzy_score_scale(a, b, hi):
     assert (s >= 75) == hi
 
 
+def test_fuzzy_banded_indel_exact_at_or_above_cutoff():
+    """r13: _indel_ratio(min_sim) runs a Ukkonen-banded DP — it must be
+    EXACT whenever the true similarity >= min_sim (including exactly at
+    the boundary, where float truncation once undersized the band) and
+    never OVERestimate below it, so extract_one decisions are unchanged."""
+    import random
+
+    def full(a, b):
+        if not a and not b:
+            return 100.0
+        if not a or not b:
+            return 0.0
+        la, lb = len(a), len(b)
+        prev = [0] * (lb + 1)
+        for i in range(1, la + 1):
+            cur = [0] * (lb + 1)
+            ca = a[i - 1]
+            for j in range(1, lb + 1):
+                cur[j] = prev[j - 1] + 1 if ca == b[j - 1] else max(cur[j - 1], prev[j])
+            prev = cur
+        return 200.0 * prev[lb] / (la + lb)
+
+    # the float-truncation boundary case: true sim == min_sim == 80
+    assert fuzzy._indel_ratio("a  ", "  ", 80.0) == 80.0
+    rng = random.Random(7)
+    for _ in range(4000):
+        a = "".join(rng.choice("abcd ") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcd ") for _ in range(rng.randint(0, 12)))
+        ms = rng.choice([0.0, 50.0, 70.0, 75.0, 80.0, 90.0])
+        t, g = full(a, b), fuzzy._indel_ratio(a, b, ms)
+        if t >= ms:
+            assert abs(t - g) < 1e-9, (a, b, ms, t, g)
+        else:
+            assert g <= t + 1e-9, (a, b, ms, t, g)
+
+
 def test_multimodal_resize_plumbing(spark):
     from aws_ipl_data_pipeline_spark.operators.multimodal import resize_images
 
