@@ -242,6 +242,18 @@ ROUND12 = [
     "curation_incremental",
 ]
 
+# round-13 additions (optimization round 2: the queries whose operators
+# were rewritten this round and were not yet visible in any stdout set
+# — banded levenshtein, PPJoin positional prefix filter, and the
+# star-contraction CC family): same stdout-compact policy; per the
+# newest-two-sets rule round11 moves to BENCH_FULL.json only
+ROUND13 = [
+    "fuzzy_match_levenshtein",
+    "dedup_ngram_jaccard_prefix",
+    "near_dup_chain_clusters",
+    "semantic_dedup_clusters",
+]
+
 
 def _calib_once(spark) -> float:
     """One reading of the FIXED calibration probe: constant synthetic
@@ -392,6 +404,7 @@ def main() -> None:
     round10 = time_set(ROUND10, "round10")
     round11 = time_set(ROUND11, "round11")
     round12 = time_set(ROUND12, "round12")
+    round13 = time_set(ROUND13, "round13")
 
     calib_series.append(round(_calib_once(spark), 3))
     try:
@@ -462,6 +475,7 @@ def main() -> None:
         "queries_round10": round10,
         "queries_round11": round11,
         "queries_round12": round12,
+        "queries_round13": round13,
         "queries_median_all": all_medians,
         "spread": spread,
         "calib_by_query": calib_by_query,
@@ -498,8 +512,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "median5": med5,
-                "round11": round11,
                 "round12": round12,
+                "round13": round13,
                 "calib": calib,
                 "noise": noise,
                 "parallelism": par,
