@@ -102,6 +102,11 @@ def kmeans_fit(
     """Lloyd's algorithm. Returns (assignments, centroids); assignments
     is ``assign_to_centroids`` output for the final centroids.
 
+    ``id_col`` must be integral (it is cast to long before seeding, so
+    string-typed numeric ids would change the md5 seeding draw vs their
+    original representation — ADVICE r12 #3; every shipped caller
+    passes a long id).
+
     Raises RuntimeError if assignments are still changing after
     ``max_iter`` iterations — unconverged clusters are never returned
     silently."""

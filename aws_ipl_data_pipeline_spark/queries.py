@@ -4929,7 +4929,12 @@ def stats_aggregates_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("median_qty")
     )
-    return decl.join(F.broadcast(med), "l_returnflag").select(
+    # LEFT join (ADVICE r12 #1): a group whose l_quantity values are
+    # all NULL emits no med row; the former inner join dropped the
+    # whole group where F.median kept it with a NULL median.
+    # Unreachable on TPC-H data (l_quantity is non-null) — this pins
+    # the aggregate's declared shape, not a live result change.
+    return decl.join(F.broadcast(med), "l_returnflag", "left").select(
         "l_returnflag",
         "n_rows",
         "corr_qty_price",
@@ -9937,7 +9942,12 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs 3.93 s, identical 156 pairs), kept because it is the same
     # capped map-side plan family the composed dedup_minhash_lsh
     # contract ships, and the exact-verification oracle re-proves
-    # equality at all three sfs
+    # equality at all three sfs. ADVICE r12 #2: oracle parity is
+    # proven at the TESTED sfs, where no band bucket exceeds 256;
+    # above the cap a bucket degrades to pivot-star candidates, so at
+    # larger corpora audit with dedup.lsh_hot_buckets before trusting
+    # the near-dup stage's pair-level recall (cluster connectivity is
+    # preserved either way).
     nd = (
         minhash_lsh_pairs(s2, threshold=0.8)
         .select(F.col("id_b").cast("long").alias("doc_id"))
